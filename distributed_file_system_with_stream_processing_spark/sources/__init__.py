@@ -1,0 +1,7 @@
+from distributed_file_system_with_stream_processing_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,41 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This is a local pre-flight of the driver's t2 correctness gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare
+
+
+def _pairs():
+    from distributed_file_system_with_stream_processing_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+    )
+
+    return [(name, fn, ORACLES.get(name)) for name, fn in QUERIES.items()]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, duck, name, fn, sql):
+    df = fn(spark, SF_SMOKE)
+    assert df.columns, f"{name}: empty schema"
+    if sql is None:
+        # rows-only check for non-SQL-expressible ops
+        assert df.count() >= 0
+        return
+    ok, msg = compare(df, duck, sql, SF_SMOKE)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
