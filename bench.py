@@ -1,0 +1,70 @@
+"""Headline benchmark: run the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print one JSON
+line with per-query and total wall seconds.
+
+Queries are fully materialized through the noop sink (distributed
+execution, nothing funneled to the driver), which is what a 100 TB run
+would look like — sink-bound, not collect-bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from distributed_file_system_with_stream_processing_spark.session import get_spark
+    from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "top_customers_by_revenue",
+        "events_windowed_agg",
+        "events_sessionize",
+        "rs_pipeline_batch",
+        "rs_wordcount",
+        "rs_running_agg",
+    ]
+    headline = [q for q in headline if q in QUERIES]
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch setup.
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
