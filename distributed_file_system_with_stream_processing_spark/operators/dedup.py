@@ -1,0 +1,232 @@
+"""Distributed deduplication operators over a (id, text) corpus.
+
+Four families, all shuffle-planned for 100 TB:
+
+- exact: hash-groupBy on normalized text — one shuffle on the digest.
+- n-gram Jaccard: explode shingles → shingle-key equi-join → pair agg.
+  The join key is the shingle itself (high cardinality → well-spread
+  shuffle); candidate pairs are formed only for docs sharing a
+  shingle, never a cross join.
+- MinHash + LSH: signature → band keys → equi-join on (band, key).
+  Probability of a band collision is jaccard^r, so the shuffle volume
+  is tunable with (k, bands); exact signature-agreement estimate
+  computed only on candidates.
+- SimHash: 32-bit signature → 4×8-bit band bucketing (pigeonhole:
+  hamming ≤ 3 ⇒ at least one identical band) → exact hamming verify.
+  Candidate generation is again an equi-join, no quadratic work.
+
+Every operator returns a deterministic DataFrame (stable tie-breaks),
+so results are reproducible run-to-run and match the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts: digest, canonical id, copies."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(T.norm_text(F.col(text_col))).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) rows — the map-side layout signature builders
+    aggregate over (partial agg in each task, one shuffle on doc_id)."""
+    sh = _with_shingles(df, id_col, text_col, n)
+    return sh.select("doc_id", F.explode("sh").alias("s"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k most-similar doc pairs by n-gram shingle Jaccard.
+
+    explode → join on shingle → count shared → Jaccard from set sizes.
+    Deterministic order: jaccard desc, then (doc_id_a, doc_id_b).
+    """
+    sh = _with_shingles(df, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .orderBy(F.desc("_j"), F.asc("doc_id_a"), F.asc("doc_id_b"))
+        .limit(top_k)
+        .drop("_j")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding + signature-overlap
+    estimate. rows_per_band = num_hashes/bands; a pair is a candidate
+    iff some band's sub-signature matches exactly."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    # Signature as num_hashes min-aggregates over exploded shingles:
+    # one pass over the data, map-side partial mins, single shuffle on
+    # doc_id — instead of per-row k× array scans. Same values as
+    # functions.text.minhash_signature (min is set-order invariant).
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit("|"), F.lit(str(k))))).alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    sig = mins.select(
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("sig")
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bnd: F.struct(
+            bnd.alias("band"),
+            F.md5(F.array_join(F.slice(F.col("sig"), bnd * r + 1, r), "|")).alias("key"),
+        ),
+    )
+    ex = sig.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Scale path: band the 32-bit signature into (max_hamming+1) chunks;
+    pigeonhole guarantees every qualifying pair collides on ≥1 chunk,
+    so candidate generation is an equi-join on (chunk_id, chunk_value)
+    and the exact hamming check runs only on candidates. Result is
+    EXACTLY the brute-force pair set (the oracle computes it that way).
+    """
+    chunks = max_hamming + 1
+    bits = 32 // chunks
+    # SimHash via 32 conditional-sum aggregates over exploded shingles
+    # (bit balance per position), then recombine — partial-agg friendly
+    # and whole-stage codegen'd, vs. a 32×|shingles| nested lambda per
+    # row. Values identical to functions.text.simhash32.
+    ex = _exploded_shingles(df, id_col, text_col, n).withColumn("h", T.hash32(F.col("s")))
+    balances = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    simhash_col = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash_col = term if simhash_col is None else simhash_col + term
+    sig = balances.select("doc_id", simhash_col.alias("simhash"))
+    chunk_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(chunks - 1)),
+        lambda c: F.struct(
+            c.alias("chunk"),
+            (
+                (F.col("simhash") / F.pow(F.lit(2.0), c * bits)).cast("long")
+                % F.lit(2**bits)
+            ).alias("val"),
+        ),
+    )
+    ex = sig.select("doc_id", "simhash", F.explode(chunk_keys).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )

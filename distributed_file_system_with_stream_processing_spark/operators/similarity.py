@@ -1,0 +1,146 @@
+"""Embedding similarity search operators.
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Queries are broadcast (small side); the base table streams through
+  executors, cosine runs in whole-stage codegen, and per-query top-k
+  is a window over (query, -sim). At 100 TB the base side stays
+  partitioned; nothing ever collects to the driver.
+- ``lsh_ann``: random-hyperplane LSH bucketing — the scale path.
+  Hyperplanes are derived deterministically from md5, so results are
+  reproducible without a seeded RNG. Candidates = bucket equi-join;
+  exact cosine re-rank on candidates only.
+- ``cosine_neardup_pairs``: all pairs above a cosine threshold
+  (embedding near-duplicate detection for dedup pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import vector as V
+from distributed_file_system_with_stream_processing_spark.functions.text import hash32
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Deterministic: rank by raw similarity desc, then neighbor id.
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    q = e.filter(F.col("id") < query_ids_below).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    base = e.filter(F.col("id") >= query_ids_below).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("bv")
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        base.crossJoin(broadcast(q))
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("sim"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    id_cap: int | None = None,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (id_a < id_b).
+
+    Brute-force O(n²) verification — correct by definition; the LSH
+    variant below is the scale path that prunes candidates first.
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    if id_cap is not None:
+        e = e.filter(F.col("id") < id_cap)
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, planes: int):
+    """Deterministic pseudo-random hyperplane matrix as a Column literal:
+    component (p, d) = (hash32('p|{p}|d|{d}') % 2001 - 1000) / 1000."""
+    rows = []
+    for p in range(planes):
+        comps = []
+        for d in range(dim):
+            h = (hash32(F.lit(f"p|{p}|d|{d}")) % 2001 - 1000) / 1000.0
+            comps.append(h)
+        rows.append(F.array(*comps))
+    return F.array(*rows)
+
+
+def lsh_ann(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    query_ids_below: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: sign-bucket vectors, equi-join
+    buckets, exact cosine re-rank within candidates.
+
+    Recall < 1 by construction (bucketing prunes); at scale you raise
+    recall with multiple tables (union of plane sets). Deterministic
+    output for a fixed plane set.
+    """
+    planes_col = _hyperplanes(dim, planes)
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.element_at(planes_col, p.cast("int") + 1),
+                    F.col("v"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(0),
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.filter(F.col("id") < query_ids_below).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    base = eb.filter(F.col("id") >= query_ids_below).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("bv"), F.col("bucket").alias("bb")
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        base.join(broadcast(q), F.col("bb") == F.col("qb"))
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )

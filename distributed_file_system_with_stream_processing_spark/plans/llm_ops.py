@@ -1,0 +1,345 @@
+"""LLM-training-data pipeline queries: dedup, similarity, text analysis.
+
+These go beyond the reference's own surface (SURVEY.md §2) — the ops a
+100 TB training-data pipeline needs. Each Spark plan has a DuckDB
+oracle that mirrors the arithmetic EXPRESSION TREE exactly (same
+association order, explicit DOUBLE casts, portable md5-based hashing),
+so value hashes match bit-for-bit without tolerances.
+
+Portability conventions used by every oracle below:
+- hash32(s)      = conv(substr(md5(s),1,8),16,10)  ↔  ('0x'||substr(md5(s),1,8))::BIGINT
+- words(t)       = filter(split(t,'\\s+'), w->w<>'') ↔ list_filter(string_split_regex(...))
+- n-gram slice   = slice(ws,i,n)                    ↔  ws[i:i+n-1]
+- fractional math: explicit CAST(... AS DOUBLE), never bare decimal
+  literals (DuckDB would route them through DECIMAL arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# Shared DuckDB fragments -------------------------------------------------
+
+_WS = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
+
+
+def _duck_shingles(n: int) -> str:
+    return f"""
+    SELECT doc_id, list_distinct(
+        CASE WHEN len(ws) >= {n}
+             THEN list_transform(range(1, len(ws) - {n} + 2),
+                                 i -> array_to_string(ws[i:i+{n - 1}], ' '))
+             ELSE [] END) AS sh
+    FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    """
+
+
+# Text analysis -----------------------------------------------------------
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_estimate(F.col("text")).alias("n_tokens_bpe_est"),
+    )
+
+
+TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len({_WS}) AS BIGINT) AS n_tokens,
+       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.col("text"),
+        ws.alias("ws"),
+    )
+    stop = T.stopword_ratio(F.col("ws"))
+    punct = T.punct_ratio(F.col("text"))
+    n_tok = F.size("ws").cast("long")
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(T.avg_token_len(F.col("ws")), 4).alias("avg_token_len"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(T.quality_score(n_tok, stop, punct), 4).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH w AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+r AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CASE WHEN len(ws) > 0
+                THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+                ELSE CAST(0.0 AS DOUBLE) END AS atl,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE) / len(ws)
+                ELSE CAST(0.0 AS DOUBLE) END AS stop_r,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE CAST(0.0 AS DOUBLE) END AS punct_r
+    FROM w
+)
+SELECT doc_id, n_tokens,
+       round(atl, 4)    AS avg_token_len,
+       round(stop_r, 4) AS stopword_ratio,
+       round(punct_r, 4) AS punct_ratio,
+       round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+             CAST(0.25 AS DOUBLE) + CAST(0.002 AS DOUBLE) * n_tokens
+             + CAST(1.2 AS DOUBLE) * stop_r - CAST(3.0 AS DOUBLE) * punct_r)), 4) AS quality
+FROM r
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    return d.select("doc_id", "lang", T.lang_predict(ws).alias("lang_pred"))
+
+
+LANG_ID_SQL = rf"""
+WITH w AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+s AS (
+    SELECT doc_id, lang,
+           len(list_filter(ws, x -> list_contains(['the','a','is','and','of'], lower(x))))      AS en,
+           len(list_filter(ws, x -> list_contains(['el','la','los','las','una'], lower(x))))    AS es,
+           len(list_filter(ws, x -> list_contains(['der','die','das','und','nicht'], lower(x)))) AS de,
+           len(list_filter(ws, x -> list_contains(['le','les','des','une','est'], lower(x))))   AS fr
+    FROM w
+)
+SELECT doc_id, lang,
+       CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+            WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+            WHEN de > 0 AND de >= fr THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = T.norm_text(F.col("text"))
+    sh4 = T.shingles(F.col("text"), 4)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.coalesce(
+            F.array_min(F.transform(sh4, F.md5)), F.md5(F.lit(""))
+        ).alias("fp_shingle_min"),
+    )
+
+
+DOC_FINGERPRINT_SQL = rf"""
+WITH w AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+           {_WS} AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id, norm,
+           list_distinct(CASE WHEN len(ws) >= 4
+                THEN list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))
+                ELSE [] END) AS g4
+    FROM w
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       coalesce(list_aggregate(list_transform(g4, s -> md5(s)), 'min'), md5('')) AS fp_shingle_min
+FROM g
+"""
+
+
+# Deduplication -----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, top_k=50)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_duck_shingles(3)}),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+shared AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ns
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shf)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(CAST(ns AS DOUBLE) / (na.n + nb.n - ns), 6) AS jaccard
+FROM shared
+JOIN sizes na ON da = na.doc_id
+JOIN sizes nb ON db = nb.doc_id
+ORDER BY CAST(ns AS DOUBLE) / (na.n + nb.n - ns) DESC, da ASC, db ASC
+LIMIT 50
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_duck_shingles(3)}),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 12), k ->
+               list_aggregate(list_transform(sh, s -> md5(s || '|' || CAST(k AS VARCHAR))), 'min')) AS sig
+    FROM shf
+),
+bands AS (SELECT doc_id, sig, unnest(range(0, 6)) AS band FROM sig),
+keys AS (
+    SELECT doc_id, sig, band,
+           md5(array_to_string(sig[band*2+1:band*2+2], '|')) AS key
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+    FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(CAST(list_sum(list_transform(range(1, 13),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+             / CAST(12 AS DOUBLE), 6) AS est_jaccard
+FROM cand
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), n=3, max_hamming=3)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH sh AS ({_duck_shingles(3)}),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs FROM shf),
+sim AS (
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                        CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS simhash
+    FROM hs
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# Similarity search -------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+b AS (SELECT vec_id AS neighbor_id, v AS bv FROM e WHERE vec_id >= 10),
+s AS (
+    SELECT query_id, neighbor_id,
+           {_DOT.format(a='qv', b='bv')} /
+           (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='bv', b='bv')})) AS sim
+    FROM b, q
+),
+r AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DOT.format(a='a.v', b='b.v')} /
+           (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='b.v', b='b.v')})) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN (LSH buckets). No SQL oracle: the deterministic
+    hyperplane derivation isn't portably expressible; the driver records
+    a rows-only check and tests/test_ann.py pins recall vs brute force."""
+    return S.lsh_ann(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+QUERIES = {
+    "token_count": token_count,
+    "text_quality_score": text_quality_score,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_neardup": embedding_neardup,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "token_count": TOKEN_COUNT_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    # ann_lsh_bucketed intentionally has no oracle (rows-only check).
+}

@@ -10,11 +10,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from distributed_file_system_with_stream_processing_spark.plans import analytics, rainstorm_queries
+from distributed_file_system_with_stream_processing_spark.plans import (
+    analytics,
+    llm_ops,
+    rainstorm_queries,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (analytics, rainstorm_queries)
+_MODULES = (analytics, rainstorm_queries, llm_ops)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,62 @@
+"""Planted-neighbor fixtures for the similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+
+
+def _vec(seed: int, dim: int = 16) -> list[float]:
+    # deterministic pseudo-random unit-ish vector
+    vals = [math.sin(seed * 31 + i * 7) for i in range(dim)]
+    return [float(v) for v in vals]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = []
+    # queries 0..2
+    for q in range(3):
+        rows.append((q, _vec(q)))
+    # base 10..29; 10+q is an exact copy of query q (the planted neighbor)
+    for q in range(3):
+        rows.append((10 + q, _vec(q)))
+    for i in range(13, 30):
+        rows.append((i, _vec(i * 100)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_planted_copy(emb):
+    res = S.cosine_topk(emb, query_ids_below=10, k=3)
+    top1 = {r["query_id"]: (r["neighbor_id"], r["sim"]) for r in res.collect() if r["rank"] == 1}
+    for q in range(3):
+        nid, sim = top1[q]
+        assert nid == 10 + q
+        assert sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cosine_topk_rank_and_k(emb):
+    res = S.cosine_topk(emb, query_ids_below=10, k=3).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_neardup_pairs_symmetric_planted(emb):
+    res = S.cosine_neardup_pairs(emb, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    assert {(0, 10), (1, 11), (2, 12)} <= pairs
+
+
+def test_lsh_ann_recalls_identical_vector(emb):
+    # identical vectors always share an LSH bucket → recall of the
+    # planted copy is guaranteed regardless of plane draw
+    res = S.lsh_ann(emb, dim=16, planes=6, query_ids_below=10, k=3)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in res.collect() if r["rank"] == 1}
+    for q in range(3):
+        assert top1[q] == 10 + q

@@ -1,0 +1,72 @@
+"""Planted-duplicate fixtures: the dedup operators must actually find
+the dups (the corpus tables are dup-free, so oracle parity alone
+wouldn't prove detection)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+BASE = (
+    "spark filter join the table scan merge part window small hash scan join "
+    "order batch stream window the a value merge row column data line key query "
+    "vector group sort agg customer big slow fast"
+)
+NEAR = BASE.replace("customer", "supplier")  # one token differs
+OTHER = (
+    "completely different words entirely unrelated content about weather "
+    "mountains rivers forests animals plants oceans deserts islands valleys "
+    "storms clouds rain snow wind sunshine thunder lightning fog mist hail"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1/2
+        (4, OTHER),
+        (5, "short text"),  # below shingle width for n=3? (2 tokens)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical(docs):
+    res = {r["text_hash"]: r for r in D.exact_dedup(docs).collect()}
+    copies = sorted(r["n_copies"] for r in res.values())
+    assert copies == [1, 1, 1, 2]
+    dup_group = [r for r in res.values() if r["n_copies"] == 2][0]
+    assert dup_group["canonical_doc_id"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.7  # one changed word in a long doc
+    assert (1, 4) not in pairs  # disjoint vocab never becomes a candidate
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"] for r in D.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs.get((1, 3), 0.0) > 0.5
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dup_distance(docs):
+    # one changed token out of ~30 flips ~7 of 32 bits; use a radius
+    # that should capture it (banding still guarantees exact recall)
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 99) <= 8
+    assert (1, 4) not in pairs
+
+
+def test_short_docs_dropped_not_crashing(docs):
+    # doc 5 has 2 tokens < shingle width 3 → excluded from shingle ops
+    ids = {r["doc_id_a"] for r in D.ngram_jaccard_pairs(docs).collect()} | {
+        r["doc_id_b"] for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    assert 5 not in ids

@@ -1,0 +1,67 @@
+"""Known-answer tests for the text function library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a  b \t c", T.token_count(F.col("text"))) == 3
+    assert _one(spark, "", T.token_count(F.col("text"))) == 0
+
+
+def test_bpe_estimate(spark):
+    assert _one(spark, "abcdefgh", T.bpe_token_estimate(F.col("text"))) == 2
+
+
+def test_norm_text(spark):
+    assert _one(spark, "  Hello   WORLD  ", T.norm_text(F.col("text"))) == "hello world"
+
+
+def test_word_ngrams(spark):
+    ws = T.words(F.col("text"))
+    grams = _one(spark, "a b c d", T.word_ngrams(ws, 3))
+    assert grams == ["a b c", "b c d"]
+    assert _one(spark, "a b", T.word_ngrams(ws, 3)) == []
+
+
+def test_stopword_and_punct_ratio(spark):
+    ws = T.words(F.col("text"))
+    assert _one(spark, "the cat", T.stopword_ratio(ws)) == 0.5
+    assert _one(spark, "ab,.", T.punct_ratio(F.col("text"))) == 0.5
+
+
+def test_lang_predict_markers(spark):
+    ws = T.words(F.col("text"))
+    assert _one(spark, "the table is big", T.lang_predict(ws)) == "en"
+    assert _one(spark, "el perro la casa los gatos", T.lang_predict(ws)) == "es"
+    assert _one(spark, "der hund und die katze nicht", T.lang_predict(ws)) == "de"
+    assert _one(spark, "le chien les chats une est", T.lang_predict(ws)) == "fr"
+    assert _one(spark, "xyz qqq", T.lang_predict(ws)) == "und"
+
+
+def test_hash32_range_and_determinism(spark):
+    v1 = _one(spark, "abc", T.hash32(F.col("text")))
+    v2 = _one(spark, "abc", T.hash32(F.col("text")))
+    assert v1 == v2
+    assert 0 <= v1 < 2**32
+
+
+def test_minhash_signature_shape(spark):
+    sig = _one(spark, "a b c d e", T.minhash_signature(T.shingles(F.col("text"), 2), 8))
+    assert len(sig) == 8
+    assert all(len(h) == 32 for h in sig)
+
+
+def test_simhash32_identical_texts_equal(spark):
+    a = _one(spark, "a b c d e f g", T.simhash32(T.shingles(F.col("text"), 3)))
+    b = _one(spark, "a b c d e f g", T.simhash32(T.shingles(F.col("text"), 3)))
+    assert a == b
+    assert 0 <= a < 2**32
