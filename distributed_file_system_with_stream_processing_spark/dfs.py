@@ -1,0 +1,160 @@
+"""TableStore — the HyDFS layer re-expressed Spark-first.
+
+Reference semantics (reference localstorage/localstorage.go,
+synchronizer/synchronizer.go, user/user.go):
+
+- ``create``  — upload a file once; error if it exists
+  (localstorage.go:55-77).
+- ``append``  — buffered ``AppendInfo{timestamp, content}`` records,
+  NOT folded into the file until a merge (localstorage.go:79-99).
+- ``get``     — triggers a merge, then reads the consolidated file
+  (user.go:74-140).
+- ``merge``   — collects appends from all replicas, dedups by
+  timestamp, sorts by timestamp, applies identically everywhere
+  (synchronizer.go:75-139).
+- ``ls/store/getfromreplica/list_mem_ids`` — metadata & replica access.
+
+Spark-first translation: a table is a directory of parquet; an append
+is a new parquet batch dir named by a monotonic sequence
+(``<epoch_ns>-<uuid>``) — the exact analogue of AppendInfo's
+timestamp ordering, and like the reference, append is cheap (no
+rewrite) while merge compacts. Replication/ring-placement is NOT
+re-implemented: on a real deployment the underlying store (HDFS/S3)
+owns replica placement and failure recovery, which is the idiomatic
+Spark mapping of the membership+ring layers (SURVEY.md §1).
+
+Reads are lazy DataFrames: base ∪ appends with a stable
+``_append_seq`` so downstream plans can reproduce byte-order
+semantics when they need them (e.g. exporting a line file).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStoreError(Exception):
+    pass
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise TableStoreError(f"bad table name {name!r}")
+        return os.path.join(self.root, name)
+
+    def _base_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "base")
+
+    def _appends_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "appends")
+
+    def _append_batches(self, name: str) -> list[str]:
+        d = self._appends_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(p for p in os.listdir(d) if not p.startswith("_"))
+
+    # -- ops mirroring the reference's user commands ----------------------
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._base_dir(name))
+
+    def create(self, name: str, df: DataFrame) -> None:
+        """Reference `create localfile hydfsfile`: error if present."""
+        if self.exists(name):
+            raise TableStoreError(f"table already exists ({name})")
+        df.write.mode("errorifexists").parquet(self._base_dir(name))
+
+    def append(self, name: str, df: DataFrame) -> str:
+        """Reference `append`: a timestamped batch, deferred until merge.
+        O(batch) write — never rewrites the base (the reference's core
+        design point: appends are cheap, reads pay for the merge)."""
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(os.path.join(self._appends_dir(name), seq))
+        return seq
+
+    def get(self, name: str, with_seq: bool = False) -> DataFrame:
+        """Reference `get`: merged view (base + appends in timestamp
+        order). Lazy — Catalyst prunes/pushes into every batch scan."""
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        df = self.spark.read.parquet(self._base_dir(name)).withColumn(
+            "_append_seq", F.lit("")
+        )
+        for seq in self._append_batches(name):
+            part = self.spark.read.parquet(
+                os.path.join(self._appends_dir(name), seq)
+            ).withColumn("_append_seq", F.lit(seq))
+            df = df.unionByName(part)
+        return df if with_seq else df.drop("_append_seq")
+
+    def get_from_replica(self, name: str, batch: str | None = None) -> DataFrame:
+        """Reference `getfromreplica VM file`: read one physical copy.
+        Here replicas are the FS's concern, so the analogue is reading
+        one specific batch (or the base) without merging."""
+        path = (
+            self._base_dir(name)
+            if batch is None
+            else os.path.join(self._appends_dir(name), batch)
+        )
+        if not os.path.isdir(path):
+            raise TableStoreError(f"no such replica/batch ({name}, {batch})")
+        return self.spark.read.parquet(path)
+
+    def merge(self, name: str) -> int:
+        """Reference `merge`: fold appends into the base in sequence
+        order, identically for every future reader; idempotent.
+        Returns the number of batches folded."""
+        batches = self._append_batches(name)
+        if not batches:
+            return 0
+        merged = self.get(name, with_seq=True).orderBy("_append_seq").drop("_append_seq")
+        tmp = self._base_dir(name) + ".merging"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.write.parquet(tmp)
+        old = self._base_dir(name)
+        shutil.rmtree(old)
+        os.rename(tmp, old)
+        shutil.rmtree(self._appends_dir(name))
+        return len(batches)
+
+    def ls(self, name: str) -> dict:
+        """Reference `ls file`: where a file lives. Here: physical layout."""
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        return {
+            "table": name,
+            "base": self._base_dir(name),
+            "pending_appends": self._append_batches(name),
+        }
+
+    def store(self) -> list[str]:
+        """Reference `store`: list tables this node hosts."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "base"))
+            or os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def drop(self, name: str) -> None:
+        d = self._table_dir(name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)

@@ -1,0 +1,113 @@
+"""RainStorm user-op model, Spark-first.
+
+The reference ships user logic as standalone executables invoked per
+5-line batch (reference rainstorm/rainstorm.go:396-410 execs op1,
+:491-505 execs op2) that print JSON ``{"Type": "Transform"|"Aggregate",
+"Data": ...}`` (rainstorm.go:532-535). That contract has exactly two
+op families, re-expressed here as declarative DataFrame rewrites so
+Catalyst fuses the whole pipeline (filter pushdown through both
+stages, map-side partial aggregation) instead of forking a process
+per batch:
+
+- ``TransformOp``  — rows in → rows out (filter/project/flatMap).
+- ``AggregateOp``  — rows in → running (key, count|agg) state; in
+  streaming this is a stateful groupBy in update mode, the exact
+  analogue of the leader's running ``AggregateCounts`` map
+  (rainstorm.go:551-559).
+
+Arbitrary Python logic (the "custom executable" escape hatch) goes
+through ``python_transform`` — an Arrow-batched ``mapInPandas``, the
+Spark-idiomatic replacement for exec'ing a binary per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TransformOp:
+    """Row-preserving-or-filtering op (reference 'Transform' family)."""
+
+    name: str
+    apply: Callable[[DataFrame], DataFrame]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+@dataclass
+class AggregateOp:
+    """Keyed aggregation op (reference 'Aggregate' family).
+
+    ``keys`` are the category columns; ``aggs`` the aggregate columns
+    (default: count(*) as cnt — the reference's category counter).
+    """
+
+    name: str
+    keys: list[str]
+    aggs: list[Column] = field(default_factory=list)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        aggs = self.aggs or [F.count(F.lit(1)).alias("cnt")]
+        return df.groupBy(*self.keys).agg(*aggs)
+
+
+Op = TransformOp | AggregateOp
+
+
+# -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------
+
+
+def filter_contains(column: str, pattern: str, project: list[str]) -> TransformOp:
+    """op1_t1 shape: keep rows whose ``column`` contains ``pattern``,
+    project selected columns."""
+    return TransformOp(
+        name=f"filter_contains({column},{pattern!r})",
+        apply=lambda df: df.filter(F.col(column).contains(pattern)).select(*project),
+    )
+
+
+def filter_equals(column: str, value) -> TransformOp:
+    """op1_t2 shape: keep rows where ``column == value``."""
+    return TransformOp(
+        name=f"filter_equals({column},{value!r})",
+        apply=lambda df: df.filter(F.col(column) == F.lit(value)),
+    )
+
+
+def identity() -> TransformOp:
+    return TransformOp(name="identity", apply=lambda df: df)
+
+
+def count_by(*key_columns: str) -> AggregateOp:
+    """op2_t2 shape: running count per category."""
+    return AggregateOp(name=f"count_by({','.join(key_columns)})", keys=list(key_columns))
+
+
+def python_transform(
+    name: str,
+    fn: Callable,
+    schema: str,
+) -> TransformOp:
+    """Custom Python row logic as an Arrow-batched mapInPandas op.
+
+    ``fn(pdf: pandas.DataFrame) -> pandas.DataFrame`` runs per Arrow
+    batch (not per row, never per 5-line micro-batch like the
+    reference's exec model).
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        def gen(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return df.mapInPandas(gen, schema=schema)
+
+    return TransformOp(name=name, apply=apply)

@@ -1,0 +1,137 @@
+"""RainStormJob — the reference's 3-stage pipeline on Structured
+Streaming.
+
+Reference architecture → Spark mapping (reference rainstorm/rainstorm.go):
+
+| Reference                                   | Here                        |
+| ---                                         | ---                         |
+| leader partitions source into line ranges   | source partitioning (file   |
+| (rainstorm.go:104-144)                      | splits / micro-batches)     |
+| stage-1 batching, BATCH_SIZE=5 (:307-355)   | micro-batch trigger         |
+| stage-2 exec(op1) per batch (:357-450)      | op1 as DataFrame rewrite    |
+| stage-3 exec(op2) per batch (:452-519)      | op2 rewrite / stateful agg  |
+| leader batch-ID dedup = exactly-once        | checkpoint + idempotent     |
+| (:537-575, UploadedBatchLineNumbers)        | sink (engine-managed)       |
+| running AggregateCounts printed per batch   | update-mode streaming agg   |
+| reroute batch on worker failure (:340-352)  | task retry / state recovery |
+| dest-file append of results (:566)          | TableStore.append sink      |
+
+The same (op1, op2) pair runs identically in batch (``run_batch``) and
+streaming (``start_stream``) — Spark's unified API is what the
+reference approximates with its "bounded file, streamed in batches"
+design.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+    AggregateOp,
+    Op,
+    TransformOp,
+)
+
+
+class RainStormJob:
+    """Compose op1 → op2 over a bounded or unbounded source.
+
+    num_tasks (the reference's partition count) maps to the shuffle
+    partition setting already on the session; at 100 TB you size it to
+    the cluster, not the job code.
+    """
+
+    def __init__(self, op1: Op, op2: Op):
+        self.op1 = op1
+        self.op2 = op2
+
+    # -- batch twin -------------------------------------------------------
+
+    def run_batch(self, source: DataFrame) -> DataFrame:
+        """One-shot execution (the reference's whole job is bounded)."""
+        return self.op2(self.op1(source))
+
+    # -- streaming --------------------------------------------------------
+
+    def start_stream(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        sink_dir: str | None = None,
+        query_name: str = "rainstorm",
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Stream parquet files from ``source_dir`` through op1→op2.
+
+        - Transform op2 → append-mode parquet sink (exactly-once via
+          checkpoint + file-sink manifest — replacing the reference's
+          manual batch-ID dedup).
+        - Aggregate op2 → update-mode in-memory sink named
+          ``query_name`` (the leader's running-counts view; a real
+          deployment would foreachBatch-upsert to a store).
+        """
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        src = reader.parquet(source_dir)
+        out = self.op2(self.op1(src))
+
+        if isinstance(self.op2, AggregateOp):
+            return (
+                out.writeStream.queryName(query_name)
+                .outputMode("complete")
+                .format("memory")
+                .option("checkpointLocation", checkpoint_dir)
+                .start()
+            )
+        if sink_dir is None:
+            raise ValueError("transform pipeline needs a sink_dir")
+        return (
+            out.writeStream.queryName(query_name)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+
+def stream_into_store(
+    spark: SparkSession,
+    job: RainStormJob,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store,
+    dest_table: str,
+) -> StreamingQuery:
+    """Reference end-to-end shape: results appended to a HyDFS dest file
+    (rainstorm.go:566 ``r.Append(result, batch.P.DstFile)``) — here each
+    micro-batch is appended to a TableStore table via foreachBatch.
+
+    foreachBatch gives at-least-once on its own; the TableStore append
+    dir is named by (query, batchId) so replayed batches overwrite the
+    same path instead of duplicating — idempotent, hence exactly-once,
+    the same trick as the reference's UploadedBatchLineNumbers set.
+    """
+    import shutil
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = job.run_batch(batch_df)
+        # idempotent append path per batch id
+        target = os.path.join(store._appends_dir(dest_table), f"{batch_id:020d}-stream")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        out.write.mode("overwrite").parquet(target)
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,151 @@
+"""RainStorm pipeline tests: batch/stream parity, running aggregates,
+restart exactly-once (the reference's kill-2-VMs test re-expressed as
+restart-from-checkpoint), and the TableStore dest-file sink."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.dfs import TableStore
+from distributed_file_system_with_stream_processing_spark.streaming import ops as O
+from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+    RainStormJob,
+    stream_into_store,
+)
+
+SCHEMA = "event_id long, event_type string, value double"
+
+
+def _batch(spark, start, n, etype_cycle=("click", "view", "purchase")):
+    rows = [
+        (start + i, etype_cycle[(start + i) % len(etype_cycle)], float(start + i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _write(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "store": str(tmp_path / "store"),
+    }
+
+
+def test_batch_parity_with_query_surface(spark):
+    """job.run_batch == the registered rs_pipeline_batch plan."""
+    from distributed_file_system_with_stream_processing_spark.plans.rainstorm_queries import (
+        FILTER_PATTERN,
+        rs_pipeline_batch,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    job = RainStormJob(
+        O.filter_contains("props", FILTER_PATTERN, ["event_id", "event_type"]),
+        O.count_by("event_type"),
+    )
+    got = {
+        (r["event_type"],): r["cnt"] for r in job.run_batch(events).collect()
+    }
+    want = {
+        (r["category"],): r["cnt"]
+        for r in rs_pipeline_batch(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+
+
+def test_stream_transform_incremental(spark, dirs):
+    _write(_batch(spark, 0, 30), dirs["src"])
+    _write(_batch(spark, 30, 30), dirs["src"])
+    job = RainStormJob(O.filter_equals("event_type", "click"), O.identity())
+    q = job.start_stream(
+        spark, dirs["src"], SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="t1"
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(dirs["sink"]).count()
+        expect = _batch(spark, 0, 60).filter(F.col("event_type") == "click").count()
+        assert first == expect
+        _write(_batch(spark, 60, 30), dirs["src"])
+        q.processAllAvailable()
+        second = spark.read.parquet(dirs["sink"]).count()
+        expect2 = _batch(spark, 0, 90).filter(F.col("event_type") == "click").count()
+        assert second == expect2
+    finally:
+        q.stop()
+
+
+def test_stream_running_aggregate(spark, dirs):
+    _write(_batch(spark, 0, 45), dirs["src"])
+    job = RainStormJob(O.identity(), O.count_by("event_type"))
+    q = job.start_stream(spark, dirs["src"], SCHEMA, dirs["ckpt"], query_name="agg1")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_type"]: r["cnt"] for r in spark.sql("select * from agg1").collect()
+        }
+        want = {
+            r["event_type"]: r["cnt"]
+            for r in _batch(spark, 0, 45).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_restart_from_checkpoint_exactly_once(spark, dirs):
+    """Stop mid-stream, add data, restart with the same checkpoint: no
+    duplicates, no loss — the engine-managed version of the reference's
+    batch-ID dedup under failure (user/tests.go:152-191 kills 2 VMs)."""
+    job = RainStormJob(O.filter_equals("event_type", "click"), O.identity())
+    _write(_batch(spark, 0, 30), dirs["src"])
+    q = job.start_stream(
+        spark, dirs["src"], SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="r1"
+    )
+    q.processAllAvailable()
+    q.stop()
+    _write(_batch(spark, 30, 30), dirs["src"])
+    q2 = job.start_stream(
+        spark, dirs["src"], SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="r2"
+    )
+    try:
+        q2.processAllAvailable()
+        total = spark.read.parquet(dirs["sink"]).count()
+        expect = _batch(spark, 0, 60).filter(F.col("event_type") == "click").count()
+        assert total == expect  # exactly-once: nothing duplicated or lost
+        ids = [r["event_id"] for r in spark.read.parquet(dirs["sink"]).collect()]
+        assert len(ids) == len(set(ids))
+    finally:
+        q2.stop()
+
+
+def test_stream_into_table_store(spark, dirs):
+    """End-to-end reference shape: streamed results appended to the
+    dest 'HyDFS file' (TableStore), per-batch aggregate records."""
+    store = TableStore(spark, dirs["store"])
+    store.create("dest", spark.createDataFrame([], "event_type string, cnt long"))
+    job = RainStormJob(O.filter_equals("event_type", "click"), O.count_by("event_type"))
+    _write(_batch(spark, 0, 30), dirs["src"])
+    q = stream_into_store(
+        spark, job, dirs["src"], SCHEMA, dirs["ckpt"], store, "dest"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = store.get("dest")
+    total = merged.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    expect = _batch(spark, 0, 30).filter(F.col("event_type") == "click").count()
+    assert total == expect
