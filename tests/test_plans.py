@@ -1,0 +1,127 @@
+"""Physical-plan assertions — the 100 TB safety net.
+
+Correctness tests say a query's answer is right at sf0.001; these say
+the PLAN is right: filters reach the parquet scan, scans read only the
+projected columns, dimension joins broadcast instead of shuffling the
+fact side, nothing degenerates to a cartesian product, and the hot
+path stays inside whole-stage codegen. A regression here is invisible
+at test scale and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# -- pushdown & pruning ----------------------------------------------------
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = formatted_plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    # the selective predicates must reach the parquet reader, not sit
+    # in a post-scan Filter only
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln or "l_discount" in ln for ln in pushed), pushed
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = formatted_plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # q6 needs 4 lineitem columns; a scan mentioning l_comment means
+    # pruning broke
+    assert all("l_comment" not in ln for ln in read), read
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = formatted_plan(QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("l_comment" not in ln for ln in read), read
+
+
+def test_rs_filter_project_pushdown(spark):
+    plan = formatted_plan(QUERIES["rs_filter_project"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+
+
+# -- join strategy ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "top_customers_by_revenue"],
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = executed_plan(QUERIES[name](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # no dim join may fall back to a sort-merge shuffle of the fact side
+    # except the fact-fact orders⋈lineitem join
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_no_cartesian_or_loop_join_anywhere(spark):
+    # Brute-force ANN is by definition queries × base; its correct
+    # 100 TB plan IS a nested-loop with the tiny query side broadcast
+    # (the base side never shuffles). Everything else must never
+    # loop-join, and nothing may ever cartesian (no broadcast at all).
+    allowed_loop = {"ann_cosine_topk", "embedding_neardup"}
+    for name, fn in QUERIES.items():
+        plan = executed_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_loop:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        elif "BroadcastNestedLoopJoin" in plan:
+            assert "BroadcastNestedLoopJoin BuildRight" in plan, name
+
+
+# -- codegen & aggregation shape --------------------------------------------
+
+
+def test_q1_wholestage_codegen_and_partial_agg(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE reveals codegen spans only in the final plan
+    plan = executed_plan(df)
+    # codegen stages print as `*(n) HashAggregate...` in the tree string
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    # partial (map-side) aggregation before the exchange: two
+    # HashAggregate levels around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_dedup_exact_partial_agg(spark):
+    plan = executed_plan(QUERIES["dedup_exact"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_no_python_row_udfs_in_headline_plans(spark):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned in the hot
+    path; Arrow (ArrowEvalPython / mapInPandas) is the only Python
+    allowed."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "rs_pipeline_batch",
+        "rs_wordcount",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+    ]:
+        plan = executed_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
