@@ -89,6 +89,18 @@ class TableStore:
         df.write.mode("errorifexists").parquet(os.path.join(self._appends_dir(name), seq))
         return seq
 
+    def multiappend(self, name: str, dfs: list[DataFrame]) -> list[str]:
+        """Reference `multiappend file VM1,VM2,... local1,local2,...`
+        (user/user.go): launch appends from several clients at once.
+        Here: concurrent append batches; each gets its own sequence
+        stamp, so merge order is deterministic regardless of which
+        thread wins the race — the reference's timestamp-dedup
+        guarantee."""
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=len(dfs) or 1) as ex:
+            return list(ex.map(lambda df: self.append(name, df), dfs))
+
     def get(self, name: str, with_seq: bool = False) -> DataFrame:
         """Reference `get`: merged view (base + appends in timestamp
         order). Lazy — Catalyst prunes/pushes into every batch scan."""

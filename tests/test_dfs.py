@@ -75,16 +75,8 @@ def test_multiappend_converges(store, spark):
     """Reference test5: concurrent appends from several clients all land
     and merge deterministically by sequence."""
     store.create("t", _df(spark, [(0, "base")]))
-    import threading
-
-    def do_append(i):
-        store.append("t", _df(spark, [(i, f"c{i}")]))
-
-    threads = [threading.Thread(target=do_append, args=(i,)) for i in range(1, 5)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    seqs = store.multiappend("t", [_df(spark, [(i, f"c{i}")]) for i in range(1, 5)])
+    assert len(seqs) == len(set(seqs)) == 4
     store.merge("t")
     got = sorted(r["id"] for r in store.get("t").collect())
     assert got == [0, 1, 2, 3, 4]
