@@ -1,0 +1,258 @@
+"""Join-shape extension queries: semi, anti, outer, max-of-agg,
+group-having semi, conditional-share, and ranked-window — the operator
+families a complete batch engine needs beyond plain inner-join+agg
+(plans/analytics.py).
+
+Scale notes (100 TB): semi/anti joins ship only the join key of the
+probe side; the build sides here (filtered orders/lineitem keys) stay
+shuffle-partitioned, dims broadcast. The max-of-agg and rank queries
+keep the window/self-join on the post-aggregation (small) relation,
+never on the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in 1997 that had at
+    least one returned line, counted by priority. LeftSemi: lineitem
+    contributes existence only, never widens the row."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    then the distribution of customers per order count (double agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with NO order since 2000-01-01, counted by
+    market segment. LeftAnti — the probe side never materializes
+    matches, only absence."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+INACTIVE_SQL = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate — supplier(s) whose 1997
+    revenue equals the global max. The max is computed on the tiny
+    post-agg relation and broadcast back; the fact table is scanned
+    once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(broadcast(top), rev.total_revenue == top.m)
+        .join(broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING semi-join — orders whose total
+    line quantity exceeds 300, joined back to customer. The HAVING
+    relation is small (post-agg) and broadcast into the semi-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')  AS order_date,
+       round(o_totalprice, 2)             AS total_price,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate share — PROMO parts'
+    fraction of 1997 revenue. part is broadcast; one pass over the
+    fact side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+PROMO_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+def nation_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked window per group: top-3 suppliers by account balance in
+    each nation (deterministic tie-break on key). The window runs on
+    the small supplier relation; nation broadcasts."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+NATION_TOP_SUPPLIERS_SQL = """
+SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal, rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                 ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+    FROM supplier
+)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rnk <= 3
+"""
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "inactive_customers": inactive_customers,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "promo_revenue_share": promo_revenue_share,
+    "nation_top_suppliers": nation_top_suppliers,
+}
+
+ORACLES = {
+    "q4_order_priority": Q4_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "inactive_customers": INACTIVE_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q18_large_orders": Q18_SQL,
+    "promo_revenue_share": PROMO_SQL,
+    "nation_top_suppliers": NATION_TOP_SUPPLIERS_SQL,
+}
