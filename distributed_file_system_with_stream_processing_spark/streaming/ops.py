@@ -57,7 +57,76 @@ class AggregateOp:
         return df.groupBy(*self.keys).agg(*aggs)
 
 
-Op = TransformOp | AggregateOp
+@dataclass
+class StatefulCountOp:
+    """The reference leader's running ``AggregateCounts`` map with its
+    per-batch update prints (reference rainstorm/rainstorm.go:551-575:
+    every deduped batch bumps totals and prints each changed category)
+    — as an ``applyInPandasWithState`` operator: per-key state holds
+    the running total; every trigger emits ``(key, total, delta)``,
+    i.e. exactly the update log the reference prints.
+
+    Batch twin (``__call__`` on a bounded df) returns the final state
+    only — which is what the update log converges to.
+    """
+
+    name: str
+    keys: list[str]
+    key_type: str = "string"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        return df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("total"))
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        keys = list(self.keys)
+        out_schema = (
+            ", ".join(f"{k} {self.key_type}" for k in keys) + ", total long, delta long"
+        )
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            delta = sum(len(p) for p in pdfs)
+            total = (state.get[0] if state.exists else 0) + delta
+            state.update((total,))
+            yield pd.DataFrame([tuple(key) + (total, delta)], columns=keys + ["total", "delta"])
+
+        return df.groupBy(*keys).applyInPandasWithState(
+            update, out_schema, "total long", "update", GroupStateTimeout.NoTimeout
+        )
+
+
+@dataclass
+class WindowedCountOp:
+    """Event-time tumbling-window counts with a watermark bounding
+    state (and dropping late data past the watermark). The reference
+    has no event-time story — its 'time' is arrival order of batches —
+    so this is the Spark-native upgrade of the Aggregate family.
+    """
+
+    name: str
+    ts_col: str
+    window: str = "1 hour"
+    watermark: str = "1 hour"
+    keys: list[str] = field(default_factory=list)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = df.withWatermark(self.ts_col, self.watermark) if df.isStreaming else df
+        return (
+            src.groupBy(F.window(self.ts_col, self.window), *self.keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                *self.keys,
+                F.col("cnt"),
+            )
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -32,7 +32,9 @@ from pyspark.sql.streaming import StreamingQuery
 from distributed_file_system_with_stream_processing_spark.streaming.ops import (
     AggregateOp,
     Op,
+    StatefulCountOp,
     TransformOp,
+    WindowedCountOp,
 )
 
 
@@ -81,6 +83,29 @@ class RainStormJob:
         src = reader.parquet(source_dir)
         out = self.op2(self.op1(src))
 
+        if isinstance(self.op2, StatefulCountOp):
+            # update log to a memory table: every emitted (key, total,
+            # delta) row is one reference-style "printed update"
+            return (
+                out.writeStream.queryName(query_name)
+                .outputMode("update")
+                .format("memory")
+                .option("checkpointLocation", checkpoint_dir)
+                .start()
+            )
+        if isinstance(self.op2, WindowedCountOp):
+            if sink_dir is None:
+                raise ValueError("windowed pipeline needs a sink_dir")
+            # append mode: a window row is emitted once, when the
+            # watermark closes it — late data past the watermark drops
+            return (
+                out.writeStream.queryName(query_name)
+                .outputMode("append")
+                .format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .start()
+            )
         if isinstance(self.op2, AggregateOp):
             return (
                 out.writeStream.queryName(query_name)

@@ -1,0 +1,111 @@
+"""Custom stateful streaming (applyInPandasWithState) + watermark
+late-data semantics — the Spark-native upgrades of the reference
+leader's running-counts update log (reference rainstorm/rainstorm.go:
+551-575)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.streaming import ops as O
+from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import RainStormJob
+
+SCHEMA = "event_id long, event_type string, value double"
+TS_SCHEMA = "event_id long, event_type string, ts timestamp"
+
+
+def _batch(spark, start, n):
+    cyc = ("click", "view", "purchase")
+    rows = [(start + i, cyc[(start + i) % 3], float(start + i)) for i in range(n)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _write(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_stateful_count_emits_update_log(spark, dirs):
+    """Two triggers → two generations of (key, total, delta) rows; the
+    totals are cumulative across triggers (state survives), matching
+    the reference's per-batch printed updates."""
+    job = RainStormJob(O.identity(), O.StatefulCountOp("running", ["event_type"]))
+    _write(_batch(spark, 0, 30), dirs["src"])
+    q = job.start_stream(spark, dirs["src"], SCHEMA, dirs["ckpt"], query_name="updlog")
+    try:
+        q.processAllAvailable()
+        first = {
+            r["event_type"]: (r["total"], r["delta"])
+            for r in spark.sql("select * from updlog").collect()
+        }
+        assert first == {"click": (10, 10), "view": (10, 10), "purchase": (10, 10)}
+        _write(_batch(spark, 30, 15), dirs["src"])
+        q.processAllAvailable()
+        rows = spark.sql("select * from updlog").collect()
+        # memory table accumulates each trigger's emissions: the log
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r["event_type"], []).append((r["total"], r["delta"]))
+        for k, log in per_key.items():
+            log.sort()
+            assert log == [(10, 10), (15, 5)], (k, log)
+            assert sum(d for _, d in log) == log[-1][0]  # deltas sum to total
+    finally:
+        q.stop()
+
+
+def test_stateful_batch_twin_matches_final_state(spark):
+    op = O.StatefulCountOp("running", ["event_type"])
+    df = _batch(spark, 0, 45)
+    got = {r["event_type"]: r["total"] for r in op(df).collect()}
+    assert got == {"click": 15, "view": 15, "purchase": 15}
+
+
+def test_windowed_watermark_drops_late_data(spark, dirs):
+    """Append-mode windowed count: a window row is emitted exactly once
+    when the watermark passes its end; data later than the watermark is
+    dropped, not re-aggregated."""
+
+    def ts_batch(rows):
+        return spark.createDataFrame(
+            [(i, "e", f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(rows)],
+            "event_id long, event_type string, ts string",
+        ).select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    job = RainStormJob(
+        O.identity(),
+        O.WindowedCountOp("win", ts_col="ts", window="1 hour", watermark="1 hour"),
+    )
+    # trigger 1: three events in [10:00, 11:00) plus one at 14:00 that
+    # drives the watermark to 13:00 — far past the 10:00 window
+    _write(ts_batch([(10, 5), (10, 20), (10, 40), (14, 0)]), dirs["src"])
+    q = job.start_stream(
+        spark, dirs["src"], TS_SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="win"
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: one LATE event for the closed 10:00 window (must be
+        # dropped) and a fresh event at 15:00 to advance the watermark
+        _write(ts_batch([(10, 50), (15, 0)]), dirs["src"])
+        q.processAllAvailable()
+        # trigger 3: empty-ish nudge so the 14:00 window can close too
+        _write(ts_batch([(16, 0)]), dirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        str(r["window_start"]): r["cnt"]
+        for r in spark.read.parquet(dirs["sink"]).collect()
+    }
+    # the 10:00 window emitted ONCE with the on-time count of 3; the
+    # late 10:50 event vanished (never a 4, never a second row)
+    assert got["2024-01-01 10:00:00"] == 3, got
