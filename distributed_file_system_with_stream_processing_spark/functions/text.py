@@ -179,3 +179,31 @@ def lang_predict(ws: Column) -> Column:
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
+
+
+# -- PII redaction / URL extraction (training-data scrubbing) --------------
+
+# Patterns kept to the RE2-compatible subset so the Spark (Java regex)
+# and DuckDB (RE2) twins behave identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, then URLs, then phone-shaped numbers with typed
+    placeholder tags — the standard scrub stage before training-data
+    tokenization. Pure JVM regexp_replace chain (codegen'd; no UDF)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def url_count(col: Column) -> Column:
+    """Number of URLs in the text (BIGINT)."""
+    return F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0)).cast("long")
+
+
+def first_url(col: Column) -> Column:
+    """First URL in the text; empty string when none."""
+    return F.regexp_extract(col, URL_RE, 0)

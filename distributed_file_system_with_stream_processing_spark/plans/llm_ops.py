@@ -309,6 +309,46 @@ FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
 """
 
 
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: emails → <EMAIL>, URLs → <URL>, phone-shaped
+    numbers → <PHONE>. The corpus has no PII, so the query plants a
+    deterministic contact line per doc (same expression in the oracle)
+    and scrubs it — exercising the real regex chain on real matches.
+    Pure codegen'd regexp_replace; at 100 TB this is a narrow map."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.lit("reach "), F.col("source"), key, F.lit("@mail.example.com or https://"),
+        F.col("source"), F.lit(".example.com/d/"), key,
+        F.lit(" call 415-555-0137 re: "), F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        T.redact_pii(synth).alias("redacted"),
+        T.url_count(synth).alias("n_urls"),
+        T.first_url(synth).alias("first_url"),
+    )
+
+
+TEXT_REDACT_SQL = r"""
+WITH synth AS (
+    SELECT doc_id,
+           concat('reach ', source, CAST(doc_id AS VARCHAR),
+                  '@mail.example.com or https://', source, '.example.com/d/',
+                  CAST(doc_id AS VARCHAR), ' call 415-555-0137 re: ', text) AS s
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(s,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g')             AS redacted,
+       CAST(len(regexp_extract_all(s, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       coalesce(regexp_extract(s, 'https?://[^\s]+'), '')           AS first_url
+FROM synth
+"""
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN (LSH buckets). No SQL oracle: the deterministic
     hyperplane derivation isn't portably expressible; the driver records
@@ -325,6 +365,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "text_redact_pii": text_redact_pii,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -339,6 +380,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "text_redact_pii": TEXT_REDACT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_bucketed intentionally has no oracle (rows-only check).

@@ -65,3 +65,25 @@ def test_simhash32_identical_texts_equal(spark):
     b = _one(spark, "a b c d e f g", T.simhash32(T.shingles(F.col("text"), 3)))
     assert a == b
     assert 0 <= a < 2**32
+
+
+def test_redact_pii_planted(spark):
+    s = (
+        "write bob.smith+x@corp.example.co.uk or visit "
+        "https://a.example.com/path?q=1 or call 415-555-0137 today"
+    )
+    got = _one(spark, s, T.redact_pii(F.col("text")))
+    assert got == "write <EMAIL> or visit <URL> or call <PHONE> today"
+
+
+def test_redact_pii_no_match_identity(spark):
+    s = "plain text with no contact info at all"
+    assert _one(spark, s, T.redact_pii(F.col("text"))) == s
+
+
+def test_url_count_and_first(spark):
+    s = "see https://one.example.com and http://two.example.com/x end"
+    assert _one(spark, s, T.url_count(F.col("text"))) == 2
+    assert _one(spark, s, T.first_url(F.col("text"))) == "https://one.example.com"
+    assert _one(spark, "no links", T.url_count(F.col("text"))) == 0
+    assert _one(spark, "no links", T.first_url(F.col("text"))) == ""
