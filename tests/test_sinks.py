@@ -1,0 +1,80 @@
+"""Layout sinks: partition pruning and shuffle-free bucketed joins —
+plan-level proof that the write-side layout pays off read-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(events, path, ["event_type"])
+
+    back = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruning filter must be IN the partition filters, and the scan
+    # must touch only the one matching directory
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in pf
+    assert back.count() == events.filter("event_type = 'click'").count()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"), "o_orderkey", 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        str(tmp_path / "b_lineitem"),
+        "o_orderkey",
+        8,
+    )
+    # at sf0.001 the planner rightly broadcasts instead of using the
+    # buckets; force the 100 TB regime (no side fits in memory) to
+    # prove the co-located path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, "o_orderkey").select("o_orderkey", "l_extendedprice")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: identical bucketing on the join key → no shuffle
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_agg_no_shuffle(spark, tmp_path):
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(lineitem, "b_li_agg", str(tmp_path / "b_li_agg"), "l_orderkey", 8)
+    try:
+        agg = (
+            spark.table("b_li_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
