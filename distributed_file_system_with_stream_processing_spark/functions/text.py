@@ -66,17 +66,40 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# MinHash universal-hash family: ONE md5 per shingle (hash32), then k
+# cheap affine transforms (a_k·h + b_k) mod p. Constants are derived in
+# Python and embedded as literals, so the DuckDB twin is identical
+# arithmetic. p is the first prime above 2^32; a < 2^20 keeps
+# a·h + b < 2^53 — no BIGINT overflow in either engine.
+MINHASH_PRIME = 4294967311
+
+
+def mh_params(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function k; a forced odd."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a|{k}".encode()).hexdigest()[:5], 16) | 1
+    b = int(hashlib.md5(f"mh-b|{k}".encode()).hexdigest()[:8], 16)
+    return a, b
+
+
 def minhash_signature(sh: Column, k: int) -> Column:
-    """MinHash signature: k lexicographic-min md5 digests over salted
-    shingles. String-min is portable (ASCII hex both engines).
-    DuckDB twin per element: ``list_aggregate(list_transform(sh, s ->
-    md5(s || '|' || k)), 'min')``."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("|"), i.cast("string"))))
-        ),
-    )
+    """MinHash signature as array<bigint>: element i = min over
+    shingles of (a_i·hash32(s) + b_i) mod p. DuckDB twin per element:
+    ``list_aggregate(list_transform(hs, h -> (a*h + b) % p), 'min')``
+    over ``hs = list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::BIGINT)``."""
+    hs = F.transform(sh, hash32)
+
+    def affine(a: int, b: int):
+        # factory keeps the Column lambda single-arg (PySpark inspects
+        # the signature to bind higher-order-function variables)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    mins = []
+    for i in range(k):
+        a, b = mh_params(i)
+        mins.append(F.array_min(F.transform(hs, affine(a, b))))
+    return F.array(*mins)
 
 
 def simhash32(sh: Column) -> Column:

@@ -41,10 +41,33 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition raw rows to the session's parallelism BEFORE a
+    compute-dense stage. A small-on-disk parquet (one file) scans as
+    one partition, which would pin the whole shingle/hash pipeline to a
+    single core; shuffling the raw text first costs almost nothing and
+    unlocks every core. At 100 TB the scan is already wide and AQE can
+    coalesce this back — it never hurts, and it rescues the
+    small-input/heavy-compute corner."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # two-step select: materialize the token array once per row, THEN
+    # build n-grams from the column ref. Higher-order functions are
+    # interpreted (not codegen'd), so inlining words() into the n-gram
+    # lambda would re-tokenize the text once per n-gram index.
+    #
+    # Deliberately NO size(sh) > 0 filter here: Catalyst would push it
+    # below the repartition into the scan stage, re-inlining (and
+    # re-evaluating, single-partition) the whole shingle expression as
+    # a scan predicate. Empty shingle arrays are harmless — explode()
+    # emits nothing and size-0 docs can never share a shingle/band.
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), T.words(F.col(text_col)).alias("ws"))
+        .select("doc_id", F.array_distinct(T.word_ngrams(F.col("ws"), n)).alias("sh"))
+    )
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -110,13 +133,18 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # Signature as num_hashes min-aggregates over exploded shingles:
     # one pass over the data, map-side partial mins, single shuffle on
-    # doc_id — instead of per-row k× array scans. Same values as
+    # doc_id — instead of per-row k× array scans. ONE md5 per shingle
+    # (hash32), then k affine universal hashes — at 100 TB the md5 is
+    # the dominant cost and this does 1/k of it. Same values as
     # functions.text.minhash_signature (min is set-order invariant).
-    ex = _exploded_shingles(df, id_col, text_col, n)
+    ex = _exploded_shingles(df, id_col, text_col, n).select(
+        "doc_id", T.hash32(F.col("s")).alias("h")
+    )
+    params = [T.mh_params(k) for k in range(num_hashes)]
     mins = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.col("s"), F.lit("|"), F.lit(str(k))))).alias(f"m{k}")
-            for k in range(num_hashes)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"m{k}")
+            for k, (a, b) in enumerate(params)
         ]
     )
     sig = mins.select(
@@ -126,7 +154,15 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda bnd: F.struct(
             bnd.alias("band"),
-            F.md5(F.array_join(F.slice(F.col("sig"), bnd * r + 1, r), "|")).alias("key"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), bnd * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("key"),
         ),
     )
     ex = sig.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(

@@ -213,19 +213,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_PARAMS_SQL = "[" + ", ".join(
+    f"[{a}::BIGINT, {b}::BIGINT]" for a, b in (T.mh_params(k) for k in range(12))
+) + "]"
+
 DEDUP_MINHASH_SQL = f"""
 WITH sh AS ({_duck_shingles(3)}),
 shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hs AS (
+    SELECT doc_id,
+           list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+    FROM shf
+),
 sig AS (
     SELECT doc_id,
-           list_transform(range(0, 12), k ->
-               list_aggregate(list_transform(sh, s -> md5(s || '|' || CAST(k AS VARCHAR))), 'min')) AS sig
-    FROM shf
+           list_transform({_MH_PARAMS_SQL}, p ->
+               list_aggregate(list_transform(hs, h -> (p[1] * h + p[2]) % {T.MINHASH_PRIME}), 'min')) AS sig
+    FROM hs
 ),
 bands AS (SELECT doc_id, sig, unnest(range(0, 6)) AS band FROM sig),
 keys AS (
     SELECT doc_id, sig, band,
-           md5(array_to_string(sig[band*2+1:band*2+2], '|')) AS key
+           md5(array_to_string(list_transform(sig[band*2+1:band*2+2],
+                                              x -> CAST(x AS VARCHAR)), '|')) AS key
     FROM bands
 ),
 cand AS (

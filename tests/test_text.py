@@ -57,7 +57,12 @@ def test_hash32_range_and_determinism(spark):
 def test_minhash_signature_shape(spark):
     sig = _one(spark, "a b c d e", T.minhash_signature(T.shingles(F.col("text"), 2), 8))
     assert len(sig) == 8
-    assert all(len(h) == 32 for h in sig)
+    assert all(0 <= h < T.MINHASH_PRIME for h in sig)
+    # deterministic and sensitive to content
+    sig2 = _one(spark, "a b c d e", T.minhash_signature(T.shingles(F.col("text"), 2), 8))
+    assert sig == sig2
+    other = _one(spark, "x y z w v", T.minhash_signature(T.shingles(F.col("text"), 2), 8))
+    assert other != sig
 
 
 def test_simhash32_identical_texts_equal(spark):
