@@ -237,6 +237,152 @@ WHERE rnk <= 3
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (the time-series operator Spark lacks as a
+    builtin). Implemented as the union+last-ignorenulls window trick:
+    tag both streams, sort by (ts, tag) within user, carry the last
+    click forward — ONE shuffle on user_id, no range-join explosion.
+    At 100 TB this beats the naive inequality join (which builds every
+    (purchase × earlier-click) pair before aggregating them away).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_event_id"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    click_id = F.when(F.col("tag") == 0, F.col("click_event_id"))
+    return (
+        tagged.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            # purchases before any click have no match; sentinel instead
+            # of NULL so the driver's order-insensitive sort is total
+            F.coalesce(
+                F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("(none)")
+            ).alias("click_ts"),
+            F.coalesce("last_click_id", F.lit(-1)).alias("click_event_id"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '(none)') AS click_ts,
+       coalesce(c.click_event_id, -1) AS click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a typed field from the JSON
+    ``props`` column and aggregate it — scan-side JSON parse, JVM
+    expression, no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_big"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       sum(k)  AS sum_k,
+       max(k)  AS max_k,
+       CAST(count(*) FILTER (WHERE k > 50) AS BIGINT) AS n_big
+FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (the expensive two-shuffle shape:
+    partial distinct on (type, user), then count per type)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*)                AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (returnflag, linestatus), per
+    returnflag subtotal, and grand total in one pass (partial-agg
+    friendly; one shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       count(*)                        AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -245,6 +391,10 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "promo_revenue_share": promo_revenue_share,
     "nation_top_suppliers": nation_top_suppliers,
+    "events_asof_join": events_asof_join,
+    "events_json_extract": events_json_extract,
+    "events_distinct_users": events_distinct_users,
+    "lineitem_rollup": lineitem_rollup,
 }
 
 ORACLES = {
@@ -255,4 +405,8 @@ ORACLES = {
     "q18_large_orders": Q18_SQL,
     "promo_revenue_share": PROMO_SQL,
     "nation_top_suppliers": NATION_TOP_SUPPLIERS_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_distinct_users": EVENTS_DISTINCT_SQL,
+    "lineitem_rollup": LINEITEM_ROLLUP_SQL,
 }
