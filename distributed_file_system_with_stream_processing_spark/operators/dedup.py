@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -39,17 +40,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition raw rows to the session's parallelism BEFORE a
-    compute-dense stage. A small-on-disk parquet (one file) scans as
-    one partition, which would pin the whole shingle/hash pipeline to a
-    single core; shuffling the raw text first costs almost nothing and
-    unlocks every core. At 100 TB the scan is already wide and AQE can
-    coalesce this back — it never hurts, and it rescues the
-    small-input/heavy-compute corner."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
 from distributed_file_system_with_stream_processing_spark.functions import vector as V
 from distributed_file_system_with_stream_processing_spark.functions.text import hash32
 
@@ -67,11 +68,19 @@ def cosine_neardup_pairs(
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     if id_cap is not None:
         e = e.filter(F.col("id") < id_cap)
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = V.cosine(F.col("va"), F.col("vb"))
+    # hoist sqrt(|v|²) out of the O(n²) pair loop: computed once per
+    # vector, carried through the join — per pair only the dot remains
+    # (same expression values as cosine(): dot / (sqrt·sqrt))
+    e = e.withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    a = _spread(e).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("_sim"))
         .filter(F.col("_sim") >= threshold)
