@@ -32,12 +32,23 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "q4_order_priority",
+        "q13_customer_distribution",
+        "q18_large_orders",
         "top_customers_by_revenue",
         "events_windowed_agg",
         "events_sessionize",
+        "events_asof_join",
+        "events_distinct_users",
         "rs_pipeline_batch",
         "rs_wordcount",
         "rs_running_agg",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "token_count",
+        "text_redact_pii",
+        "ann_cosine_topk",
+        "embedding_neardup",
     ]
     headline = [q for q in headline if q in QUERIES]
 
