@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.operators import similarity as S
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
 
@@ -135,12 +136,19 @@ FROM s
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    norm = T.norm_text(F.col("text"))
-    sh4 = T.shingles(F.col("text"), 4)
-    return d.select(
+    # spread + staged ws column: see operators/dedup._with_shingles —
+    # keeps the md5-per-shingle work off the single scan partition and
+    # tokenizes each text once instead of once per n-gram
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select(
         "doc_id",
-        F.md5(norm).alias("fp_md5"),
+        T.norm_text(F.col("text")).alias("norm"),
+        T.words(F.col("text")).alias("ws"),
+    )
+    sh4 = F.array_distinct(T.word_ngrams(F.col("ws"), 4))
+    return staged.select(
+        "doc_id",
+        F.md5("norm").alias("fp_md5"),
         F.coalesce(
             F.array_min(F.transform(sh4, F.md5)), F.md5(F.lit(""))
         ).alias("fp_shingle_min"),
@@ -168,6 +176,31 @@ FROM g
 
 
 # Deduplication -----------------------------------------------------------
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup: keep one canonical row per (source, lang) — the
+    'one doc per key' pattern (canonical page per URL, newest snapshot
+    per path). row_number over a deterministic order, rank-1 survivor;
+    one shuffle on the dedup key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "lang", F.col("doc_id").alias("kept_doc_id"), "n_chars")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT source, lang, doc_id AS kept_doc_id, n_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY source, lang
+                                   ORDER BY doc_id ASC) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +405,7 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
+    "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -387,6 +421,7 @@ ORACLES = {
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
