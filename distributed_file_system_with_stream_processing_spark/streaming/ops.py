@@ -99,6 +99,22 @@ class StatefulCountOp:
         )
 
 
+def dedup_by(keys: list[str], ts_col: str | None = None, watermark: str = "1 hour") -> TransformOp:
+    """Ingest dedup on key columns — the op-level twin of the
+    reference's UploadedBatchLineNumbers set (reference
+    rainstorm/rainstorm.go:537-575 drops re-sent batches by ID).
+    Streaming: ``dropDuplicatesWithinWatermark`` so state is bounded by
+    the watermark instead of growing forever; batch: plain
+    ``dropDuplicates``."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        if df.isStreaming and ts_col is not None:
+            return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)
+
+    return TransformOp(name=f"dedup_by({','.join(keys)})", apply=apply)
+
+
 @dataclass
 class WindowedCountOp:
     """Event-time tumbling-window counts with a watermark bounding

@@ -109,3 +109,43 @@ def test_windowed_watermark_drops_late_data(spark, dirs):
     # the 10:00 window emitted ONCE with the on-time count of 3; the
     # late 10:50 event vanished (never a 4, never a second row)
     assert got["2024-01-01 10:00:00"] == 3, got
+
+
+def test_stream_ingest_dedup_drops_resent_rows(spark, dirs):
+    """Duplicate event_ids re-sent in a later file (the reference's
+    re-sent batch after a worker failure) are dropped by the stateful
+    dedup, with state bounded by the watermark."""
+    from pyspark.sql import functions as F
+
+    def ts_batch(ids, hour):
+        return spark.createDataFrame(
+            [(i, "e", f"2024-01-01 {hour:02d}:00:00") for i in ids],
+            "event_id long, event_type string, ts string",
+        ).select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    job = RainStormJob(
+        O.dedup_by(["event_id"], ts_col="ts", watermark="2 hours"), O.identity()
+    )
+    _write(ts_batch([1, 2, 3], 10), dirs["src"])
+    q = job.start_stream(
+        spark, dirs["src"], TS_SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="dd"
+    )
+    try:
+        q.processAllAvailable()
+        # re-send 2 and 3 (inside the watermark) plus a fresh 4
+        _write(ts_batch([2, 3, 4], 10), dirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(dirs["sink"]).collect())
+    assert ids == [1, 2, 3, 4]  # each exactly once
+
+
+def test_batch_dedup_twin(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "event_id long, event_type string"
+    ).withColumn("ts", F.current_timestamp())
+    out = O.dedup_by(["event_id"])(df)
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
