@@ -62,9 +62,21 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, shingle) rows — the map-side layout signature builders
-    aggregate over (partial agg in each task, one shuffle on doc_id)."""
+    aggregate over (partial agg in each task, one shuffle on doc_id).
+
+    explode_OUTER + post-filter, not plain explode: Catalyst's
+    InferFiltersFromGenerate would synthesize ``size(sh) > 0 AND
+    isnotnull(sh)`` from an inner explode and push it below the
+    repartition — re-inlining the whole shingle expression as a
+    single-partition scan predicate (the exact pathology the staged
+    select avoids). The rule skips outer generates; the residual null
+    rows (empty shingle sets) are dropped by a cheap column-ref filter
+    AFTER the generate."""
     sh = _with_shingles(df, id_col, text_col, n)
-    return sh.select("doc_id", F.explode("sh").alias("s"))
+    return (
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
 
 
 def ngram_jaccard_pairs(
@@ -81,7 +93,11 @@ def ngram_jaccard_pairs(
     """
     sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # explode_outer + null filter: see _exploded_shingles
+    ex = (
+        sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (

@@ -383,6 +383,76 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def churned_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family: customers in the top-spend cohort (EXCEPT)
+    who placed no order in the final year — intersect/except as
+    first-class relational ops (Spark plans them as semi/anti joins
+    under the hood; declared set-wise here)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spenders = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spent"))
+        .filter(F.col("spent") > 1_000_000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    churned = spenders.exceptAll(recent.intersect(spenders))
+    return (
+        churned.join(broadcast(c), churned.custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+
+
+CHURNED_SQL = """
+WITH spenders AS (
+    SELECT o_custkey AS custkey FROM orders
+    GROUP BY o_custkey HAVING sum(o_totalprice) > 1000000
+),
+recent AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+),
+churned AS (
+    SELECT custkey FROM spenders
+    EXCEPT ALL
+    (SELECT custkey FROM recent INTERSECT SELECT custkey FROM spenders)
+)
+SELECT c_mktsegment, count(*) AS n_churned
+FROM churned JOIN customer ON custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (sort-based agg family): median and
+    p95 order value per priority. Exact percentiles are a full sort per
+    group; at 100 TB you'd switch to percentile_approx (t-digest) —
+    kept exact here so the DuckDB twin (quantile_cont) matches
+    bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       count(*)                                    AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -395,6 +465,8 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_distinct_users": events_distinct_users,
     "lineitem_rollup": lineitem_rollup,
+    "churned_big_spenders": churned_big_spenders,
+    "order_value_percentiles": order_value_percentiles,
 }
 
 ORACLES = {
@@ -409,4 +481,6 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "events_distinct_users": EVENTS_DISTINCT_SQL,
     "lineitem_rollup": LINEITEM_ROLLUP_SQL,
+    "churned_big_spenders": CHURNED_SQL,
+    "order_value_percentiles": PERCENTILES_SQL,
 }
