@@ -125,3 +125,27 @@ def test_no_python_row_udfs_in_headline_plans(spark):
     ]:
         plan = executed_plan(QUERIES[name](spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_no_heavy_expressions_in_scan_predicates(spark):
+    """Guard the InferFiltersFromGenerate fix: no scan may carry a
+    pushed-down predicate containing higher-order-function lambdas (the
+    single-partition re-evaluation pathology) in the compute-dense
+    dedup/text plans."""
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "doc_fingerprint",
+    ]:
+        plan = executed_plan(QUERIES[name](spark, SF_SMOKE))
+        for ln in plan.splitlines():
+            if "FileScan" in ln:
+                assert "lambdafunction" not in ln, (name, ln[:200])
+        # the tree prints top-down, so everything after the LAST
+        # Exchange is the scan-side stage: no Filter there may carry a
+        # higher-order lambda (= re-evaluating shingles in the scan)
+        scan_stage = plan.rsplit("Exchange", 1)[-1]
+        for ln in scan_stage.splitlines():
+            if "Filter" in ln:
+                assert "lambdafunction" not in ln, (name, ln[:200])
