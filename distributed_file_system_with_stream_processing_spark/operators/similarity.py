@@ -137,7 +137,7 @@ def lsh_ann(
             F.pow(F.lit(2.0), p).cast("long"),
         ).otherwise(0),
     )
-    eb = e.withColumn("bucket", bucket)
+    eb = _spread(e).withColumn("bucket", bucket)
     q = eb.filter(F.col("id") < query_ids_below).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )

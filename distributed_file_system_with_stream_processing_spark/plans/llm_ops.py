@@ -62,7 +62,7 @@ FROM documents
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     ws = T.words(F.col("text"))
     base = d.select(
         "doc_id",
@@ -110,7 +110,7 @@ FROM r
 
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     ws = T.words(F.col("text"))
     return d.select("doc_id", "lang", T.lang_predict(ws).alias("lang_pred"))
 
