@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from distributed_file_system_with_stream_processing_spark.streaming.ops import (
@@ -124,6 +125,31 @@ class RainStormJob:
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: match rows sharing ``key`` whose event
+    times are within ``within`` of each other. Both sides carry
+    watermarks so the join state is BOUNDED — Spark buffers only rows
+    younger than (watermark + within), the 100 TB requirement for an
+    unbounded two-stream correlation. (The reference has no two-stream
+    operator; this extends its single-pipeline model.)"""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
 
 
 def stream_into_store(

@@ -149,3 +149,58 @@ def test_batch_dedup_twin(spark):
     ).withColumn("ts", F.current_timestamp())
     out = O.dedup_by(["event_id"])(df)
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Two live streams joined on key within a time bound; both sides
+    watermarked so state stays bounded."""
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import join_streams
+
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def ts_df(rows, prefix):
+        return spark.createDataFrame(
+            [(i, u, f"2024-01-01 {h:02d}:{m:02d}:00") for i, u, h, m in rows],
+            f"{prefix}_id long, user_id long, ts string",
+        ).select(
+            f"{prefix}_id", "user_id",
+            F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+        )
+
+    # user 1: click 10:00 → purchase 10:30 (within 1h: match)
+    # user 2: click 10:00 → purchase 12:30 (outside 1h: no match)
+    _write(ts_df([(1, 1, 10, 0), (2, 2, 10, 0)], "click"), c_dir)
+    _write(ts_df([(10, 1, 10, 30), (20, 2, 12, 30)], "purch"), p_dir)
+
+    clicks = spark.readStream.schema("click_id long, user_id long, click_ts timestamp").parquet(c_dir)
+    purch = (
+        spark.readStream.schema("purch_id long, user_id long, purch_ts timestamp")
+        .parquet(p_dir)
+        .withColumnRenamed("user_id", "p_user_id")
+    )
+    joined = join_streams(
+        clicks.withColumnRenamed("user_id", "key").withColumnRenamed("click_ts", "lts"),
+        purch.withColumnRenamed("p_user_id", "key").withColumnRenamed("purch_ts", "rts"),
+        key="key", left_ts="lts", right_ts="rts",
+        watermark="30 minutes", within="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance both watermarks so pending matches flush
+        _write(ts_df([(3, 9, 15, 0)], "click"), c_dir)
+        _write(ts_df([(30, 9, 15, 0)], "purch"), p_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).collect()
+    pairs = {(r["click_id"], r["purch_id"]) for r in rows}
+    assert (1, 10) in pairs          # within the hour: joined
+    assert (2, 20) not in pairs      # 2.5h later: outside the bound
