@@ -272,3 +272,58 @@ def simhash_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — turns
+    pairwise near-dup edges into duplicate CLUSTERS (the step after
+    MinHash: pick one canonical doc per component).
+
+    Pure DataFrame joins, all data stays distributed; the driver loop
+    only checks the converged flag. Converges in O(component diameter)
+    iterations — near-dup clusters are dense, so 2-4 in practice.
+    ``localCheckpoint`` truncates lineage each round (the plan would
+    otherwise grow exponentially). Returns (node, cluster_id) with
+    cluster_id = min node id in the component.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

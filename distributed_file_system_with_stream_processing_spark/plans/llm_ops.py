@@ -283,6 +283,34 @@ FROM cand
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs (iterative min-label propagation — the step that
+    turns pairwise dedup into 'keep one canonical doc per group').
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    pairs."""
+    pairs = D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+_MINHASH_PAIRS_BODY = DEDUP_MINHASH_SQL.split("SELECT da AS doc_id_a")[0]
+
+DEDUP_CLUSTERS_SQL = (
+    _MINHASH_PAIRS_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """,
+edges AS (SELECT da AS a, db AS b FROM cand
+          UNION SELECT db AS a, da AS b FROM cand),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), n=3, max_hamming=3)
 
@@ -408,6 +436,7 @@ QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "text_redact_pii": text_redact_pii,
     "ann_cosine_topk": ann_cosine_topk,
@@ -424,6 +453,7 @@ ORACLES = {
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,

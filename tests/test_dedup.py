@@ -70,3 +70,23 @@ def test_short_docs_dropped_not_crashing(docs):
         r["doc_id_b"] for r in D.ngram_jaccard_pairs(docs).collect()
     }
     assert 5 not in ids
+
+
+def test_connected_components_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path graph needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
+    assert set(got.values()) == {1} and len(got) == 9
