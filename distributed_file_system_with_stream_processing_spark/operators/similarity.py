@@ -89,16 +89,23 @@ def cosine_neardup_pairs(
 
 
 def _hyperplanes(dim: int, planes: int):
-    """Deterministic pseudo-random hyperplane matrix as a Column literal:
-    component (p, d) = (hash32('p|{p}|d|{d}') % 2001 - 1000) / 1000."""
+    """Deterministic pseudo-random hyperplane matrix as ONE parsed
+    array literal: component (p, d) = (hash32('p|{p}|d|{d}') % 2001
+    - 1000) / 1000, with hash32 evaluated in PYTHON (same md5-prefix
+    formula as functions.text.hash32) so the driver ships a single
+    constant expression instead of building dim×planes md5 expression
+    trees through py4j (which dominated wall time: ~4s of plan
+    construction per query invocation)."""
+    import hashlib
+
     rows = []
     for p in range(planes):
         comps = []
         for d in range(dim):
-            h = (hash32(F.lit(f"p|{p}|d|{d}")) % 2001 - 1000) / 1000.0
-            comps.append(h)
-        rows.append(F.array(*comps))
-    return F.array(*rows)
+            h = int(hashlib.md5(f"p|{p}|d|{d}".encode()).hexdigest()[:8], 16)
+            comps.append((h % 2001 - 1000) / 1000.0)
+        rows.append("array(" + ",".join(f"{c}D" for c in comps) + ")")
+    return F.expr("array(" + ",".join(rows) + ")")
 
 
 def lsh_ann(
