@@ -453,6 +453,56 @@ GROUP BY o_orderpriority
 """
 
 
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. Explicit value
+    list — at 100 TB an unpinned pivot needs an extra distinct pass to
+    discover the columns; pinning it keeps this one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    p = e.groupBy("user_id").pivot("event_type", kinds).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame aggregate: 4-row trailing moving average of event
+    value per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) —
+    deterministic frame order via (ts, event_id) tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg_value"),
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg_value
+FROM events
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -467,6 +517,8 @@ QUERIES = {
     "lineitem_rollup": lineitem_rollup,
     "churned_big_spenders": churned_big_spenders,
     "order_value_percentiles": order_value_percentiles,
+    "events_pivot": events_pivot,
+    "events_moving_avg": events_moving_avg,
 }
 
 ORACLES = {
@@ -483,4 +535,6 @@ ORACLES = {
     "lineitem_rollup": LINEITEM_ROLLUP_SQL,
     "churned_big_spenders": CHURNED_SQL,
     "order_value_percentiles": PERCENTILES_SQL,
+    "events_pivot": EVENTS_PIVOT_SQL,
+    "events_moving_avg": EVENTS_MOVING_AVG_SQL,
 }
