@@ -175,6 +175,53 @@ FROM g
 """
 
 
+def docs_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% corpus sample: keep rows whose md5-hash bucket
+    of doc_id is < 5 of 100. Unlike rand()-sampling this is stable
+    across runs/engines/partitionings — the property a reproducible
+    training-data pipeline needs. Narrow map, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = T.hash32(F.col("doc_id").cast("string")) % 100
+    return d.filter(bucket < 5).select("doc_id", "source", "lang", "n_chars")
+
+
+DOCS_SYSTEMATIC_SAMPLE_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: up to 3 docs per (lang) stratum, chosen by a
+    deterministic hash order (random-like but reproducible). One
+    shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = T.hash32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("pick"))
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS pick
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                        doc_id ASC) AS rn
+    FROM documents
+)
+WHERE rn <= 3
+"""
+
+
 # Deduplication -----------------------------------------------------------
 
 
@@ -439,6 +486,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "text_redact_pii": text_redact_pii,
+    "docs_systematic_sample": docs_systematic_sample,
+    "docs_stratified_sample": docs_stratified_sample,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -456,6 +505,8 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
+    "docs_systematic_sample": DOCS_SYSTEMATIC_SAMPLE_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_bucketed intentionally has no oracle (rows-only check).
