@@ -222,6 +222,33 @@ WHERE rn <= 3
 """
 
 
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path as a DRIVER-CHECKED query: documents
+    → binary media table → Arrow-batched mapInPandas decode → typed
+    features. The stub codec derives luma from md5(payload), which the
+    oracle reproduces in SQL (md5 hex pairs → bytes → mean), so even
+    the pandas-UDF stage is value-hash-verified, not just row-counted."""
+    from distributed_file_system_with_stream_processing_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = M.decode_images(media)
+    return feats.select(
+        "media_id", "width", "height", F.round("mean_luma", 4).alias("mean_luma")
+    )
+
+
+MULTIMODAL_IMAGE_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(length(text) % 640 + 16 AS INT) AS width,
+       CAST(length(text) % 480 + 16 AS INT) AS height,
+       round(list_sum(list_transform(range(0, 16),
+             i -> ('0x' || substr(md5(text), CAST(i*2+1 AS INT), 2))::BIGINT)) / 16.0,
+             4) AS mean_luma
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 # Deduplication -----------------------------------------------------------
 
 
@@ -488,6 +515,7 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "docs_systematic_sample": docs_systematic_sample,
     "docs_stratified_sample": docs_stratified_sample,
+    "multimodal_image_stats": multimodal_image_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -507,6 +535,7 @@ ORACLES = {
     "text_redact_pii": TEXT_REDACT_SQL,
     "docs_systematic_sample": DOCS_SYSTEMATIC_SAMPLE_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
+    "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_bucketed intentionally has no oracle (rows-only check).
