@@ -503,6 +503,19 @@ FROM events
 """
 
 
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting — the 100 TB path for
+    cardinality (exact distinct = full shuffle of every key; HLL is a
+    fixed-size mergeable sketch, map-side combinable). No SQL oracle —
+    the estimate is engine-specific; the driver records rows-only and
+    tests/test_queries pin the relative error vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -519,6 +532,7 @@ QUERIES = {
     "order_value_percentiles": order_value_percentiles,
     "events_pivot": events_pivot,
     "events_moving_avg": events_moving_avg,
+    "events_approx_distinct": events_approx_distinct,
 }
 
 ORACLES = {

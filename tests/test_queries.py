@@ -39,3 +39,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL estimate must stay within 5% of exact distinct counts."""
+    from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_approx_distinct"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)

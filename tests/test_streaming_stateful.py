@@ -204,3 +204,46 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     pairs = {(r["click_id"], r["purch_id"]) for r in rows}
     assert (1, 10) in pairs          # within the hour: joined
     assert (2, 20) not in pairs      # 2.5h later: outside the bound
+
+
+def test_stateful_count_survives_restart(spark, dirs):
+    """Kill the stateful query, add data, restart from the same
+    checkpoint: running totals CONTINUE from recovered state (the
+    reference's leader restart with its AggregateCounts intact).
+    Memory sink can't recover from a checkpoint, so the update log
+    goes through foreachBatch into parquet — the production shape."""
+    op = O.StatefulCountOp("running", ["event_type"])
+
+    def start():
+        src = spark.readStream.schema(SCHEMA).parquet(dirs["src"])
+        out = op.stream_apply(O.identity()(src))
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(dirs["sink"])
+
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .start()
+        )
+
+    _write(_batch(spark, 0, 30), dirs["src"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write(_batch(spark, 30, 15), dirs["src"])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(dirs["sink"]).collect()
+    # post-restart totals include the RECOVERED pre-restart state
+    finals = {}
+    for r in rows:
+        finals[r["event_type"]] = max(finals.get(r["event_type"], 0), r["total"])
+    assert finals == {"click": 15, "view": 15, "purchase": 15}
+    deltas = sum(r["delta"] for r in rows if r["event_type"] == "click")
+    assert deltas == 15  # no lost or duplicated increments across restart
