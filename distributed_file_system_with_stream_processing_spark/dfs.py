@@ -170,3 +170,15 @@ class TableStore:
         d = self._table_dir(name)
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+
+def list_members(spark: SparkSession) -> list[dict]:
+    """Reference `list_mem_ids` (ring membership with node ids,
+    user/user.go): the Spark-native membership list is the executor
+    set — liveness and placement are the cluster manager's job
+    (SURVEY.md §1), so this is a read-only view, not a protocol."""
+    jtracker = spark.sparkContext._jsc.sc().statusTracker()
+    return [
+        {"host": i.host(), "n_running_tasks": i.numRunningTasks()}
+        for i in jtracker.getExecutorInfos()
+    ]

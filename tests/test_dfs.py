@@ -86,3 +86,29 @@ def test_store_lists_tables(store, spark):
     store.create("alpha", _df(spark, [(1, "a")]))
     store.create("beta", _df(spark, [(2, "b")]))
     assert set(store.store()) >= {"alpha", "beta"}
+
+
+def test_list_members(spark):
+    from distributed_file_system_with_stream_processing_spark.dfs import list_members
+
+    members = list_members(spark)
+    assert len(members) >= 1  # local mode: the driver executor
+    assert all("host" in m for m in members)
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """The reference's command loop, end to end: create → append →
+    ls → merge → get → store → list_mem_ids."""
+    from distributed_file_system_with_stream_processing_spark.__main__ import main
+
+    src = str(tmp_path / "in.parquet")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(src)
+    root = str(tmp_path / "store")
+    run = lambda *a: main(["--root", root, *a])  # noqa: E731
+    assert run("create", "t", src) == 0
+    assert run("append", "t", src) == 0
+    assert run("ls", "t") == 0
+    assert run("merge", "t") == 0
+    assert run("get", "t") == 0
+    assert run("store") == 0
+    assert run("list_mem_ids") == 0
