@@ -17,6 +17,33 @@ join planning; Python UDFs appear only where semantics genuinely require
 them, always Arrow-batched.
 """
 
+from distributed_file_system_with_stream_processing_spark.dfs import TableStore, list_members
 from distributed_file_system_with_stream_processing_spark.session import get_spark
+from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+    AggregateOp,
+    StatefulCountOp,
+    TransformOp,
+    WindowedCountOp,
+    dedup_by,
+    python_transform,
+)
+from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+    RainStormJob,
+    join_streams,
+    stream_into_store,
+)
 
-__all__ = ["get_spark"]
+__all__ = [
+    "AggregateOp",
+    "RainStormJob",
+    "StatefulCountOp",
+    "TableStore",
+    "TransformOp",
+    "WindowedCountOp",
+    "dedup_by",
+    "get_spark",
+    "join_streams",
+    "list_members",
+    "python_transform",
+    "stream_into_store",
+]
