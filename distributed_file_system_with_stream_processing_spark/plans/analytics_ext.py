@@ -516,6 +516,34 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-aggregation family: the distinct order priorities seen
+    per customer segment, as a deterministically sorted list (rendered
+    '|'-joined for the oracle hash). collect_set alone is
+    order-nondeterministic — array_sort makes it reproducible."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SEGMENT_PRIORITY_SETS_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -533,6 +561,7 @@ QUERIES = {
     "events_pivot": events_pivot,
     "events_moving_avg": events_moving_avg,
     "events_approx_distinct": events_approx_distinct,
+    "segment_priority_sets": segment_priority_sets,
 }
 
 ORACLES = {
@@ -551,4 +580,5 @@ ORACLES = {
     "order_value_percentiles": PERCENTILES_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "events_moving_avg": EVENTS_MOVING_AVG_SQL,
+    "segment_priority_sets": SEGMENT_PRIORITY_SETS_SQL,
 }
