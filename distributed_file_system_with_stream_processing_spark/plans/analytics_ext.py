@@ -544,6 +544,33 @@ GROUP BY c_mktsegment
 """
 
 
+def orders_by_year_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: a query written entirely in Spark SQL
+    over the registered table views (everything else here uses the
+    DataFrame API — same Catalyst plans, two front doors)."""
+    from distributed_file_system_with_stream_processing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT)   AS yr,
+               round(sum(o_totalprice), 2)         AS revenue,
+               count(*)                            AS n_orders
+        FROM orders
+        GROUP BY year(o_orderdate)
+        """
+    )
+
+
+ORDERS_BY_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       round(sum(o_totalprice), 2)       AS revenue,
+       count(*)                          AS n_orders
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -562,6 +589,7 @@ QUERIES = {
     "events_moving_avg": events_moving_avg,
     "events_approx_distinct": events_approx_distinct,
     "segment_priority_sets": segment_priority_sets,
+    "orders_by_year_sql": orders_by_year_sql,
 }
 
 ORACLES = {
@@ -581,4 +609,5 @@ ORACLES = {
     "events_pivot": EVENTS_PIVOT_SQL,
     "events_moving_avg": EVENTS_MOVING_AVG_SQL,
     "segment_priority_sets": SEGMENT_PRIORITY_SETS_SQL,
+    "orders_by_year_sql": ORDERS_BY_YEAR_SQL,
 }
