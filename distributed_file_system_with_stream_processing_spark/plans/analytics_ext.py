@@ -571,6 +571,35 @@ GROUP BY year(o_orderdate)
 """
 
 
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all (returnflag × linestatus) subtotal
+    combinations in one pass — rollup's full-lattice sibling."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       round(sum(l_extendedprice), 2)  AS sum_price,
+       count(*)                        AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -583,6 +612,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_distinct_users": events_distinct_users,
     "lineitem_rollup": lineitem_rollup,
+    "lineitem_cube": lineitem_cube,
     "churned_big_spenders": churned_big_spenders,
     "order_value_percentiles": order_value_percentiles,
     "events_pivot": events_pivot,
@@ -604,6 +634,7 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "events_distinct_users": EVENTS_DISTINCT_SQL,
     "lineitem_rollup": LINEITEM_ROLLUP_SQL,
+    "lineitem_cube": LINEITEM_CUBE_SQL,
     "churned_big_spenders": CHURNED_SQL,
     "order_value_percentiles": PERCENTILES_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
