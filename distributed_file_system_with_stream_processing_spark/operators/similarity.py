@@ -160,3 +160,66 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
     )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    probe_cells: int = 3,
+    query_ids_below: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """ANN via IVF-flat: partition vectors into cells around seed
+    centroids, search only the query's nearest ``probe_cells`` cells.
+
+    Centroids are a deterministic one-shot seed set (the ``n_cells``
+    lowest-id base vectors — no Lloyd iterations, so results are
+    reproducible and the whole operator stays declarative). Base
+    vectors are assigned to their nearest centroid; queries probe
+    several cells to recover recall lost to cell-boundary effects.
+    At 100 TB: centroids broadcast (metadata-scale), assignment is a
+    narrow map, candidate generation is an equi-join on cell id —
+    the same shuffle shape as the LSH path, with tunable recall via
+    ``probe_cells``.
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    base = _spread(e.filter(F.col("id") >= query_ids_below)).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("bv")
+    )
+    queries = e.filter(F.col("id") < query_ids_below).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cents = (
+        e.filter(F.col("id") >= query_ids_below)
+        .orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"))
+    )
+
+    def assign(df: DataFrame, vec: str, out: str, top: int) -> DataFrame:
+        sim = V.cosine(F.col(vec), F.col("cv"))
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.desc("_csim"), F.asc("cell_id")
+        )
+        return (
+            df.crossJoin(broadcast(cents))
+            .withColumn("_csim", sim)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .select(*df.columns, F.col("cell_id").alias(out))
+        )
+
+    base_cells = assign(base, "bv", "cell", 1)
+    query_cells = assign(queries, "qv", "cell", probe_cells)
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        base_cells.join(broadcast(query_cells), "cell")
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )

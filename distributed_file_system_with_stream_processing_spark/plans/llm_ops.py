@@ -494,6 +494,14 @@ FROM synth
 """
 
 
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #2 (IVF-flat cells, multi-probe). No SQL oracle
+    (argmin cell assignment isn't portably expressible without the
+    whole pipeline); driver records rows-only, tests pin recall vs
+    brute force."""
+    return S.ivf_ann(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN (LSH buckets). No SQL oracle: the deterministic
     hyperplane derivation isn't portably expressible; the driver records
@@ -519,6 +527,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_bucketed": ann_ivf_bucketed,
 }
 
 ORACLES = {

@@ -60,3 +60,24 @@ def test_lsh_ann_recalls_identical_vector(emb):
     top1 = {r["query_id"]: r["neighbor_id"] for r in res.collect() if r["rank"] == 1}
     for q in range(3):
         assert top1[q] == 10 + q
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF multi-probe must recover a solid fraction of the exact
+    top-k at this scale; exactness is the brute-force query's job."""
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, query_ids_below=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_ann(emb, query_ids_below=10, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # multi-probe IVF with seed centroids
+    # every returned similarity must be genuine (subset of real sims)
+    assert all(q < 10 and n >= 10 for q, n in approx)
