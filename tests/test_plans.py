@@ -77,9 +77,12 @@ def test_dim_joins_broadcast(spark, name):
 def test_no_cartesian_or_loop_join_anywhere(spark):
     # Brute-force ANN is by definition queries × base; its correct
     # 100 TB plan IS a nested-loop with the tiny query side broadcast
-    # (the base side never shuffles). Everything else must never
-    # loop-join, and nothing may ever cartesian (no broadcast at all).
-    allowed_loop = {"ann_cosine_topk", "embedding_neardup"}
+    # (the base side never shuffles). IVF's centroid assignment is the
+    # same shape: every vector × K centroids with the metadata-scale
+    # centroid table broadcast (fan-out bounded by K, never a shuffle).
+    # Everything else must never loop-join, and nothing may ever
+    # cartesian (no broadcast at all).
+    allowed_loop = {"ann_cosine_topk", "embedding_neardup", "ann_ivf_bucketed"}
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
