@@ -1,0 +1,436 @@
+"""Second wave of TPC-H query shapes: nation-pair volume (Q7), market
+share (Q8), returned-item top customers (Q10), correlated avg-quantity
+subquery (Q17), disjunctive predicate join (Q19), double
+EXISTS/NOT-EXISTS (Q21), scalar-subquery + anti-join (Q22), and
+non-hierarchical GROUPING SETS.
+
+These close out the TPC-H operator families expressible on the driver
+schema (no ``partsupp`` table exists, so Q2/Q11/Q16/Q20 — the
+supplier-part-cost shapes — are out of scope; everything else is here
+or in plans/analytics*.py).
+
+Scale notes (100 TB): every dim (nation/supplier/customer-agg/part
+subsets) is an explicit ``broadcast()``; the only shuffles are the
+fact-fact ``orders ⋈ lineitem`` joins and the final small-group
+aggregations. Correlated scalar subqueries are decorrelated by hand
+into aggregate-then-broadcast-join (Q17, Q22) — the join-back relation
+is post-aggregation (one row per part / one row total), metadata-scale.
+The Q21 EXISTS/NOT-EXISTS pair becomes left-semi/left-anti joins that
+ship only (orderkey, suppkey) pairs, never widening the probe rows.
+
+Reference parity: these extend the op1/op2 filter→project→aggregate
+contract of rainstorm.go:357-519 to the full join/subquery surface a
+batch engine needs; the reference's own test queries (user/tests.go:
+152-191) are covered by plans/rainstorm_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Two *roles* of the same nation dim (supplier nation, customer
+    nation) joined independently — both broadcast; the disjunctive
+    nation-pair predicate is applied post-join where Catalyst can still
+    prune dim rows into the broadcast hash tables.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    supp_nat = s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_nat = c.join(broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue delivered
+    to ASIA customers, by order year — a conditional-sum ratio over a
+    5-way join. All dims broadcast; one fact-fact shuffle."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    asia_nations = n.join(
+        broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey")
+    asia_cust = c.join(broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey"
+    )
+    supp_nat = s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    promo_parts = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+
+    vol = (
+        l.join(broadcast(promo_parts), l.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+      AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+      AND p_type = 'PROMO'
+)
+GROUP BY o_year
+"""
+
+
+def q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned
+    items in 1997Q1. Agg on the fact join first (shuffle on custkey),
+    then broadcast-join the customer/nation dims onto the tiny top-k
+    relation — never the other way around."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    rev = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            l.filter(F.col("l_returnflag") == "R").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    top = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(20)
+    return (
+        top.join(broadcast(c), top.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS acctbal,
+       n_name AS nation
+FROM (
+    SELECT o_custkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 20
+), customer, nation
+WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not filled,
+    for one brand. The correlated scalar subquery is decorrelated into
+    a per-part aggregate broadcast back onto the fact rows."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_lines = l.join(broadcast(brand_parts), l.l_partkey == F.col("p_partkey"), "left_semi")
+    part_avg = brand_lines.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        brand_lines.join(
+            broadcast(part_avg.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(coalesce(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brackets of
+    (brand, size range, quantity range). One broadcast hash join on
+    partkey; the disjunction stays a post-join filter that whole-stage
+    codegen collapses into a single pass."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(broadcast(p.select("p_partkey", "p_brand", "p_size")), l.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)),
+            2,
+        ).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 40))
+"""
+
+
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double correlated EXISTS / NOT EXISTS — the
+    suppliers solely responsible for returns in multi-supplier orders.
+    EXISTS → left-semi, NOT EXISTS → left-anti; both probe relations
+    carry only (orderkey, suppkey), so the shuffles ship 16 bytes/row
+    no matter how wide lineitem is."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    pairs = l.select("l_orderkey", "l_suppkey")
+    r_pairs = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = r_pairs.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = (
+        r_pairs.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        sole.join(broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1, supplier
+WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average with no orders at all, counted per nation. Written through
+    the SQL front door because Catalyst's native ScalarSubquery is the
+    right physical strategy for the global average — it runs as a
+    separate one-row job and is embedded as a literal into the main
+    scan's predicate (NO join at all; any DataFrame-API emulation via
+    crossJoin/constant-key join plans as a nested loop instead). The
+    NOT EXISTS still becomes a left-anti hash join on o_custkey."""
+    from distributed_file_system_with_stream_processing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q22_SQL)
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — per-returnflag totals AND
+    per-linestatus totals in one pass (not expressible as ROLLUP or
+    CUBE, which are strict super/sub-lattices). One shuffle produces
+    both groupings via Spark's Expand operator."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+LINEITEM_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       count(*)                        AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+QUERIES = {
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q10_returned_top_customers": q10_returned_top_customers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_sole_returner": q21_sole_returner,
+    "q22_rich_inactive": q22_rich_inactive,
+    "lineitem_grouping_sets": lineitem_grouping_sets,
+}
+
+ORACLES = {
+    "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_top_customers": Q10_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q21_sole_returner": Q21_SQL,
+    "q22_rich_inactive": Q22_SQL,
+    "lineitem_grouping_sets": LINEITEM_GROUPING_SETS_SQL,
+}

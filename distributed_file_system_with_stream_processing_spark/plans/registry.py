@@ -13,13 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_file_system_with_stream_processing_spark.plans import (
     analytics,
     analytics_ext,
+    analytics_tpch2,
     llm_ops,
     rainstorm_queries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (analytics, analytics_ext, rainstorm_queries, llm_ops)
+_MODULES = (analytics, analytics_ext, analytics_tpch2, rainstorm_queries, llm_ops)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
