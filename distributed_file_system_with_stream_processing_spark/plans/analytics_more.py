@@ -1,0 +1,153 @@
+"""Range join, group-top-k, and approximate-quantile families.
+
+``events_range_join`` is the showcase: a time-range join with NO
+equi-key. Expressed naively (join on ``ts BETWEEN start AND end``)
+Spark has no hash key and must plan a nested-loop over every
+(event, range) pair — O(n·m) and forbidden by the plan guard. The
+scale-correct form buckets time: each range explodes into the hour
+buckets it covers, events join on their own hour bucket (equi key →
+broadcast/shuffle HASH join), and the exact containment predicate is
+re-checked post-join. Bucket fan-out is bounded by
+range_span/bucket_width (=3 here), so the join input grows linearly,
+not quadratically. This is the standard interval-join decomposition
+(Flink's interval join and DuckDB/Trino range-join optimizations use
+the same binning idea).
+
+Reference parity: the reference engine has no join operator at all
+(rainstorm.go's op1/op2 are per-batch filter/transform/count), so
+these extend the engine surface; cited shapes come from its test
+queries' spirit (user/tests.go:152-191 — filter+project, filter+count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per campaign window (2h after each flagged purchase), how many
+    clicks landed inside the window — bucketed range join as described
+    in the module docstring. The small range side is broadcast; the
+    events side never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+
+    ranges = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0))
+        .select(
+            F.col("event_id").alias("range_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+        )
+        # explode the range into its covered hour buckets (fan-out ≤ 3)
+        .withColumn(
+            "bucket",
+            F.explode_outer(
+                F.sequence(
+                    F.date_trunc("HOUR", F.col("start_ts")),
+                    F.col("end_ts"),
+                    F.expr("interval 1 hour"),
+                )
+            ),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.date_trunc("HOUR", F.col("ts")).alias("bucket"), F.col("ts").alias("click_ts")
+    )
+    return (
+        clicks.join(broadcast(ranges), "bucket")  # equi hash join, no loop
+        .filter((F.col("click_ts") >= F.col("start_ts")) & (F.col("click_ts") < F.col("end_ts")))
+        .groupBy("range_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH ranges AS (
+    SELECT event_id AS range_id, ts AS start_ts,
+           ts + INTERVAL 2 HOUR AS end_ts
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 97 = 0
+)
+SELECT range_id, count(*) AS n_clicks
+FROM ranges r
+JOIN events e
+  ON e.event_type = 'click' AND e.ts >= r.start_ts AND e.ts < r.end_ts
+GROUP BY range_id
+"""
+
+
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-top-k over a derived relation: the 5 most frequent
+    whitespace tokens per language. Tokenize → hash-agg counts →
+    per-group window rank on the (tiny) post-agg relation. The window
+    never sees raw tokens, only (lang, token, cnt) aggregates."""
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    counts = (
+        d.select(
+            "lang",
+            F.explode_outer(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "cnt", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+TOP_TOKENS_SQL = """
+WITH tok AS (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+    FROM documents
+),
+c AS (
+    SELECT lang, token, count(*) AS cnt
+    FROM tok WHERE token IS NOT NULL AND token <> ''
+    GROUP BY lang, token
+),
+r AS (
+    SELECT lang, token, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+    FROM c
+)
+SELECT lang, token, cnt, rank FROM r WHERE rank <= 5
+"""
+
+
+def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-value quantiles per priority —
+    ``percentile_approx`` (Greenwald-Khanna sketch) is the 100 TB
+    path: mergeable per-partition sketches, one narrow shuffle of
+    sketch state instead of a global sort. Rows-only (sketch results
+    are engine-specific); accuracy pinned against the exact
+    percentiles in tests/test_queries.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", 0.9, 10000), 2).alias("p90"),
+        F.round(F.percentile_approx("o_totalprice", 0.99, 10000), 2).alias("p99"),
+    )
+
+
+QUERIES = {
+    "events_range_join": events_range_join,
+    "top_tokens_per_lang": top_tokens_per_lang,
+    "order_percentiles_approx": order_percentiles_approx,
+}
+
+ORACLES = {
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "top_tokens_per_lang": TOP_TOKENS_SQL,
+}

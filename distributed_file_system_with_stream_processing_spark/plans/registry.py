@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_file_system_with_stream_processing_spark.plans import (
     analytics,
     analytics_ext,
+    analytics_more,
     analytics_tpch2,
     llm_ops,
     rainstorm_queries,
@@ -20,7 +21,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (analytics, analytics_ext, analytics_tpch2, rainstorm_queries, llm_ops)
+_MODULES = (analytics, analytics_ext, analytics_tpch2, analytics_more, rainstorm_queries, llm_ops)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}

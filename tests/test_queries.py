@@ -59,3 +59,36 @@ def test_approx_distinct_accuracy(spark):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+
+
+def test_approx_percentiles_accuracy(spark):
+    """GK-sketch percentiles must stay within 3% relative error of the
+    exact percentiles. The slack is value discreteness, not sketch
+    noise: percentile_approx returns a real data point while exact
+    percentile() interpolates between neighbors, and at sf0.001 a
+    group has only ~600 rows so neighboring order values sit ~1%
+    apart. The bound catches wiring mistakes (wrong column, wrong
+    quantile), which show up as tens of percent."""
+    from pyspark.sql import functions as F
+
+    from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["order_percentiles_approx"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k, ex in exact.items():
+        for a, e in zip(approx[k], ex):
+            assert abs(a - e) / e < 0.03, (k, approx[k], ex)
