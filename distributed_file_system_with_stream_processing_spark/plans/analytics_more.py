@@ -141,13 +141,63 @@ def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessionization — the streaming-native
+    twin of ``events_sessionize`` (plans/analytics.py). One hash-agg
+    shuffle on (user_id, merged window), no sort-based window function
+    pass at all; in Structured Streaming the identical expression runs
+    incrementally with watermark-bounded state.
+
+    Semantics note vs the lag/cumsum variant: session_window's window
+    is half-open [ts, ts + gap), so a successor event exactly ``gap``
+    seconds later starts a NEW session (the lag version's ``> gap``
+    keeps it). The oracle mirrors that with ``>= 1800``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
+    "events_session_window": events_session_window,
     "top_tokens_per_lang": top_tokens_per_lang,
     "order_percentiles_approx": order_percentiles_approx,
 }
 
 ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "top_tokens_per_lang": TOP_TOKENS_SQL,
 }

@@ -29,6 +29,12 @@ DEFAULT_CONF: dict[str, str] = {
     # because the whole design depends on them).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Spark's default INT96 timestamps carry NO parquet min/max
+    # statistics, so a time-range scan over written data can never
+    # skip a row group — at 100 TB that silently turns every
+    # time-slice query into a full scan of its files. MICROS is the
+    # modern annotated int64 encoding with full stats support.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -52,3 +52,24 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_range_clustered(df: DataFrame, path: str, col: str, n_files: int) -> None:
+    """Range-cluster ``df`` on ``col`` into ``n_files`` sorted files —
+    the data-skipping layout for range-filtered scans.
+
+    ``repartitionByRange`` gives each output file a disjoint value
+    range of ``col`` and ``sortWithinPartitions`` orders rows inside,
+    so every parquet row group carries tight min/max stats. A reader
+    filtering ``col BETWEEN a AND b`` then skips all but the few
+    files/row-groups whose stats overlap — at 100 TB this is the
+    difference between scanning everything and scanning one day's
+    slice (same lever as time-series chunk exclusion in OLAP stores;
+    the third layout tool beside partitioning and bucketing above).
+    """
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

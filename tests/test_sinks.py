@@ -3,6 +3,8 @@ plan-level proof that the write-side layout pays off read-side."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
@@ -78,3 +80,49 @@ def test_bucketed_agg_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_range_clustered_files_are_disjoint_and_skippable(spark, tmp_path):
+    """Every file written by write_range_clustered must own a narrow,
+    (near-)disjoint ts range — provable skipping: a day-slice filter
+    touches few files, and parquet footer min/max confirm tight row
+    groups (what a 100 TB reader's row-group pruning keys on)."""
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+        write_range_clustered,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_ts")
+    write_range_clustered(events, path, "ts", 16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+    # footer stats: per-file ts spans must be disjoint (range layout)
+    spans = []
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("ts")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if a[1] > b[0])
+    assert overlaps == 0, spans
+
+    # scan-level proof: a one-day filter reads only the overlapping files
+    lo, hi = "2024-01-15", "2024-01-16"
+    touched = (
+        back.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert 1 <= touched <= 3, touched
