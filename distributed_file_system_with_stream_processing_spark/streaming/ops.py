@@ -196,3 +196,96 @@ def python_transform(
         return df.mapInPandas(gen, schema=schema)
 
     return TransformOp(name=name, apply=apply)
+
+
+def running_topk_processor(value_col: str, k: int):
+    """StatefulProcessor keeping the running top-k values per key in
+    ListState. Built lazily (imports inside) so batch-only codepaths
+    never touch the streaming state machinery."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState("topk", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf[value_col])
+            if self._state.exists():
+                vals.extend(t[0] for t in self._state.get())
+            top = sorted(vals, reverse=True)[:k]
+            self._state.put([(v,) for v in top])
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(top),
+                    "rank": list(range(1, len(top) + 1)),
+                    "value": top,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TopK()
+
+
+@dataclass
+class RunningTopKOp:
+    """Per-key running top-k of a value column — the Spark 4
+    ``transformWithStateInPandas`` (StatefulProcessor + ListState) twin
+    of the reference leader's in-memory running aggregates
+    (rainstorm.go:551-575), but keeping an ORDERED structure the
+    groupBy/agg path can't express incrementally: state is the k best
+    values ever seen per key, emitted afresh on every trigger.
+
+    State is O(k) per key — bounded regardless of stream length, the
+    100 TB requirement for unbounded-stream operators.
+
+    Batch twin (``__call__``): plain window rank — identical output on
+    a bounded input.
+    """
+
+    key: str
+    value_col: str
+    k: int = 3
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.key).orderBy(F.desc(self.value_col))
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(
+                F.col(self.key).alias("key"),
+                F.col("rank").cast("int"),
+                F.col(self.value_col).cast("double").alias("value"),
+            )
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        # The TWS Python state server requires the protobuf wheel; on
+        # clusters without it the batch twin still runs and the caller
+        # gets a clear error here rather than a worker crash mid-query.
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "transformWithStateInPandas needs the 'protobuf' package "
+                "on driver and executors; falling back to "
+                "StatefulCountOp/applyInPandasWithState is the supported "
+                "path on this cluster"
+            ) from e
+        return df.groupBy(self.key).transformWithStateInPandas(
+            running_topk_processor(self.value_col, self.k),
+            outputStructType="key string, rank int, value double",
+            outputMode="Update",
+            timeMode="None",
+        )

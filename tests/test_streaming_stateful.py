@@ -247,3 +247,79 @@ def test_stateful_count_survives_restart(spark, dirs):
     assert finals == {"click": 15, "view": 15, "purchase": 15}
     deltas = sum(r["delta"] for r in rows if r["event_type"] == "click")
     assert deltas == 15  # no lost or duplicated increments across restart
+
+
+def test_running_topk_batch_twin(spark):
+    """RunningTopKOp batch twin: window rank equals a hand-computed
+    top-k per key."""
+    op = O.RunningTopKOp(key="event_type", value_col="value", k=3)
+    got = {(r["key"], r["rank"]): r["value"] for r in op(_batch(spark, 0, 30)).collect()}
+    # values are float(event_id); per type the top-3 are the 3 largest
+    # ids of that type within 0..29
+    import collections
+
+    by_type = collections.defaultdict(list)
+    cyc = ("click", "view", "purchase")
+    for i in range(30):
+        by_type[cyc[i % 3]].append(float(i))
+    exp = {}
+    for t, vals in by_type.items():
+        for rank, v in enumerate(sorted(vals, reverse=True)[:3], 1):
+            exp[(t, rank)] = v
+    assert got == exp
+
+
+def test_running_topk_transform_with_state(spark, dirs, tmp_path):
+    """transformWithStateInPandas top-k: state (the k best values per
+    key) survives across triggers AND across a checkpoint restart; the
+    final emission equals the batch-twin window rank over everything
+    ingested.
+
+    The TWS Python state server speaks protobuf; skip (not fail) where
+    the protobuf wheel isn't available — the operator's logic is still
+    covered by the batch twin above.
+    """
+    import os
+
+    pytest.importorskip("google.protobuf")
+
+    op = O.RunningTopKOp(key="event_type", value_col="value", k=3)
+
+    os.makedirs(dirs["src"], exist_ok=True)
+    _write(_batch(spark, 0, 30), dirs["src"])
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).parquet(dirs["src"])
+        q = (
+            op(src)
+            .writeStream.format("parquet")
+            .option("path", dirs["sink"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second file, new stream instance from the same checkpoint
+    _write(_batch(spark, 100, 30), dirs["src"])
+    run_once()
+
+    out = spark.read.parquet(dirs["sink"])
+    # keep only each key's LAST emission (max value per rank wins since
+    # running top-k values only ever improve)
+    final = {
+        (r["key"], r["rank"]): r["value"]
+        for r in out.groupBy("key", "rank").agg(F.max("value").alias("value")).collect()
+    }
+    expected = {
+        (r["key"], r["rank"]): r["value"]
+        for r in op(
+            _batch(spark, 0, 30).unionByName(_batch(spark, 100, 30))
+        ).collect()
+    }
+    assert final == expected
+    # top-1 must come from the SECOND file (values 100+) — proves state
+    # merged across triggers rather than restarting per batch
+    assert max(v for (k, _), v in final.items()) >= 100.0
