@@ -54,3 +54,38 @@ def stream_lines(spark: SparkSession, source_dir: str) -> DataFrame:
         spark.readStream.text(source_dir)
         .withColumn("src_file", F.col("_metadata.file_path"))
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines load with a REQUIRED explicit schema.
+
+    Schema inference over JSON is a full extra pass (and at 100 TB an
+    extra 100 TB scan), so this loader refuses to run without one.
+    Malformed lines land in ``bad_records_col`` (PERMISSIVE mode)
+    instead of killing a week-long job — filter/route them explicitly.
+    """
+    if not schema:
+        raise ValueError("read_jsonl requires an explicit schema at scale")
+    full = f"{schema}, {bad_records_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+) -> DataFrame:
+    """Unbounded JSON-lines stream of a directory (files-as-they-arrive,
+    same arrival model as the reference's appends). Explicit schema
+    only — readStream cannot infer without an extra listing pass."""
+    return spark.readStream.schema(schema).json(source_dir)

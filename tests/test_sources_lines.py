@@ -80,3 +80,43 @@ def test_stream_lines_tags_source_file(tmp_path, spark):
         assert all(r["src_file"].endswith("a.txt") for r in rows)
     finally:
         q.stop()
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_routing(spark, tmp_path):
+    p = tmp_path / "a.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "x"}\n'
+        'NOT JSON AT ALL\n'
+        '{"id": 2, "name": "y"}\n'
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.lines import read_jsonl
+
+    df = read_jsonl(spark, str(p), "id long, name string")
+    rows = df.collect()
+    good = {(r["id"], r["name"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {(1, "x"), (2, "y")}
+    assert len(bad) == 1 and bad[0]["id"] is None
+
+    with pytest.raises(ValueError):
+        read_jsonl(spark, str(p), "")
+
+
+def test_stream_jsonl(spark, tmp_path):
+    import os
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    (src / "b1.jsonl").write_text('{"id": 1, "name": "x"}\n{"id": 2, "name": "y"}\n')
+    from distributed_file_system_with_stream_processing_spark.sources.lines import stream_jsonl
+
+    stream = stream_jsonl(spark, str(src), "id long, name string")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r["id"], r["name"]) for r in spark.sql("SELECT * FROM jsonl_mem").collect()}
+    assert got == {(1, "x"), (2, "y")}
