@@ -85,11 +85,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     top_k: int = 50,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar doc pairs by n-gram shingle Jaccard.
 
     explode → join on shingle → count shared → Jaccard from set sizes.
     Deterministic order: jaccard desc, then (doc_id_a, doc_id_b).
+
+    ``max_doc_freq`` is the quadratic-blowup guard for the self-join:
+    a shingle appearing in f docs contributes f·(f-1)/2 pairs, so one
+    stop-shingle ("of the and") in 1M docs means 5·10¹¹ join rows. The
+    cap drops shingles with doc-frequency > max_doc_freq BEFORE the
+    join, bounding per-shingle fan-out at C(cap, 2). Stop-shingles
+    carry almost no similarity signal (every doc has them), so capped
+    Jaccard is a tight LOWER bound of exact Jaccard: n_shared only
+    loses ubiquitous shingles while the denominator keeps full set
+    sizes. This is the standard frequency-pruning step in web-scale
+    near-dup pipelines; None (default) keeps exact semantics.
     """
     sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -98,6 +110,17 @@ def ngram_jaccard_pairs(
         sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
+    if max_doc_freq is not None:
+        # shingles are distinct per doc → row count per shingle == doc
+        # frequency. Semi join ships only the shingle column; the agg
+        # is map-side-partial on the same key the join shuffles on.
+        keep = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        ex = ex.join(keep, "shingle", "left_semi")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (

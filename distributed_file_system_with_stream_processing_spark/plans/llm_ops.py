@@ -314,6 +314,39 @@ LIMIT 50
 """
 
 
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram Jaccard with the doc-frequency cap engaged (df <= 50) —
+    the join-fan-out-bounded scale path of dedup_ngram_jaccard (see
+    operators/dedup.py ngram_jaccard_pairs for the C(cap,2) bound
+    argument). Oracle applies the identical cap, so this is exact
+    w.r.t. the capped shingle set."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, top_k=50, max_doc_freq=50
+    )
+
+
+DEDUP_JACCARD_CAPPED_SQL = f"""
+WITH sh AS ({_duck_shingles(3)}),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+exc AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN dfreq USING (shingle) WHERE df <= 50),
+shared AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ns
+    FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shf)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(CAST(ns AS DOUBLE) / (na.n + nb.n - ns), 6) AS jaccard
+FROM shared
+JOIN sizes na ON da = na.doc_id
+JOIN sizes nb ON db = nb.doc_id
+ORDER BY CAST(ns AS DOUBLE) / (na.n + nb.n - ns) DESC, da ASC, db ASC
+LIMIT 50
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
@@ -517,6 +550,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_capped": dedup_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
@@ -538,6 +572,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_jaccard_capped": DEDUP_JACCARD_CAPPED_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
