@@ -79,3 +79,40 @@ def test_salted_agg_rejects_non_decomposable(skewed):
 def test_salt_column_not_leaked(skewed, dim):
     out = K.salted_join(skewed, dim, ["k"], salt=4)
     assert K.SALT_COL not in out.columns
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join handling — the first line of defense
+    before the explicit salted ops above. Build a join where one key
+    owns ~95% of a side, force a sort-merge join, shrink the skew
+    thresholds so local data qualifies, and assert the executed plan
+    actually split the hot partition (the join is marked ``skew=true``).
+    At 100 TB this is the difference between one task processing a
+    hot key's entire shuffle partition and N tasks sharing it."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 200_000, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("v").alias("s"), F.sum("w").alias("t"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
