@@ -277,6 +277,67 @@ WHERE rn = 1
 """
 
 
+def docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data-prep pipeline as ONE declarative plan:
+    exact-dedup (keep first) -> quality gate (length, punctuation
+    ratio, token floor) -> per-(source, lang) mix statistics.
+
+    This is the composition a training-data pipeline actually runs —
+    expressed as a single DataFrame so Catalyst fuses it: the dedup
+    window and the final agg are the only two shuffles; tokenization
+    runs once per surviving row inside the same stage as the quality
+    filters (no materialization between "steps"). At 100 TB: the dedup
+    shuffle keys on the text hash (uniform), the agg on
+    (source, lang) — tiny; everything between is map-side.
+    """
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    surv = (
+        d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    staged = surv.withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
+    gated = staged.filter(
+        (F.col("n_chars") >= 200)
+        & (T.punct_ratio(F.col("text")) < 0.2)
+        & (F.col("_n_tok") >= 30)
+    )
+    return gated.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+DOCS_TRAINING_MIX_SQL = rf"""
+WITH surv AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        ORDER BY doc_id) AS rn
+    FROM documents
+), staged AS (
+    SELECT source, lang, n_chars,
+           CAST(len({_WS}) AS BIGINT) AS n_tok,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS pr
+    FROM surv WHERE rn = 1
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM staged
+WHERE n_chars >= 200 AND pr < 0.2 AND n_tok >= 30
+GROUP BY source, lang
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -547,6 +608,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "docs_training_mix": docs_training_mix,
     "dedup_exact": dedup_exact,
     "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -569,6 +631,7 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "docs_training_mix": DOCS_TRAINING_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
