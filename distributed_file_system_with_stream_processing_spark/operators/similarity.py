@@ -223,3 +223,91 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
     )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 10,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """ANN via int8 scalar quantization + exact re-rank — the
+    memory-bandwidth scale path.
+
+    Each vector is quantized by its OWN absmax to int8
+    (``q_i = round(127 · v_i / absmax)``). Cosine is scale-invariant,
+    so per-vector scaling cancels exactly and no global statistics
+    pass (or driver collect) is needed; the only error is the ±0.5
+    rounding noise. The coarse pass scores candidates on the int8
+    arrays — at 100 TB that is 4-8× less scan/shuffle byte-width than
+    float vectors, which is the entire cost of a brute-force pass —
+    then the top ``k·rerank_factor`` per query are re-ranked at full
+    precision (a hash join back to the float table on neighbor_id,
+    candidate side broadcast since it is queries·k·factor rows).
+
+    Output schema matches ``cosine_topk``; recall vs the exact
+    baseline is pinned in tests/test_ann.py.
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    qz = (
+        e.withColumn("_am", F.when(absmax > 0, absmax).otherwise(F.lit(1.0)))
+        .withColumn(
+            "q8",
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / F.col("_am") * 127).cast("int"),
+            ),
+        )
+        # hoist the int-norm out of the pair loop (one per vector)
+        .withColumn(
+            "n8",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("q8"), F.col("q8"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            ),
+        )
+    )
+    base8 = _spread(qz.filter(F.col("id") >= query_ids_below)).select(
+        F.col("id").alias("neighbor_id"), F.col("q8").alias("bq"), F.col("n8").alias("bn")
+    )
+    q8 = qz.filter(F.col("id") < query_ids_below).select(
+        F.col("id").alias("query_id"), F.col("q8").alias("qq"), F.col("n8").alias("qn")
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("bq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_qs"), F.asc("neighbor_id"))
+    cand = (
+        base8.crossJoin(broadcast(q8))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot8 / (F.col("qn") * F.col("bn"))).alias("_qs"),
+        )
+        .withColumn("_qr", F.row_number().over(wq))
+        .filter(F.col("_qr") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank on the pruned pool, full-precision vectors
+    base_full = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("bv"))
+    q_full = e.filter(F.col("id") < query_ids_below).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        base_full.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("sim"), "rank")
+    )

@@ -596,6 +596,14 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #3 (int8 scalar quantization coarse pass + exact
+    re-rank on k*4 candidates). No SQL oracle (rounding-noise ranking
+    isn't bit-portable); driver records rows-only, tests pin recall —
+    near-1.0 since only int8 rounding separates it from brute force."""
+    return S.quantized_topk(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN (LSH buckets). No SQL oracle: the deterministic
     hyperplane derivation isn't portably expressible; the driver records
@@ -624,6 +632,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_bucketed": ann_ivf_bucketed,
+    "ann_quantized_topk": ann_quantized_topk,
 }
 
 ORACLES = {

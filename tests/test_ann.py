@@ -81,3 +81,25 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.3, recall  # multi-probe IVF with seed centroids
     # every returned similarity must be genuine (subset of real sims)
     assert all(q < 10 and n >= 10 for q, n in approx)
+
+
+def test_quantized_ann_recall_vs_bruteforce(spark):
+    """int8 quantization + exact re-rank: the ONLY approximation is
+    ±0.5 rounding on 127-scaled components, so the coarse pass's
+    k·4 pool virtually always contains the true top-k — demand
+    near-perfect recall (≥0.9), unlike the bucketing paths."""
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, query_ids_below=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.quantized_topk(emb, query_ids_below=10, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    assert all(q < 10 and n >= 10 for q, n in approx)

@@ -82,7 +82,13 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
     # centroid table broadcast (fan-out bounded by K, never a shuffle).
     # Everything else must never loop-join, and nothing may ever
     # cartesian (no broadcast at all).
-    allowed_loop = {"ann_cosine_topk", "embedding_neardup", "ann_ivf_bucketed"}
+    allowed_loop = {
+        "ann_cosine_topk",
+        "embedding_neardup",
+        "ann_ivf_bucketed",
+        # int8 coarse pass is the same queries-broadcast brute-force shape
+        "ann_quantized_topk",
+    }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
