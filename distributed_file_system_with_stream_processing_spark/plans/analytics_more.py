@@ -189,9 +189,50 @@ GROUP BY user_id, session_id
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: for each first-activity month, how
+    many of its users are active k months later. Two hash aggregates
+    (distinct user-months; first month per user) and one join keyed on
+    user_id — the fact table is touched once. The months_since math is
+    pure date arithmetic (integer-exact, engine-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    activity = (
+        e.select("user_id", F.date_trunc("MONTH", F.col("ts")).alias("m")).distinct()
+    )
+    first = activity.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            ).cast("long").alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+),
+first AS (
+    SELECT user_id, min(m) AS cohort FROM activity GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST((year(m) - year(cohort)) * 12 + (month(m) - month(cohort)) AS BIGINT)
+           AS months_since,
+       count(*) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "events_session_window": events_session_window,
+    "events_cohort_retention": events_cohort_retention,
     "top_tokens_per_lang": top_tokens_per_lang,
     "order_percentiles_approx": order_percentiles_approx,
 }
@@ -199,5 +240,6 @@ QUERIES = {
 ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
     "top_tokens_per_lang": TOP_TOKENS_SQL,
 }

@@ -338,6 +338,47 @@ GROUP BY source, lang
 """
 
 
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: include a doc iff
+    ``u32(md5(doc_id)) < n_chars * SCALE`` — inclusion probability
+    proportional to its weight (here length, standing in for a quality
+    score when up/down-sampling a training mix).
+
+    Fully INTEGER comparison: unlike Efraimidis-Spirakis keys
+    (``u^(1/w)``), no transcendental math whose last-ulp could differ
+    between engines — the same rows are selected on Spark, DuckDB, or
+    anything else that can md5. Embarrassingly parallel (no shuffle at
+    all before the tiny per-source rollup), reproducible across runs,
+    partitionings, and cluster sizes — the properties a 100 TB
+    sampling step must have for auditable training-data lineage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    scale = 4_000_000  # n_chars ~ 1e3 -> p ~ n_chars * 4e6 / 2^32 ~ 0.1%-scale per char
+    return (
+        d.filter(u32 < F.col("n_chars") * scale)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = """
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < n_chars * 4000000
+GROUP BY source
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -617,6 +658,7 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "docs_training_mix": docs_training_mix,
+    "docs_weighted_sample": docs_weighted_sample,
     "dedup_exact": dedup_exact,
     "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -641,6 +683,7 @@ ORACLES = {
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "docs_training_mix": DOCS_TRAINING_MIX_SQL,
+    "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
