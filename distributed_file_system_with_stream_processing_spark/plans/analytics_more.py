@@ -229,10 +229,72 @@ GROUP BY 1, 2
 """
 
 
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: dispersion + dependence measures
+    per return flag. All are single-pass decomposable aggregates
+    (partial moments merge associatively), so the plan is the same
+    two-HashAggregate shape as a sum — no extra passes at 100 TB.
+    Rounding: absolute quantities to 2dp, the scale-free correlation
+    to 6dp (float-sum association error is far below both)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+LINEITEM_PRICE_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 2)          AS price_sd,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+       round(corr(l_quantity, l_extendedprice), 6)     AS qty_price_corr,
+       round(avg(l_discount), 6)                       AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram via width_bucket — integer bucket ids, so
+    the groupBy key is exact on any engine. One hash-agg pass; the
+    bucket expression is codegen'd arithmetic, never a UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(24))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# DuckDB has no width_bucket; this is its exact contract spelled out
+# (0 below min, nbins+1 at/above max, else 1 + floor((v-min)/width))
+ORDERS_VALUE_HISTOGRAM_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 25
+            ELSE 1 + floor(o_totalprice / 25000.0) END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
+    "lineitem_price_stats": lineitem_price_stats,
+    "orders_value_histogram": orders_value_histogram,
     "top_tokens_per_lang": top_tokens_per_lang,
     "order_percentiles_approx": order_percentiles_approx,
 }
@@ -241,5 +303,7 @@ ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
+    "lineitem_price_stats": LINEITEM_PRICE_STATS_SQL,
+    "orders_value_histogram": ORDERS_VALUE_HISTOGRAM_SQL,
     "top_tokens_per_lang": TOP_TOKENS_SQL,
 }
