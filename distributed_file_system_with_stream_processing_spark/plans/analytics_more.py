@@ -289,12 +289,44 @@ GROUP BY 1
 """
 
 
+def customer_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (cume_dist): each customer's
+    cumulative-distribution position of account balance within their
+    market segment, for the decile of top customers. cume_dist is
+    rank-count arithmetic (exact rational division — engine-portable,
+    unlike transcendental scores). One shuffle on the segment key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        )
+        .filter(F.col("bal_cume") >= 0.99)
+    )
+
+
+CUSTOMER_CUME_DIST_SQL = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal, bal_cume
+FROM (
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal), 6) AS bal_cume
+    FROM customer
+)
+WHERE bal_cume >= 0.99
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
     "lineitem_price_stats": lineitem_price_stats,
     "orders_value_histogram": orders_value_histogram,
+    "customer_value_cume_dist": customer_value_cume_dist,
     "top_tokens_per_lang": top_tokens_per_lang,
     "order_percentiles_approx": order_percentiles_approx,
 }
@@ -305,5 +337,6 @@ ORACLES = {
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "lineitem_price_stats": LINEITEM_PRICE_STATS_SQL,
     "orders_value_histogram": ORDERS_VALUE_HISTOGRAM_SQL,
+    "customer_value_cume_dist": CUSTOMER_CUME_DIST_SQL,
     "top_tokens_per_lang": TOP_TOKENS_SQL,
 }

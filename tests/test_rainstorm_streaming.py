@@ -149,3 +149,42 @@ def test_stream_into_table_store(spark, dirs):
     total = merged.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
     expect = _batch(spark, 0, 30).filter(F.col("event_type") == "click").count()
     assert total == expect
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static join: each micro-batch hash-joins against a static
+    dimension table (broadcast — no state, no watermark needed; the
+    static side is re-broadcast per batch). The streaming twin of every
+    batch dim join in plans/."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "view", 20.0), (3, "click", 30.0)],
+        "event_id long, event_type string, value double",
+    )
+    events.coalesce(1).write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "impression")],
+        "event_type string, category string",
+    )
+
+    stream = spark.readStream.schema("event_id long, event_type string, value double").parquet(src)
+    joined = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "category", "value"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["event_id"], r["category"], r["value"])
+        for r in spark.sql("SELECT * FROM ss_join_mem").collect()
+    }
+    assert got == {(1, "engagement", 10.0), (2, "impression", 20.0), (3, "engagement", 30.0)}
