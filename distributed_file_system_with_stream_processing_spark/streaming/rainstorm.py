@@ -186,3 +186,89 @@ def stream_into_store(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def neardup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "1 hour",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming near-duplicate detection — the unbounded twin of
+    operators/dedup.simhash_pairs (distributed streaming set-similarity
+    join, as in the ICDE'20 line of work).
+
+    Per-document simhash is a pure column expression
+    (functions.text.simhash32), so it runs inline in each micro-batch —
+    no stateful signature pass. The signature is banded into
+    ``max_hamming + 1`` chunks (pigeonhole: any pair within the hamming
+    budget collides on >= 1 chunk), candidates come from a
+    stream-stream SELF-join on (chunk, value) with BOTH sides
+    watermarked and the match time-bounded by ``within`` — so join
+    state holds only (watermark + within) of banded signatures, the
+    bounded-state requirement for an unbounded stream. Exact hamming
+    verification runs on candidates only; multi-chunk collisions are
+    collapsed by watermark-scoped pair dedup.
+
+    Works identically on a bounded DataFrame (batch twin: watermarks
+    are no-ops, dedup is plain dropDuplicates) — tested equal to the
+    batch simhash_pairs result.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    chunks = max_hamming + 1
+    bits = 32 // chunks
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        T.simhash32(T.shingles(F.col(text_col), n)).alias("simhash"),
+    )
+    banded = sig.select(
+        "id",
+        "ts",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "val",
+        (F.col("simhash") / F.pow(F.lit(2.0), F.col("chunk") * bits)).cast("long")
+        % F.lit(2**bits),
+    )
+    if docs.isStreaming:
+        a = banded.withWatermark("ts", watermark)
+        b = banded.withWatermark("ts", watermark)
+    else:
+        a = b = banded
+    l = a.select(
+        F.col("id").alias("doc_id_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("simhash").alias("sh_a"),
+        F.col("chunk").alias("chunk_a"),
+        F.col("val").alias("val_a"),
+    )
+    r = b.select(
+        F.col("id").alias("doc_id_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("chunk").alias("chunk_b"),
+        F.col("val").alias("val_b"),
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = (
+        l.join(
+            r,
+            (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("val_a") == F.col("val_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"interval {within}"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"interval {within}")),
+        )
+        .filter(hamming <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "ts_a", hamming.alias("hamming"))
+    )
+    if docs.isStreaming:
+        return pairs.dropDuplicatesWithinWatermark(["doc_id_a", "doc_id_b"])
+    return pairs.dropDuplicates(["doc_id_a", "doc_id_b"])

@@ -188,3 +188,63 @@ def test_stream_static_broadcast_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join_mem").collect()
     }
     assert got == {(1, "engagement", 10.0), (2, "impression", 20.0), (3, "engagement", 30.0)}
+
+
+def test_neardup_stream_matches_batch_simhash(spark, tmp_path):
+    """Streaming near-dup: planted near-identical docs across two
+    micro-batch files are detected; the live-stream pair set equals the
+    batch twin AND the batch operator's simhash_pairs ground truth."""
+    import datetime
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        neardup_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog near the riverbank "
+        "while seventeen sleepy pelicans watch from weathered wooden posts "
+        "and the afternoon light settles slowly across the quiet valley "
+        "until every shadow stretches long and thin over the cooling grass".split()
+    )
+    rows1 = [
+        (1, base, t0),
+        (2, "completely unrelated text about parquet row group statistics", t0),
+    ]
+    rows2 = [
+        (3, base + " ok", t0 + datetime.timedelta(minutes=10)),  # near-dup of 1
+        (4, "another distinct document mentioning watermarks and state stores", t0),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    batch_pairs = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in neardup_stream(all_docs).collect()
+    }
+    truth = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.simhash_pairs(all_docs, n=3, max_hamming=3).collect()
+    }
+    assert batch_pairs == truth
+    assert (1, 3) in batch_pairs
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        neardup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.sql("SELECT * FROM neardup_mem").collect()
+    }
+    assert streamed == batch_pairs
