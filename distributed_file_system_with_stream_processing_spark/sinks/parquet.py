@@ -19,6 +19,7 @@ data lives without asking. The Spark-native analogue is data LAYOUT:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -70,6 +71,66 @@ def write_range_clustered(df: DataFrame, path: str, col: str, n_files: int) -> N
     (
         df.repartitionByRange(n_files, col)
         .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) cluster ``df`` on TWO columns — the 2D
+    data-skipping layout (the fourth layout tool beside hive
+    partitioning, hash bucketing, and 1D range clustering above).
+
+    Each dimension is min/max-scaled to ``bits`` bits (bounds read in a
+    4-scalar metadata job — write-side only, never in a query path),
+    the bit strings are interleaved into the Morton key, and files are
+    range-split on that key. Nearby (a, b) points land in the same
+    file, so a reader filtering a box on BOTH columns skips most files
+    via their parquet min/max on the ORIGINAL columns — a 1D layout
+    can only skip on its single sort key. This is what engines like
+    Delta/Databricks OPTIMIZE ZORDER do; expressed here as plain
+    column arithmetic (aggregate over bit positions, no UDF).
+    """
+    lo_a, hi_a, lo_b, hi_b = [
+        float(x)
+        for x in df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+    ]
+    span_a = (hi_a - lo_a) or 1.0
+    span_b = (hi_b - lo_b) or 1.0
+    max_q = (1 << bits) - 1
+
+    def quantize(col: str, lo: float, span: float):
+        scaled = (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * max_q
+        return F.least(F.lit(max_q), F.greatest(F.lit(0), F.round(scaled).cast("long")))
+
+    qa, qb = quantize(col_a, lo_a, span_a), quantize(col_b, lo_b, span_b)
+    # Morton interleave: bit j of a -> position 2j+1, bit j of b -> 2j.
+    # pow(2, n) instead of shiftleft: the shiftleft Python API needs a
+    # literal int, which a lambda-bound position is not (exact in
+    # doubles up to 2^53, far above 2*bits+1).
+    pow2 = lambda n: F.pow(F.lit(2.0), n).cast("long")  # noqa: E731
+    bit = lambda q, j: (q / pow2(j)).cast("long") % 2  # noqa: E731
+    zkey = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + bit(qa, j) * pow2(2 * j + 1)
+        + bit(qb, j) * pow2(2 * j),
+    )
+    (
+        df.withColumn("_z", zkey)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -126,3 +126,43 @@ def test_range_clustered_files_are_disjoint_and_skippable(spark, tmp_path):
         .count()
     )
     assert 1 <= touched <= 3, touched
+
+
+def test_zorder_clustered_prunes_2d_box(spark, tmp_path):
+    """Z-order layout: a box filter on BOTH clustered columns touches a
+    small fraction of files (2D locality), while data is preserved
+    exactly. Contrast: a 1D ts-range layout cannot skip on user_id at
+    all."""
+    from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+        write_zorder_clustered,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts_num", F.col("ts").cast("double")
+    )
+    path = str(tmp_path / "events_z")
+    write_zorder_clustered(events, path, "user_id", "ts_num", 16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+    files_total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert files_total >= 8
+
+    # a ~1/4 x 1/4 box on (user_id, time)
+    uid_lo, uid_hi = 0, 3
+    stats = events.agg(F.min("ts_num"), F.max("ts_num")).first()
+    t_lo = stats[0]
+    t_hi = stats[0] + (stats[1] - stats[0]) / 4
+    box = (
+        (F.col("user_id") >= uid_lo)
+        & (F.col("user_id") <= uid_hi)
+        & (F.col("ts_num") >= t_lo)
+        & (F.col("ts_num") < t_hi)
+    )
+    touched = (
+        back.filter(box).select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched <= files_total // 2, (touched, files_total)
+    # exactness preserved
+    assert back.filter(box).count() == events.filter(box).count()
