@@ -63,8 +63,27 @@ class KeyedUpsertSink:
     def _bucket_path(self, b: int) -> str:
         return os.path.join(self.state_dir, f"bucket={b:05d}")
 
+    def _retired_path(self, b: int) -> str:
+        # ".old-" prefix: never matches the "bucket=" snapshot listing
+        return os.path.join(self.state_dir, f".old-bucket={b:05d}")
+
+    def _recover(self) -> None:
+        """Roll the two-rename swap forward/back after a crash: a
+        retired dir with no live dir means we died between renames —
+        restore it; with a live dir present it is superseded — drop it."""
+        for d in os.listdir(self.state_dir):
+            if not d.startswith(".old-bucket="):
+                continue
+            retired = os.path.join(self.state_dir, d)
+            live = os.path.join(self.state_dir, d[len(".old-") :])
+            if os.path.isdir(live):
+                shutil.rmtree(retired)
+            else:
+                os.rename(retired, live)
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Current state: one row per key (the latest by order_col)."""
+        self._recover()
         dirs = [
             os.path.join(self.state_dir, d)
             for d in sorted(os.listdir(self.state_dir))
@@ -80,6 +99,7 @@ class KeyedUpsertSink:
         """Merge one micro-batch into state, rewriting only touched
         buckets. Deterministic and idempotent per (state, batch)."""
         spark = batch_df.sparkSession
+        self._recover()
         # latest row per key within the batch
         w = Window.partitionBy(self.key).orderBy(F.desc(self.order_col))
         batch_latest = (
@@ -89,8 +109,13 @@ class KeyedUpsertSink:
             .withColumn("_bucket", self._bucket_col())
             .withColumn("_is_new", F.lit(1))
         )
+        # the window dedup feeds both the touched-bucket listing and the
+        # merge below — persist so the partitionBy(key) shuffle runs once
+        # per batch, not twice
+        batch_latest.persist()
         touched = [r["_bucket"] for r in batch_latest.select("_bucket").distinct().collect()]
         if not touched:
+            batch_latest.unpersist()
             return
 
         existing_dirs = [p for b in touched if os.path.isdir(p := self._bucket_path(b))]
@@ -120,14 +145,27 @@ class KeyedUpsertSink:
             .partitionBy("_bucket")
             .parquet(staging)
         )
-        # per-bucket directory swap: replace only touched buckets
+        batch_latest.unpersist()
+        # Per-bucket swap via two renames, never delete-then-rename: a
+        # crash between rmtree and rename would lose the bucket's prior
+        # state with nothing to replay it from (the batch only holds the
+        # keys it touched). With rename→rename, every crash point leaves
+        # either the retired dir or the new dir in place and _recover()
+        # rolls the swap forward or back on the next call.
         for b in touched:
             src = os.path.join(staging, f"_bucket={b}")
             dst = self._bucket_path(b)
+            retired = self._retired_path(b)
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, retired)
             if os.path.isdir(src):
                 os.rename(src, dst)
+            elif os.path.isdir(retired):
+                # batch produced no rows for this bucket (cannot happen
+                # for touched buckets, but stay crash-safe): restore
+                os.rename(retired, dst)
+            if os.path.isdir(retired) and os.path.isdir(dst):
+                shutil.rmtree(retired)
         shutil.rmtree(staging, ignore_errors=True)
 
     def writer(self):

@@ -85,3 +85,30 @@ def test_stream_upsert_end_to_end(spark, tmp_path):
     q = stream_upsert(spark, src, SCHEMA, ckpt, sink)
     q.awaitTermination(120)
     assert _state(sink, spark) == {1: ("a9", 9), 2: ("b", 1), 3: ("c", 1)}
+
+
+def test_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """Crash in the worst swap window (bucket retired, replacement not
+    yet renamed in): the next call must roll the swap back — no key may
+    ever vanish from the snapshot."""
+    import shutil
+
+    sink = KeyedUpsertSink(str(tmp_path / "s"), key="k", order_col="ver", n_buckets=4)
+    sink.apply_batch(_df(spark, [(i, "x", 1) for i in range(12)]), 0)
+    before = _state(sink, spark)
+
+    # simulate: crash left one bucket renamed aside and nothing in its place
+    victim = sorted(os.listdir(sink.state_dir))[0]
+    os.rename(
+        os.path.join(sink.state_dir, victim),
+        os.path.join(sink.state_dir, f".old-{victim}"),
+    )
+    assert _state(sink, spark) == before  # rolled back, nothing lost
+
+    # simulate: crash after the new dir landed but before retiring cleanup
+    shutil.copytree(
+        os.path.join(sink.state_dir, victim),
+        os.path.join(sink.state_dir, f".old-{victim}"),
+    )
+    assert _state(sink, spark) == before  # stale retired dir dropped
+    assert not any(d.startswith(".old-") for d in os.listdir(sink.state_dir))
