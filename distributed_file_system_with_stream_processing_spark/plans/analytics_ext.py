@@ -326,8 +326,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       sum(k)  AS sum_k,
-       max(k)  AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS INT)    AS max_k,
        CAST(count(*) FILTER (WHERE k > 50) AS BIGINT) AS n_big
 FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
 GROUP BY event_type

@@ -32,6 +32,39 @@ for _m in _MODULES:
         QUERIES[_name] = _fn
     ORACLES.update(_m.ORACLES)
 
+# The driver verifies queries in enumeration order and may cap the run
+# (round 1 covered exactly the first 50 of 70). Front-load the entries
+# that still need a driver CORRECTNESS row — the round-1 uncovered
+# LLM-pipeline set, then the round-1 red row — so any cap hits entries
+# whose hard signal is already recorded, not the ones still waiting.
+_FRONT = [
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "docs_training_mix",
+    "docs_weighted_sample",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "text_redact_pii",
+    "docs_systematic_sample",
+    "docs_stratified_sample",
+    "multimodal_image_stats",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_bucketed",
+    "ann_ivf_bucketed",
+    "ann_quantized_topk",
+    "events_json_extract",
+]
+_missing = [n for n in _FRONT if n not in QUERIES]
+if _missing:
+    raise ValueError(f"registry front-order names unknown: {_missing}")
+QUERIES = {n: QUERIES[n] for n in (*_FRONT, *(k for k in QUERIES if k not in _FRONT))}
+
 
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
