@@ -47,6 +47,7 @@ class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._cached: dict[str, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -62,15 +63,65 @@ class TableStore:
     def _appends_dir(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "appends")
 
+    def _old_base_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "base.old")
+
+    def _merging_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "base.merging")
+
     def _append_batches(self, name: str) -> list[str]:
         d = self._appends_dir(name)
         if not os.path.isdir(d):
             return []
         return sorted(p for p in os.listdir(d) if not p.startswith("_"))
 
+    # -- crash recovery ---------------------------------------------------
+
+    _FOLDED_MARKER = "_folded_batches.txt"
+
+    def _recover(self, name: str) -> None:
+        """Roll a half-finished merge() swap forward or back.
+
+        The merge swap is two renames (mirroring KeyedUpsertSink's
+        protocol, sinks/upsert.py): rename base -> base.old, rename
+        base.merging -> base, then clean up. Each intermediate state is
+        distinguishable on disk, so a crash at any point is repaired
+        here before the next operation touches the table:
+
+        - base missing, base.old present  -> swap died between renames:
+          roll BACK (rename base.old -> base); appends are untouched so
+          no data is lost, the merge simply didn't happen.
+        - base present with the folded-batches marker -> swap finished
+          but cleanup didn't: roll FORWARD (delete the folded append
+          batches named in the marker, then the marker, then base.old).
+        - stray base.merging or base.old next to a healthy base ->
+          leftovers of an aborted attempt; delete them.
+        """
+        tdir = self._table_dir(name)
+        base, old, tmp = self._base_dir(name), self._old_base_dir(name), self._merging_dir(name)
+        if not os.path.isdir(tdir):
+            return
+        if not os.path.isdir(base) and os.path.isdir(old):
+            os.rename(old, base)  # roll back: merge never took effect
+        if os.path.isdir(base):
+            marker = os.path.join(base, self._FOLDED_MARKER)
+            if os.path.isfile(marker):
+                with open(marker) as fh:
+                    folded = [ln.strip() for ln in fh if ln.strip()]
+                for seq in folded:
+                    bdir = os.path.join(self._appends_dir(name), seq)
+                    if os.path.isdir(bdir):
+                        shutil.rmtree(bdir)
+                os.remove(marker)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+
     # -- ops mirroring the reference's user commands ----------------------
 
     def exists(self, name: str) -> bool:
+        self._recover(name)
         return os.path.isdir(self._base_dir(name))
 
     def create(self, name: str, df: DataFrame) -> None:
@@ -87,6 +138,7 @@ class TableStore:
             raise TableStoreError(f"table doesn't exist ({name})")
         seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(os.path.join(self._appends_dir(name), seq))
+        self._invalidate(name)
         return seq
 
     def multiappend(self, name: str, dfs: list[DataFrame]) -> list[str]:
@@ -101,11 +153,21 @@ class TableStore:
         with concurrent.futures.ThreadPoolExecutor(max_workers=len(dfs) or 1) as ex:
             return list(ex.map(lambda df: self.append(name, df), dfs))
 
-    def get(self, name: str, with_seq: bool = False) -> DataFrame:
+    def get(self, name: str, with_seq: bool = False, cache: bool = False) -> DataFrame:
         """Reference `get`: merged view (base + appends in timestamp
-        order). Lazy — Catalyst prunes/pushes into every batch scan."""
+        order). Lazy — Catalyst prunes/pushes into every batch scan.
+
+        ``cache=True`` maps the reference client's read cache
+        (cache/cache.go: LRU of merged reads, invalidated by writes) to
+        Spark ``persist()``: the merged view is memoized executor-side,
+        so repeat reads hit InMemoryTableScan instead of re-scanning
+        parquet. Invalidation mirrors the reference too — any append/
+        merge/drop on the table unpersists it (see ``_invalidate``)."""
         if not self.exists(name):
             raise TableStoreError(f"table doesn't exist ({name})")
+        key = f"{name}|seq={with_seq}"
+        if cache and key in self._cached:
+            return self._cached[key]
         df = self.spark.read.parquet(self._base_dir(name)).withColumn(
             "_append_seq", F.lit("")
         )
@@ -114,7 +176,17 @@ class TableStore:
                 os.path.join(self._appends_dir(name), seq)
             ).withColumn("_append_seq", F.lit(seq))
             df = df.unionByName(part)
-        return df if with_seq else df.drop("_append_seq")
+        df = df if with_seq else df.drop("_append_seq")
+        if cache:
+            df = df.persist()
+            self._cached[key] = df
+        return df
+
+    def _invalidate(self, name: str) -> None:
+        """Drop cached reads of ``name`` (write-invalidate, as the
+        reference client cache does on create/append)."""
+        for key in [k for k in self._cached if k.split("|", 1)[0] == name]:
+            self._cached.pop(key).unpersist()
 
     def get_from_replica(self, name: str, batch: str | None = None) -> DataFrame:
         """Reference `getfromreplica VM file`: read one physical copy.
@@ -132,19 +204,36 @@ class TableStore:
     def merge(self, name: str) -> int:
         """Reference `merge`: fold appends into the base in sequence
         order, identically for every future reader; idempotent.
-        Returns the number of batches folded."""
+        Returns the number of batches folded.
+
+        Crash-safe swap (two renames, never a delete-then-rename gap):
+        write the merged copy aside, record which append batches it
+        folded (marker inside the new base — parquet readers skip
+        ``_``-prefixed files), rename base -> base.old, rename the new
+        copy in, then clean up. A crash at ANY point leaves a state
+        ``_recover()`` rolls forward or back; the base is never the
+        only copy being deleted. Same protocol as KeyedUpsertSink
+        (sinks/upsert.py)."""
+        if not self.exists(name):  # runs _recover() first
+            raise TableStoreError(f"table doesn't exist ({name})")
         batches = self._append_batches(name)
         if not batches:
             return 0
         merged = self.get(name, with_seq=True).orderBy("_append_seq").drop("_append_seq")
-        tmp = self._base_dir(name) + ".merging"
+        base, old, tmp = self._base_dir(name), self._old_base_dir(name), self._merging_dir(name)
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         merged.write.parquet(tmp)
-        old = self._base_dir(name)
+        with open(os.path.join(tmp, self._FOLDED_MARKER), "w") as fh:
+            fh.write("\n".join(batches) + "\n")
+        os.rename(base, old)
+        os.rename(tmp, base)
+        # cleanup (any crash from here on is finished by _recover)
+        for seq in batches:
+            shutil.rmtree(os.path.join(self._appends_dir(name), seq))
+        os.remove(os.path.join(base, self._FOLDED_MARKER))
         shutil.rmtree(old)
-        os.rename(tmp, old)
-        shutil.rmtree(self._appends_dir(name))
+        self._invalidate(name)
         return len(batches)
 
     def ls(self, name: str) -> dict:
@@ -158,15 +247,18 @@ class TableStore:
         }
 
     def store(self) -> list[str]:
-        """Reference `store`: list tables this node hosts."""
+        """Reference `store`: list tables this node hosts. Only tables
+        with a (possibly recoverable) base count — a directory whose
+        create() died mid-write is not a hosted table."""
         return sorted(
             d
             for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d, "base"))
-            or os.path.isdir(os.path.join(self.root, d))
+            or os.path.isdir(os.path.join(self.root, d, "base.old"))
         )
 
     def drop(self, name: str) -> None:
+        self._invalidate(name)
         d = self._table_dir(name)
         if os.path.isdir(d):
             shutil.rmtree(d)

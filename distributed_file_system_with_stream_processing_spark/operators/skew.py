@@ -26,10 +26,16 @@ SALT_COL = "_skew_salt"
 
 
 def _with_probe_salt(df: DataFrame, salt: int) -> DataFrame:
-    # deterministic-enough spread: hash of a per-row id; the salt value
-    # never affects results, only which reducer gets the row
+    # Deterministic spread derived from ROW CONTENT, not
+    # monotonically_increasing_id(): a non-deterministic salt feeding a
+    # shuffle makes task retries recompute different ids (correct only
+    # via Spark's indeterminate-stage rollback) and blocks optimizer
+    # pushdown through the projection. xxhash64 over all columns keeps
+    # retries reproducible; identical rows co-locating on one reducer is
+    # fine — the salt exists to split KEYS, and duplicate full rows are
+    # a bounded sliver of any real hot key.
     return df.withColumn(
-        SALT_COL, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
     )
 
 

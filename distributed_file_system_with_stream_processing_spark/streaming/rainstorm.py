@@ -147,7 +147,10 @@ def join_streams(
     cond = (
         (l[key] == r[key])
         & (r[right_ts] >= l[left_ts])
-        & (r[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+        # keep the bound anchored to the LEFT frame's column: a by-name
+        # F.expr reference is ambiguous when both streams use the same
+        # timestamp column name (the common case)
+        & (r[right_ts] <= l[left_ts] + F.expr(f"interval {within}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
 
@@ -222,10 +225,20 @@ def neardup_stream(
 
     chunks = max_hamming + 1
     bits = 32 // chunks
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(ts_col).alias("ts"),
-        T.simhash32(T.shingles(F.col(text_col), n)).alias("simhash"),
+    # Docs shorter than n words have an EMPTY shingle set, whose simhash
+    # degenerates to all-ones (every bit-balance is 0 and 0 >= 0 sets the
+    # bit) — all such docs would pair with each other at hamming 0.
+    # Exclude them before signing, matching the batch operator's
+    # explode_outer + isNotNull exclusion (operators/dedup.py), so the
+    # documented batch-twin equality holds on short-doc streams.
+    sig = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("ts"),
+            T.shingles(F.col(text_col), n).alias("_shingles"),
+        )
+        .where(F.size("_shingles") > 0)
+        .select("id", "ts", T.simhash32(F.col("_shingles")).alias("simhash"))
     )
     banded = sig.select(
         "id",

@@ -112,3 +112,86 @@ def test_cli_roundtrip(spark, tmp_path):
     assert run("get", "t") == 0
     assert run("store") == 0
     assert run("list_mem_ids") == 0
+
+
+# -- crash-safe merge swap (ADVICE r1: two-rename protocol) -------------
+
+
+def _crash_states(store, spark):
+    """Build a table mid-merge and return (base, old, tmp, appends)."""
+    import os
+
+    store.create("t", _df(spark, [(0, "base")]))
+    store.append("t", _df(spark, [(1, "a")]))
+    return (
+        store._base_dir("t"),
+        store._old_base_dir("t"),
+        store._merging_dir("t"),
+        store._appends_dir("t"),
+    )
+
+
+def test_merge_crash_between_renames_rolls_back(store, spark):
+    """Crash after base->base.old but before tmp->base: recovery rolls
+    BACK; base is restored and the pending append survives, so a later
+    merge completes normally (no data loss — the old rmtree-then-rename
+    gap lost the base entirely)."""
+    import os
+
+    base, old, tmp, _ = _crash_states(store, spark)
+    # simulate: merged copy written aside, first rename done, then crash
+    store.get("t", with_seq=True).orderBy("_append_seq").drop(
+        "_append_seq"
+    ).write.parquet(tmp)
+    os.rename(base, old)
+    assert not os.path.isdir(base)
+    assert store.exists("t")  # recovery rolled base.old back in
+    assert sorted(r["id"] for r in store.get("t").collect()) == [0, 1]
+    assert store.merge("t") == 1  # merge still works after recovery
+    assert sorted(r["id"] for r in store.get("t").collect()) == [0, 1]
+
+
+def test_merge_crash_before_cleanup_rolls_forward(store, spark):
+    """Crash after both renames but before append cleanup: the folded
+    batches are named in the marker; recovery deletes exactly them (no
+    double-fold duplicating rows) and clears base.old."""
+    import os
+
+    base, old, tmp, appends = _crash_states(store, spark)
+    batches = store._append_batches("t")
+    merged = store.get("t", with_seq=True).orderBy("_append_seq").drop("_append_seq")
+    merged.write.parquet(tmp)
+    with open(os.path.join(tmp, store._FOLDED_MARKER), "w") as fh:
+        fh.write("\n".join(batches) + "\n")
+    os.rename(base, old)
+    os.rename(tmp, base)
+    # crash here: marker present, base.old present, appends not cleaned
+    assert store.exists("t")
+    assert store.ls("t")["pending_appends"] == []
+    assert not os.path.isdir(old)
+    assert sorted(r["id"] for r in store.get("t").collect()) == [0, 1]
+
+
+def test_store_ignores_baseless_dirs(store, spark):
+    """A directory whose create() died mid-write (no base) is not a
+    hosted table (ADVICE r1: the old second disjunct was always true)."""
+    import os
+
+    store.create("real", _df(spark, [(1, "a")]))
+    os.makedirs(os.path.join(store.root, "half-created"))
+    assert store.store() == ["real"]
+
+
+# -- read cache (VERDICT r1 #10: reference cache/cache.go analogue) -----
+
+
+def test_get_cache_hits_memory_and_invalidates(store, spark):
+    store.create("t", _df(spark, [(1, "a")]))
+    first = store.get("t", cache=True)
+    first.count()  # materialize the cache
+    second = store.get("t", cache=True)
+    assert "InMemoryTableScan" in second._jdf.queryExecution().executedPlan().toString()
+    # write-invalidate: an append unpersists, next read sees new data
+    store.append("t", _df(spark, [(2, "b")]))
+    after = store.get("t", cache=True)
+    assert sorted(r["id"] for r in after.collect()) == [1, 2]

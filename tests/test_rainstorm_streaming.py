@@ -248,3 +248,67 @@ def test_neardup_stream_matches_batch_simhash(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_mem").collect()
     }
     assert streamed == batch_pairs
+
+
+def test_neardup_stream_drops_short_docs(spark):
+    """ADVICE r1: docs shorter than n words have an empty shingle set
+    whose simhash degenerates to all-ones — every such doc would pair
+    with every other at hamming 0. The batch operator excludes them;
+    the stream path must too (batch-twin equality on short-doc data)."""
+    import datetime
+
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        neardup_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = spark.createDataFrame(
+        [(1, "hi", t0), (2, "ok", t0), (3, "no", t0), (4, "yo", t0)],
+        "doc_id long, text string, ts timestamp",
+    )
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in neardup_stream(docs).collect()}
+    truth = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.simhash_pairs(docs, n=3, max_hamming=3).collect()
+    }
+    assert pairs == truth == set()
+
+
+def test_join_streams_same_ts_column_name(spark, tmp_path):
+    """ADVICE r1: when both streams name their event-time column 'ts'
+    (the common case) the within-bound must stay bound to the LEFT
+    frame — a by-name F.expr reference is ambiguous and used to raise
+    AnalysisException."""
+    import datetime
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        join_streams,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "k long, ts timestamp"
+    la, rb = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(la), os.makedirs(rb)
+    spark.createDataFrame(
+        [(1, t0), (2, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(la)
+    spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=30)),  # within 1h of left 1
+         (2, t0 + datetime.timedelta(hours=3))],    # outside the bound
+        schema,
+    ).coalesce(1).write.mode("append").parquet(rb)
+
+    left = spark.readStream.schema(schema).parquet(la)
+    right = spark.readStream.schema(schema).parquet(rb)
+    joined = join_streams(left, right, key="k", left_ts="ts", right_ts="ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("js_same_ts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [r["k"] for r in spark.sql("SELECT * FROM js_same_ts").collect()]
+    assert got == [1]
