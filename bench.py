@@ -57,7 +57,16 @@ def main() -> None:
         "events_range_join",
         "lineitem_grouping_sets",
         "order_percentiles_approx",
-        "dedup_jaccard_capped",
+        # renamed in round 2: the df-capped plan (benched in round 1 as
+        # dedup_jaccard_capped) is now the primary dedup_ngram_jaccard
+        "dedup_ngram_jaccard",
+        # round-2 additions: the scale-path ANN variants headline so
+        # regressions in the 100 TB shapes are caught, not just the
+        # brute-force baseline (embedding_neardup is now the banded
+        # scale path; the brute twin lives in embedding_neardup_exact)
+        "ann_quantized_topk",
+        "ann_ivf_bucketed",
+        "ann_lsh_bucketed",
     ]
     headline = [q for q in headline if q in QUERIES]
 

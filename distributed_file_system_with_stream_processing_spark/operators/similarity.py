@@ -88,23 +88,35 @@ def cosine_neardup_pairs(
     )
 
 
-def _hyperplanes(dim: int, planes: int):
-    """Deterministic pseudo-random hyperplane matrix as ONE parsed
-    array literal: component (p, d) = (hash32('p|{p}|d|{d}') % 2001
-    - 1000) / 1000, with hash32 evaluated in PYTHON (same md5-prefix
-    formula as functions.text.hash32) so the driver ships a single
-    constant expression instead of building dim×planes md5 expression
-    trees through py4j (which dominated wall time: ~4s of plan
-    construction per query invocation)."""
+def hyperplane_matrix(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix as PYTHON floats:
+    component (p, d) = (hash32('p|{p}|d|{d}') % 2001 - 1000) / 1000,
+    with hash32 the same md5-prefix formula as functions.text.hash32.
+    Exposed so oracle SQL can embed the IDENTICAL literals — the plane
+    family is engine-portable by construction (3-decimal values parse
+    to the same doubles everywhere)."""
     import hashlib
 
-    rows = []
+    out = []
     for p in range(planes):
         comps = []
         for d in range(dim):
             h = int(hashlib.md5(f"p|{p}|d|{d}".encode()).hexdigest()[:8], 16)
             comps.append((h % 2001 - 1000) / 1000.0)
-        rows.append("array(" + ",".join(f"{c}D" for c in comps) + ")")
+        out.append(comps)
+    return out
+
+
+def _hyperplanes(dim: int, planes: int):
+    """hyperplane_matrix as ONE parsed array literal, evaluated in
+    PYTHON so the driver ships a single constant expression instead of
+    building dim×planes md5 expression trees through py4j (which
+    dominated wall time: ~4s of plan construction per query
+    invocation)."""
+    rows = [
+        "array(" + ",".join(f"{c}D" for c in comps) + ")"
+        for comps in hyperplane_matrix(dim, planes)
+    ]
     return F.expr("array(" + ",".join(rows) + ")")
 
 
@@ -159,6 +171,100 @@ def lsh_ann(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )
+
+
+def banded_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate pairs: sign-LSH banding →
+    band equi-join candidates → exact cosine verify (id_a < id_b).
+
+    Semantics are EXACT and deterministic for a fixed plane family:
+    a pair is emitted iff it collides in ≥1 of the ``bands`` sign-bit
+    bands AND its true cosine ≥ ``threshold`` — the pigeonhole pattern
+    proven in dedup.simhash_pairs. Output ⊆ the brute-force pair set;
+    recall on genuinely-near pairs rises with cosine (identical
+    vectors share every band, so recall 1.0 on true duplicates) and is
+    pinned vs brute force in tests/test_ann.py.
+
+    100 TB shape: per-vector signature is a narrow map (bands ×
+    rows_per_band dot products, whole-stage codegen); candidates come
+    from an equi-join on (band_id, band_key) — high-cardinality keys
+    (``rows_per_band`` bits per band; raise to 16 bits at petabyte
+    corpus sizes), no crossJoin / broadcast of the table, per-bucket
+    fan-out C(bucket,2) bounded by band width. The brute-force twin
+    ``cosine_neardup_pairs`` stays registered as
+    ``embedding_neardup_exact`` — the correctness baseline.
+    """
+    n_planes = bands * rows_per_band
+    planes_col = _hyperplanes(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+
+    def band_key(b: int):
+        # sum_{r} 2^r · [dot(plane[b·rpb+r], v) ≥ 0] — same sequential
+        # left-to-right double accumulation as the DuckDB oracle
+        base = b * rows_per_band
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.element_at(planes_col, (r + F.lit(base + 1)).cast("int")),
+                        F.col("v"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), r).cast("long"),
+            ).otherwise(0),
+        )
+
+    # explode_outer: keeps InferFiltersFromGenerate from re-inlining
+    # all band-key dot products as a pushed scan predicate (see
+    # dedup._exploded_shingles for the same guard)
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band_id"), band_key(b).alias("band_key"))
+            for b in range(bands)
+        ]
+    )
+    sig = (
+        _spread(e)
+        .select("id", "v", "nrm", F.explode_outer(bands_arr).alias("bk"))
+        .filter(F.col("bk").isNotNull())
+        .select("id", "v", "nrm", "bk.band_id", "bk.band_key")
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+        "band_id", "band_key",
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        "band_id", "band_key",
+    )
+    sim = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in k bands appears k times with identical
+        # payloads — dedupe BEFORE the cosine verify so the dot runs
+        # once per candidate pair
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 6).alias("sim"))
     )
 
 

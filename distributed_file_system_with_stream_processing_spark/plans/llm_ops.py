@@ -393,10 +393,26 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY n-gram Jaccard path: doc-frequency cap (df ≤ 50)
+    engaged by default — one stop-shingle in 1M docs would otherwise
+    produce C(1M,2) join rows; the cap bounds per-shingle fan-out at
+    C(50,2) (see operators/dedup.py ngram_jaccard_pairs). Oracle
+    applies the identical cap, so the result is exact w.r.t. the
+    capped shingle set. The uncapped twin stays registered as
+    dedup_ngram_jaccard_exact for small corpora."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, top_k=50, max_doc_freq=50
+    )
+
+
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped exact Jaccard — quadratic per-shingle fan-out; small
+    corpora only (the docstring bound argument in operators/dedup.py
+    explains why this cannot headline at 100 TB)."""
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, top_k=50)
 
 
-DEDUP_JACCARD_SQL = f"""
+DEDUP_JACCARD_EXACT_SQL = f"""
 WITH sh AS ({_duck_shingles(3)}),
 shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
@@ -416,18 +432,7 @@ LIMIT 50
 """
 
 
-def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ngram Jaccard with the doc-frequency cap engaged (df <= 50) —
-    the join-fan-out-bounded scale path of dedup_ngram_jaccard (see
-    operators/dedup.py ngram_jaccard_pairs for the C(cap,2) bound
-    argument). Oracle applies the identical cap, so this is exact
-    w.r.t. the capped shingle set."""
-    return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, top_k=50, max_doc_freq=50
-    )
-
-
-DEDUP_JACCARD_CAPPED_SQL = f"""
+DEDUP_JACCARD_SQL = f"""
 WITH sh AS ({_duck_shingles(3)}),
 shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
@@ -573,10 +578,26 @@ FROM r WHERE rank <= 5
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: sign-LSH banding → band equi-join → exact
+    cosine verify. Semantics: band-collide ∩ cosine≥t, deterministic
+    for the fixed md5-derived plane family — the oracle replicates the
+    IDENTICAL banding (portable plane literals), so this is a full
+    value-hash row, not rows-only. Brute force stays registered as
+    embedding_neardup_exact."""
+    return S.banded_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35, bands=8, rows_per_band=8, dim=64,
+    )
+
+
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force O(n²) twin — the correctness baseline the banded
+    operator's recall is pinned against (tests/test_ann.py). Not the
+    100 TB path; registered for oracle parity on small SFs."""
     return S.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-EMBEDDING_NEARDUP_SQL = f"""
+EMBEDDING_NEARDUP_EXACT_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -586,6 +607,88 @@ s AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
+"""
+
+
+def _planes_values_sql(dim: int, planes: int) -> str:
+    """The Spark-side hyperplane family as a DuckDB VALUES block —
+    identical Python-float literals, so both engines sign-test against
+    bit-identical planes."""
+    mat = S.hyperplane_matrix(dim, planes)
+    return ",\n".join(
+        f"({p}, [{', '.join(repr(c) for c in comps)}]::DOUBLE[])"
+        for p, comps in enumerate(mat)
+    )
+
+
+# band_key bit r of band b comes from plane b·8+r — pid//8 groups,
+# 1<<(pid%8) weights, matching banded_neardup_pairs exactly
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(pid, pv) AS (VALUES
+{_planes_values_sql(64, 64)}
+),
+bit AS (
+    SELECT e.vec_id, p.pid,
+           CASE WHEN {_DOT.format(a='p.pv', b='e.v')} >= 0
+                THEN CAST(1 << (p.pid % 8) AS BIGINT) ELSE 0 END AS contrib
+    FROM e CROSS JOIN planes p
+),
+sig AS (
+    SELECT vec_id, pid // 8 AS band_id, SUM(contrib) AS band_key
+    FROM bit GROUP BY vec_id, pid // 8
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sig a JOIN sig b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                         AND a.vec_id < b.vec_id
+),
+s AS (
+    SELECT c.id_a, c.id_b,
+           {_DOT.format(a='ea.v', b='eb.v')} /
+           (sqrt({_DOT.format(a='ea.v', b='ea.v')}) * sqrt({_DOT.format(a='eb.v', b='eb.v')})) AS sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
+"""
+
+
+# ann_lsh_bucketed: same portable-plane trick upgrades it from
+# rows-only to a full value-hash oracle (single 8-bit bucket, 8 planes)
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(pid, pv) AS (VALUES
+{_planes_values_sql(64, 8)}
+),
+bit AS (
+    SELECT e.vec_id, p.pid,
+           CASE WHEN {_DOT.format(a='p.pv', b='e.v')} >= 0
+                THEN CAST(1 << p.pid AS BIGINT) ELSE 0 END AS contrib
+    FROM e CROSS JOIN planes p
+),
+sig AS (SELECT vec_id, SUM(contrib) AS bucket FROM bit GROUP BY vec_id),
+q AS (
+    SELECT e.vec_id AS query_id, e.v AS qv, s.bucket AS qb
+    FROM e JOIN sig s USING (vec_id) WHERE e.vec_id < 10
+),
+b AS (
+    SELECT e.vec_id AS neighbor_id, e.v AS bv, s.bucket AS bb
+    FROM e JOIN sig s USING (vec_id) WHERE e.vec_id >= 10
+),
+s AS (
+    SELECT query_id, neighbor_id,
+           {_DOT.format(a='qv', b='bv')} /
+           (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='bv', b='bv')})) AS sim
+    FROM b JOIN q ON bb = qb
+),
+r AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
 """
 
 
@@ -646,9 +749,11 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN (LSH buckets). No SQL oracle: the deterministic
-    hyperplane derivation isn't portably expressible; the driver records
-    a rows-only check and tests/test_ann.py pins recall vs brute force."""
+    """Scale-path ANN (LSH buckets). Full value-hash oracle: the
+    md5-derived hyperplanes are driver-side Python literals, so the
+    identical plane matrix is embedded in the DuckDB SQL (ANN_LSH_SQL)
+    and both engines bucket bit-identically. Recall vs brute force
+    additionally pinned in tests/test_ann.py."""
     return S.lsh_ann(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
@@ -662,7 +767,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_first": dedup_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_jaccard_capped": dedup_jaccard_capped,
+    "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
@@ -672,6 +777,7 @@ QUERIES = {
     "multimodal_image_stats": multimodal_image_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_exact": embedding_neardup_exact,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_bucketed": ann_ivf_bucketed,
     "ann_quantized_topk": ann_quantized_topk,
@@ -687,7 +793,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
-    "dedup_jaccard_capped": DEDUP_JACCARD_CAPPED_SQL,
+    "dedup_ngram_jaccard_exact": DEDUP_JACCARD_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
@@ -697,5 +803,6 @@ ORACLES = {
     "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
-    # ann_lsh_bucketed intentionally has no oracle (rows-only check).
+    "embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
 }

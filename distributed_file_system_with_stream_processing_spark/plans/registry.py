@@ -45,7 +45,7 @@ _FRONT = [
     "dedup_exact",
     "dedup_keep_first",
     "dedup_ngram_jaccard",
-    "dedup_jaccard_capped",
+    "dedup_ngram_jaccard_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
@@ -55,6 +55,7 @@ _FRONT = [
     "multimodal_image_stats",
     "ann_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_exact",
     "ann_lsh_bucketed",
     "ann_ivf_bucketed",
     "ann_quantized_topk",

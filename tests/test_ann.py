@@ -53,6 +53,43 @@ def test_neardup_pairs_symmetric_planted(emb):
     assert {(0, 10), (1, 11), (2, 12)} <= pairs
 
 
+def test_banded_neardup_finds_planted_copies(emb):
+    # identical vectors share every sign-band → banded recall on true
+    # duplicates is 1.0 regardless of the plane draw
+    res = S.banded_neardup_pairs(emb, threshold=0.999, bands=4, rows_per_band=4, dim=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    assert {(0, 10), (1, 11), (2, 12)} <= pairs
+
+
+def test_banded_neardup_subset_of_bruteforce(spark):
+    """Banded semantics = band-collide ∩ cosine≥t: every emitted pair
+    must exist in the brute-force set with the same rounded sim."""
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.banded_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    assert banded, "banded result empty at sf0.001"
+    for pair, sim in banded.items():
+        assert pair in brute and brute[pair] == sim
+
+
+def test_banded_neardup_plan_no_loop_join(spark):
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = S.banded_neardup_pairs(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_ann_recalls_identical_vector(emb):
     # identical vectors always share an LSH bucket → recall of the
     # planted copy is guaranteed regardless of plane draw

@@ -84,7 +84,7 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
     # cartesian (no broadcast at all).
     allowed_loop = {
         "ann_cosine_topk",
-        "embedding_neardup",
+        "embedding_neardup_exact",
         "ann_ivf_bucketed",
         # int8 coarse pass is the same queries-broadcast brute-force shape
         "ann_quantized_topk",
