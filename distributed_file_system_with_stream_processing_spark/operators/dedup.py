@@ -297,56 +297,91 @@ def simhash_pairs(
     )
 
 
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage truncation for iterative plans. ``localCheckpoint`` is
+    executor-local — fast, but a lost executor kills the truncated
+    lineage, so at 100 TB use ``reliable=True`` (fault-tolerant
+    ``checkpoint()`` to the session's checkpoint dir, which the caller
+    must have set via ``sparkContext.setCheckpointDir``)."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 15,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation — turns
-    pairwise near-dup edges into duplicate CLUSTERS (the step after
-    MinHash: pick one canonical doc per component).
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — turns pairwise near-dup edges into duplicate CLUSTERS
+    (the step after MinHash: pick one canonical doc per component).
 
-    Pure DataFrame joins, all data stays distributed; the driver loop
-    only checks the converged flag. Converges in O(component diameter)
-    iterations — near-dup clusters are dense, so 2-4 in practice.
-    ``localCheckpoint`` truncates lineage each round (the plan would
-    otherwise grow exponentially). Returns (node, cluster_id) with
-    cluster_id = min node id in the component.
+    Each round is two edge rewrites, both pure groupBy/join plans:
+
+    - large-star: per node u over its symmetric neighborhood N(u),
+      with m = min(N(u) ∪ {u}), rewire every LARGER neighbor v > u to
+      (v, m);
+    - small-star: orient each edge toward its larger endpoint, per
+      node a with smaller-neighbors N(a), m = min(N(a)), rewire
+      (b, m) for b ∈ N(a) plus (a, m).
+
+    Converges to min-centered stars in O(log² n) rounds regardless of
+    component DIAMETER — plain min-label propagation needs O(diameter)
+    rounds, which is the scale risk for chain-shaped near-dup
+    components (doc A ~ B ~ C ~ … pile-ups). The driver loop only
+    checks a one-row converged probe; all data stays distributed.
+    Lineage is truncated each round (else the plan grows
+    exponentially); pass ``reliable_checkpoint=True`` at scale — see
+    ``_ckpt``. Returns (node, cluster_id) with cluster_id = min node
+    id in the component; nodes with no edge are not emitted (same
+    contract as before).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    e = _ckpt(e, reliable_checkpoint)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # small-star (edges oriented large→small, so m = min(N(a)))
+        oriented = ls.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct()
+        minb = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        new_e = (
+            oriented.join(minb, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .unionByName(minb.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
+        new_e = _ckpt(new_e, reliable_checkpoint)
+        # fixed point: edge sets equal (one-row short-circuit probe each way)
+        grew = new_e.exceptAll(e).limit(1).count()
+        shrank = e.exceptAll(new_e).limit(1).count() if grew == 0 else 1
+        e = new_e
+        if grew == 0 and shrank == 0:
             break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    # fixed point = stars (leaf → center); centers label themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("cluster_id"))
+    )

@@ -90,12 +90,57 @@ def audit(plan: str) -> list[str]:
     return lines
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Remove every `== Initial Plan ==` section — including ones
+    NESTED inside scalar-subquery subtrees of the final plan (a plain
+    split-at-first-marker truncates the enclosing final plan there,
+    which is how q22's audit lost its LeftAnti join in round 1).
+
+    A section body is every following line whose tree-decoration
+    prefix (spaces/`:`/`+`/`-`) is longer than the marker line's; the
+    first line at or above the marker's depth ends the section."""
+
+    def deco_len(line: str) -> int:
+        # length of the tree-drawing prefix: stops at the first real
+        # character (for a marker line that's the leading '=' of '==')
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        if skip_depth is not None:
+            # section body prints aligned AT the marker's prefix depth
+            # (or deeper); the parent resumes strictly shallower
+            if line.strip() and deco_len(line) < skip_depth:
+                skip_depth = None
+            else:
+                continue
+        if "== Initial Plan ==" in line:
+            skip_depth = deco_len(line)
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def main() -> None:
     from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
     from distributed_file_system_with_stream_processing_spark.session import get_spark
 
     spark = get_spark(app_name="plans-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # At audit SF some queries produce empty intermediates and AQE
+    # rewrites the whole final plan to EmptyRelation — truthful at
+    # sf0.01, useless as a 100 TB plan narrative (q22's audit showed
+    # "joins: none"). Excluding the empty-relation rule keeps the
+    # real join/exchange shape in the finalized plan; production
+    # sessions keep the rule.
+    spark.conf.set(
+        "spark.sql.adaptive.optimizer.excludedRules",
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+    )
     sf = "/root/testdata/sf0.01"
 
     out = [
@@ -117,9 +162,10 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=false" not in plan, name
         # the finalized AdaptiveSparkPlan prints the initial plan as a
-        # second section — audit only the final one or everything
-        # double-counts
-        plan = plan.split("== Initial Plan ==")[0]
+        # second section (possibly nested, per subquery) — audit only
+        # final sections or everything double-counts
+        plan = strip_initial_plans(plan)
+        assert "EmptyRelation" not in plan, f"{name}: empty-relation collapse in audit"
         out.append(f"## {name}")
         out.append("")
         out.extend(audit(plan))

@@ -90,3 +90,32 @@ def test_connected_components_chain_converges(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
     assert set(got.values()) == {1} and len(got) == 9
+
+
+def test_connected_components_high_diameter_chain(spark):
+    """Star contraction converges in O(log²) rounds: a diameter-79
+    path would defeat 15 rounds of plain min-label propagation."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 80)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
+    assert set(got.values()) == {1} and len(got) == 80
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Fault-tolerant checkpoint mode (the 100 TB path) must produce
+    the identical clustering."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7)],
+        "doc_id_a long, doc_id_b long",
+    )
+    base = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(edges).collect()
+    }
+    reliable = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(edges, reliable_checkpoint=True).collect()
+    }
+    assert reliable == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
