@@ -150,20 +150,35 @@ def decode_images(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """payload → payload at new dims (binary in, binary out: the shape
-    a real thumbnailing stage has). Stub codec re-derives bytes
-    deterministically sized w*h*c from the payload hash."""
-    if _codec() == "pil":  # pragma: no cover - codec not in container
-        raise NotImplementedError("real resize path requires PIL wiring")
+    a real thumbnailing stage has). With PIL importable the real
+    decode→resize→re-encode path runs (PNG out); otherwise the stub
+    codec re-derives bytes deterministically sized w*h*c from the
+    payload hash. Either way the distributed plumbing (Arrow batches,
+    binary columns never on the driver) is identical."""
+    use_real = _codec() == "pil"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             out_payload, out_meta = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                seed = _stub_digest(bytes(payload))
-                n = width * height * int(meta["channels"])
-                # STUB resize: tile the digest to the target byte count
-                out_payload.append(np.tile(seed, n // 16 + 1)[:n].tobytes())
+                payload = bytes(payload)
                 m = dict(meta)
+                if use_real:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).convert("RGB")
+                    resized = img.resize((width, height))
+                    buf = io.BytesIO()
+                    resized.save(buf, format="PNG")
+                    out_payload.append(buf.getvalue())
+                    m["channels"] = 3
+                else:
+                    seed = _stub_digest(payload)
+                    n = width * height * int(meta["channels"])
+                    # STUB resize: tile the digest to the target byte count
+                    out_payload.append(np.tile(seed, n // 16 + 1)[:n].tobytes())
                 m["width"], m["height"] = width, height
                 out_meta.append(m)
             yield pd.DataFrame(
