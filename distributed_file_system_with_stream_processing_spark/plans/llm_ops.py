@@ -757,6 +757,195 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann(load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
+# Training-data hygiene ops (round 2) -------------------------------------
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥1 distinct
+    3-gram with the eval set (docs with doc_id % 97 == 0 stand in for a
+    held-out benchmark; real pipelines use 8-13 grams — the synthetic
+    corpus' short vocab makes 3 the meaningful width). The standard
+    pre-training hygiene pass.
+
+    100 TB shape: eval-side distinct shingles are benchmark-scale (MBs)
+    → broadcast to the train-shingle stream; no shuffle of the corpus.
+    Output = contaminated doc ids with their hit count (downstream
+    anti-joins this against the corpus)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    ev_sh = D._exploded_shingles(ev, "doc_id", "text", 3).select("s").distinct()
+    tr_sh = D._exploded_shingles(tr, "doc_id", "text", 3)
+    return (
+        tr_sh.join(broadcast(ev_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({_duck_shingles(3)}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, count(*) AS n_hit_ngrams
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id
+"""
+
+
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio: 1 − distinct/total 3-grams —
+    the spam/boilerplate signal quality filters threshold on. Pure
+    column math (no explode, no shuffle): a narrow map at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    s = spread(d).select(
+        "doc_id",
+        F.greatest(F.size(ws) - F.lit(2), F.lit(0)).cast("long").alias("n_total"),
+        F.size(F.array_distinct(T.word_ngrams(ws, 3))).cast("long").alias("n_distinct"),
+    )
+    return s.select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        F.round(
+            F.when(
+                F.col("n_total") > 0,
+                1.0 - F.col("n_distinct") / F.col("n_total"),
+            ).otherwise(0.0),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+c AS (
+    SELECT doc_id,
+           CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_total,
+           CAST(CASE WHEN len(ws) >= 3
+                     THEN len(list_distinct(list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))))
+                     ELSE 0 END AS BIGINT) AS n_distinct
+    FROM t
+)
+SELECT doc_id, n_total, n_distinct,
+       round(CASE WHEN n_total > 0
+                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_total
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM c
+"""
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (fragment-level) dedup: fragment each doc, hash the
+    fragment, group — repeated fragments surface as (frag_hash,
+    canonical doc, copies, distinct docs). The finer-grained twin of
+    dedup_exact: boilerplate repeats at fragment level while full docs
+    differ. In real corpora the fragmenter splits on newlines or
+    sentence boundaries; the synthetic corpus is delimiter-free, so
+    fragments are fixed 4-token windows (the same chunk-level dedup
+    contract, deterministic either way). One shuffle on a uniform hash
+    key — scales like dedup_exact."""
+    W = 4
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(float(W))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(ws, i * W + 1, W), " "),
+    )
+    frags = (
+        spread(d)
+        .select("doc_id", F.explode_outer(chunks).alias("frag"))
+        .filter(F.col("frag").isNotNull() & (F.col("frag") != ""))
+        .select("doc_id", F.md5(F.col("frag")).alias("frag_hash"))
+    )
+    return (
+        frags.groupBy("frag_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
+fr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS INT)),
+                                 i -> array_to_string(ws[i*4+1 : i*4+4], ' '))) AS frag
+    FROM ws
+),
+h AS (
+    SELECT doc_id, md5(frag) AS frag_hash
+    FROM fr WHERE frag IS NOT NULL AND frag <> ''
+)
+SELECT frag_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs
+FROM h
+GROUP BY frag_hash
+HAVING count(*) > 1
+"""
+
+
+def docs_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate docs per source in
+    doc_id order and chunk into 512-token sequences — each doc gets
+    (seq_id, seq_offset) from the exclusive running token sum. The
+    GPT-style concat-then-chunk packing model, expressed as ONE window
+    cumsum (one shuffle on source, sort within).
+
+    100 TB note: the window runs per source partition; production
+    packing keys on (source, shard/day) so window width stays bounded
+    — the shape here is the per-partition plan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = spread(d).select(
+        "doc_id", "source", F.size(T.words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum / F.lit(512)).cast("long").alias("seq_id"),
+        (cum % F.lit(512)).cast("long").alias("seq_offset"),
+    )
+
+
+DOCS_SEQ_PACKING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source, CAST(len({_WS}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum // 512 AS BIGINT) AS seq_id,
+       CAST(cum % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -766,6 +955,10 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "dedup_exact": dedup_exact,
     "dedup_keep_first": dedup_keep_first,
+    "decontaminate_ngram": decontaminate_ngram,
+    "doc_repetition_score": doc_repetition_score,
+    "paragraph_dedup": paragraph_dedup,
+    "docs_seq_packing": docs_seq_packing,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -792,6 +985,10 @@ ORACLES = {
     "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
+    "decontaminate_ngram": DECONTAMINATE_SQL,
+    "doc_repetition_score": DOC_REPETITION_SQL,
+    "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "docs_seq_packing": DOCS_SEQ_PACKING_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_ngram_jaccard_exact": DEDUP_JACCARD_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

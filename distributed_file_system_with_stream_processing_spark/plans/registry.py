@@ -38,6 +38,10 @@ for _m in _MODULES:
 # LLM-pipeline set, then the round-1 red row — so any cap hits entries
 # whose hard signal is already recorded, not the ones still waiting.
 _FRONT = [
+    "decontaminate_ngram",
+    "doc_repetition_score",
+    "paragraph_dedup",
+    "docs_seq_packing",
     "lang_id_heuristic",
     "doc_fingerprint",
     "docs_training_mix",
