@@ -1,0 +1,82 @@
+"""Multi-format IO + compaction tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distributed_file_system_with_stream_processing_spark.sinks import formats as FM
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return load_table(spark, SF_SMOKE, "nation")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    FM.write_table(nation, p, "orc")
+    back = FM.read_table(spark, p, "orc")
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_orc_predicate_pushdown(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_orc2")
+    FM.write_table(nation, p, "orc")
+    df = FM.read_table(spark, p, "orc").filter("n_regionkey = 0").select("n_name")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_json_roundtrip_with_schema(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_json")
+    FM.write_table(nation, p, "json")
+    ddl = "n_nationkey long, n_name string, n_regionkey long, n_comment string"
+    back = FM.read_table(spark, p, "json", schema=ddl).select(*nation.columns)
+    assert _rows(back) == _rows(nation)
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        FM.read_table(spark, str(tmp_path), "csv")
+
+
+def test_avro_gated_with_clear_error(nation, tmp_path):
+    with pytest.raises(ValueError, match="spark-avro"):
+        FM.write_table(nation, str(tmp_path / "x"), "avro")
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "many")
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(p)
+    before = _rows(spark.read.parquet(p))
+    stats = FM.compact_files(spark, p, target_bytes_per_file=1 << 30)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] == 1
+    assert _rows(spark.read.parquet(p)) == before
+    # swap left no debris
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".compacting")
+
+
+def test_compact_files_respects_target_size(spark, tmp_path):
+    p = str(tmp_path / "sized")
+    spark.range(0, 50000).selectExpr("id", "repeat('x', 100) AS pad").repartition(
+        40
+    ).write.parquet(p)
+    total = sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    stats = FM.compact_files(spark, p, target_bytes_per_file=total // 4 + 1)
+    assert 2 <= stats["files_after"] <= 6
