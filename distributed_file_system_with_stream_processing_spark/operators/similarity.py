@@ -208,40 +208,46 @@ def banded_neardup_pairs(
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
 
-    def band_key(b: int):
-        # sum_{r} 2^r · [dot(plane[b·rpb+r], v) ≥ 0] — same sequential
-        # left-to-right double accumulation as the DuckDB oracle
-        base = b * rows_per_band
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, r: acc
-            + F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.element_at(planes_col, (r + F.lit(base + 1)).cast("int")),
-                        F.col("v"),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                >= 0,
-                F.pow(F.lit(2.0), r).cast("long"),
-            ).otherwise(0),
-        )
-
-    # explode_outer: keeps InferFiltersFromGenerate from re-inlining
-    # all band-key dot products as a pushed scan predicate (see
-    # dedup._exploded_shingles for the same guard)
-    bands_arr = F.array(
-        *[
-            F.struct(F.lit(b).cast("int").alias("band_id"), band_key(b).alias("band_key"))
-            for b in range(bands)
-        ]
+    # ONE pass over the plane literal computes all sign dots, and the
+    # whole signature is TWO parsed expression strings (2 py4j calls).
+    # The naive shapes cost seconds of driver time per invocation:
+    # per-bit Column expressions embed 64 copies of the 4096-element
+    # plane literal (~5s plan build + codegen at sf0.1), and even the
+    # hoisted-dots Column form pays ~1.4s of py4j chatter for the 64
+    # when-terms. Parsed strings build in ~30ms. CollapseProject won't
+    # re-inline `_dots` into the bit terms: HOF expressions aren't
+    # "cheap" and are referenced many times.
+    dots = F.transform(
+        planes_col,
+        lambda p: F.aggregate(
+            F.zip_with(p, F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
     )
+    # band_key(b) = sum_r 2^r · [dots[b·rpb+r] ≥ 0]  (element_at is
+    # 1-based; integer adds, order-free, same values as the oracle)
+    bands_arr = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('band_id', {b}, 'band_key', {key})".format(
+                b=b,
+                key="+".join(
+                    f"IF(element_at(_dots, {b * rows_per_band + r + 1}) >= 0D, "
+                    f"{1 << r}L, 0L)"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+        + ")"
+    )
+    # explode_outer: keeps InferFiltersFromGenerate from re-inlining
+    # the band-key expressions as a pushed scan predicate (see
+    # dedup._exploded_shingles for the same guard)
     sig = (
         _spread(e)
+        .withColumn("_dots", dots)
         .select("id", "v", "nrm", F.explode_outer(bands_arr).alias("bk"))
         .filter(F.col("bk").isNotNull())
         .select("id", "v", "nrm", "bk.band_id", "bk.band_key")

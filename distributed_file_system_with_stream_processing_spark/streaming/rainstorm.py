@@ -135,13 +135,22 @@ def join_streams(
     right_ts: str,
     watermark: str = "1 hour",
     within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: match rows sharing ``key`` whose event
+    """Stream-stream join: match rows sharing ``key`` whose event
     times are within ``within`` of each other. Both sides carry
     watermarks so the join state is BOUNDED — Spark buffers only rows
     younger than (watermark + within), the 100 TB requirement for an
     unbounded two-stream correlation. (The reference has no two-stream
-    operator; this extends its single-pipeline model.)"""
+    operator; this extends its single-pipeline model.)
+
+    ``how='leftOuter'`` additionally emits unmatched LEFT rows with
+    null right columns — but only once the watermark proves no match
+    can still arrive (the time-bound condition is what makes outer
+    results finalizable at all; an unbounded outer stream join would
+    hold every row forever)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -152,7 +161,7 @@ def join_streams(
         # timestamp column name (the common case)
         & (r[right_ts] <= l[left_ts] + F.expr(f"interval {within}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_into_store(

@@ -312,3 +312,56 @@ def test_join_streams_same_ts_column_name(spark, tmp_path):
     q.awaitTermination(60)
     got = [r["k"] for r in spark.sql("SELECT * FROM js_same_ts").collect()]
     assert got == [1]
+
+
+def test_join_streams_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter: unmatched left rows emit with null right columns once
+    the watermark proves no match can arrive. Late advancer rows in
+    BOTH streams (global watermark = min across inputs) push the
+    watermark past t0+within so the t0 rows finalize."""
+    import datetime
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        join_streams,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    late = t0 + datetime.timedelta(hours=6)
+    schema = "k long, ts timestamp"
+    la, rb = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(la), os.makedirs(rb)
+    spark.createDataFrame([(1, t0), (5, t0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(la)
+    spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=30))], schema
+    ).coalesce(1).write.mode("append").parquet(rb)
+    # second files: watermark advancers (no partner within the bound)
+    spark.createDataFrame([(98, late)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(la)
+    spark.createDataFrame([(99, late)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rb)
+
+    left = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(la)
+    right = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(rb)
+    joined = join_streams(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        watermark="10 minutes", within="1 hour", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("js_louter")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM js_louter").collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(r)
+    # columns: (k, left ts, right ts) — right ts is positional index 2
+    assert 1 in by_k and by_k[1][0][2] is not None  # matched: right ts present
+    assert 5 in by_k and by_k[5][0][2] is None  # unmatched: nulls after watermark
