@@ -67,6 +67,10 @@ def main() -> None:
         "ann_quantized_topk",
         "ann_ivf_bucketed",
         "ann_lsh_bucketed",
+        "q9_nation_profit",
+        "decontaminate_ngram",
+        "paragraph_dedup",
+        "docs_seq_packing",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -413,6 +413,127 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the data model, so profit
+    is revenue without the supplycost subtraction): per-nation,
+    per-year profit on parts matching a name pattern.
+
+    Scale shape: part filter → broadcast semi-side; supplier⋈nation
+    broadcast; lineitem⋈orders is the only fact-fact shuffle. The LIKE
+    filter prunes the part build side BEFORE the broadcast."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    supp_nat = s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        # sum exact integer CENTS, not doubles: a double sum's value
+        # depends on partial-agg order, and this query's totals land
+        # close enough to a .005 boundary that Spark and DuckDB round
+        # the 2nd decimal differently. Per-row cent rounding is
+        # engine-identical (same IEEE product), and a long sum is
+        # order-free — bit-stable at any parallelism.
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("_cents")
+        )
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("_cents") / 100.0, 2).alias("sum_profit"),
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0,
+             2) AS sum_profit
+FROM lineitem, part, orders, supplier, nation
+WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+  AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp absent — supplier-part pairs derived
+    from actual shipments): distinct supplier count per (brand, type,
+    size) excluding one brand. countDistinct over a broadcast-joined
+    fact: partial distinct aggregation map-side, one shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp absent — shipped quantity stands in
+    for stock): suppliers that moved > 40 units of pattern-matched
+    parts in 1996. Aggregate-then-join: the heavy groupBy runs on the
+    pre-filtered fact, the supplier dim joins AFTER reduction (join
+    input is supplier-cardinality, not lineitem-cardinality)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    qty = (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 40.0)
+    )
+    return qty.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "total_qty"
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+    SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING round(sum(l_quantity), 2) > 40.0
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_qty
+FROM qty JOIN supplier ON s_suppkey = l_suppkey
+"""
+
+
 QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -421,6 +542,9 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_sole_returner": q21_sole_returner,
     "q22_rich_inactive": q22_rich_inactive,
+    "q9_nation_profit": q9_nation_profit,
+    "q16_supplier_part_breadth": q16_supplier_part_breadth,
+    "q20_volume_suppliers": q20_volume_suppliers,
     "lineitem_grouping_sets": lineitem_grouping_sets,
 }
 
@@ -432,5 +556,8 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q21_sole_returner": Q21_SQL,
     "q22_rich_inactive": Q22_SQL,
+    "q9_nation_profit": Q9_SQL,
+    "q16_supplier_part_breadth": Q16_SQL,
+    "q20_volume_suppliers": Q20_SQL,
     "lineitem_grouping_sets": LINEITEM_GROUPING_SETS_SQL,
 }

@@ -38,6 +38,9 @@ for _m in _MODULES:
 # LLM-pipeline set, then the round-1 red row — so any cap hits entries
 # whose hard signal is already recorded, not the ones still waiting.
 _FRONT = [
+    "q9_nation_profit",
+    "q16_supplier_part_breadth",
+    "q20_volume_suppliers",
     "decontaminate_ngram",
     "doc_repetition_score",
     "paragraph_dedup",

@@ -46,6 +46,13 @@ AUDITED = [
     "ann_cosine_topk",
     "ann_quantized_topk",
     "embedding_neardup",
+    "q9_nation_profit",
+    "q16_supplier_part_breadth",
+    "q20_volume_suppliers",
+    "decontaminate_ngram",
+    "doc_repetition_score",
+    "paragraph_dedup",
+    "docs_seq_packing",
 ]
 
 JOIN_KINDS = (
