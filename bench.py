@@ -71,6 +71,7 @@ def main() -> None:
         "decontaminate_ngram",
         "paragraph_dedup",
         "docs_seq_packing",
+        "docs_clean_pack",
     ]
     headline = [q for q in headline if q in QUERIES]
 

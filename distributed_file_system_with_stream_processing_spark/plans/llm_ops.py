@@ -946,6 +946,100 @@ FROM c
 """
 
 
+def docs_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline as ONE fused plan: exact-dedup
+    (keep first) → quality gate → benchmark-decontamination anti-join →
+    sequence packing. The full hygiene path a corpus actually runs
+    before tokenization, declared as a single DataFrame so Catalyst
+    fuses all map-side steps.
+
+    Shuffle census at any scale: dedup window on md5(text) [uniform],
+    packing window on source — two shuffles total; the decontamination
+    join broadcasts the benchmark-scale eval shingle set, and the gate
+    predicates are integer/regex tests (no float-boundary flake).
+    Output: each surviving doc's (seq_id, seq_offset) training slot."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    surv = (
+        d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
+    )
+    gated = surv.filter(
+        (F.col("doc_id") % 97 != 0)  # eval docs never train
+        & (F.col("n_chars") >= 200)
+        & (T.punct_ratio(F.col("text")) < 0.2)
+        & (F.col("_n_tok") >= 30)
+    )
+    ev_sh = (
+        D._exploded_shingles(d.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3)
+        .select("s")
+        .distinct()
+    )
+    tr_sh = D._exploded_shingles(d.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3)
+    contaminated = tr_sh.join(broadcast(ev_sh), "s").select("doc_id").distinct()
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_n_tok").over(w), F.lit(0).cast("long"))
+    return clean.select(
+        "doc_id",
+        "source",
+        F.col("_n_tok").alias("n_tokens"),
+        F.floor(cum / F.lit(512)).cast("long").alias("seq_id"),
+        (cum % F.lit(512)).cast("long").alias("seq_offset"),
+    )
+
+
+DOCS_CLEAN_PACK_SQL = rf"""
+WITH ranked AS (
+    SELECT doc_id, source, text, n_chars,
+           row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+    FROM documents
+),
+surv AS (
+    SELECT doc_id, source, text, n_chars,
+           CAST(len({_WS}) AS BIGINT) AS n_tok
+    FROM ranked WHERE rn = 1
+),
+gated AS (
+    SELECT doc_id, source, n_tok FROM surv
+    WHERE doc_id % 97 <> 0
+      AND n_chars >= 200
+      AND (CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE CAST(0.0 AS DOUBLE) END) < 0.2
+      AND n_tok >= 30
+),
+sh AS ({_duck_shingles(3)}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT ex.doc_id FROM ex JOIN ev USING (s) WHERE ex.doc_id % 97 <> 0),
+clean AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+c AS (
+    SELECT doc_id, source, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM clean
+)
+SELECT doc_id, source, n_tok AS n_tokens,
+       CAST(cum // 512 AS BIGINT) AS seq_id,
+       CAST(cum % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -959,6 +1053,7 @@ QUERIES = {
     "doc_repetition_score": doc_repetition_score,
     "paragraph_dedup": paragraph_dedup,
     "docs_seq_packing": docs_seq_packing,
+    "docs_clean_pack": docs_clean_pack,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -989,6 +1084,7 @@ ORACLES = {
     "doc_repetition_score": DOC_REPETITION_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "docs_seq_packing": DOCS_SEQ_PACKING_SQL,
+    "docs_clean_pack": DOCS_CLEAN_PACK_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_ngram_jaccard_exact": DEDUP_JACCARD_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

@@ -41,6 +41,7 @@ _FRONT = [
     "q9_nation_profit",
     "q16_supplier_part_breadth",
     "q20_volume_suppliers",
+    "docs_clean_pack",
     "decontaminate_ngram",
     "doc_repetition_score",
     "paragraph_dedup",
