@@ -363,26 +363,26 @@ def quantized_topk(
     baseline is pinned in tests/test_ann.py.
     """
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    # quantization as chained parsed expr strings (3 py4j calls, not
+    # ~30 lambda-conversion round trips — the same plan-build lever as
+    # banded_neardup_pairs' signature). Values unchanged:
+    # _am = absmax or 1.0 when absmax == 0 (abs values ≥ 0, so
+    # nullif/coalesce is exactly the old when/otherwise);
+    # q8  = round(v_i/_am*127) as int; n8 hoists the int-norm out of
+    # the pair loop (one per vector).
     qz = (
-        e.withColumn("_am", F.when(absmax > 0, absmax).otherwise(F.lit(1.0)))
-        .withColumn(
-            "q8",
-            F.transform(
-                F.col("v"),
-                lambda x: F.round(x / F.col("_am") * 127).cast("int"),
-            ),
+        e.selectExpr(
+            "id", "v",
+            "coalesce(nullif(array_max(transform(v, x -> abs(x))), 0D), 1.0D) AS _am",
         )
-        # hoist the int-norm out of the pair loop (one per vector)
-        .withColumn(
-            "n8",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("q8"), F.col("q8"), lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-            ),
+        .selectExpr(
+            "id", "v",
+            "transform(v, x -> cast(round(x / _am * 127) AS int)) AS q8",
+        )
+        .selectExpr(
+            "id", "v", "q8",
+            "sqrt(cast(aggregate(zip_with(q8, q8, (a, b) -> a * b), 0L,"
+            " (acc, x) -> acc + x) AS double)) AS n8",
         )
     )
     base8 = _spread(qz.filter(F.col("id") >= query_ids_below)).select(

@@ -68,6 +68,24 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     assert not os.path.exists(p + ".old") and not os.path.exists(p + ".compacting")
 
 
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Parquet appends may ADD columns over a table's life (a pipeline
+    adds a feature column); readers opt into the union schema with
+    mergeSchema — old files surface the new column as null. At 100 TB
+    mergeSchema costs a footer read per file (no data pass), which is
+    why it stays opt-in."""
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(5, 10).selectExpr("id", "id * 2 AS a", "id * 3 AS b").write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[2] == (4, None)  # pre-evolution file: new column null
+    assert rows[7] == (14, 21)
+
+
 def test_compact_files_respects_target_size(spark, tmp_path):
     p = str(tmp_path / "sized")
     spark.range(0, 50000).selectExpr("id", "repeat('x', 100) AS pad").repartition(
