@@ -1040,6 +1040,59 @@ FROM c
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space — the aggregation step
+    of IVF cell training / k-means, and the class-prototype computation
+    for embedding QA. One row per (label, dim).
+
+    Float sums are partial-agg-order-dependent (same trap as q9's
+    revenue), so components are quantized to exact MICRO units first:
+    q = round(x·1e6) as long — engine-identical per row — and the long
+    sum is order-free. The mean divides back at the end, bit-stable at
+    any parallelism. Shape: posexplode (narrow) → one shuffle on
+    (label, dim) with partial aggs; 64·|labels| output rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        spread(e)
+        .select(
+            "label",
+            F.posexplode_outer(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    return (
+        ex.withColumn("q", F.round(F.col("x") * 1000000).cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("q").alias("_s"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n_vectors",
+            F.round(
+                F.col("_s").cast("double") / F.lit(1000000.0) / F.col("n_vectors"), 6
+            ).alias("centroid"),
+        )
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+    -- parallel unnest runs in lockstep (this DuckDB lacks WITH ORDINALITY)
+    SELECT label,
+           unnest(range(0, len(embedding))) AS ord,
+           unnest(embedding::DOUBLE[])      AS x
+    FROM embeddings
+)
+SELECT label, CAST(ord AS BIGINT) AS dim, count(*) AS n_vectors,
+       round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS centroid
+FROM ex
+GROUP BY label, ord
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -1054,6 +1107,7 @@ QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "docs_seq_packing": docs_seq_packing,
     "docs_clean_pack": docs_clean_pack,
+    "embedding_label_centroids": embedding_label_centroids,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1085,6 +1139,7 @@ ORACLES = {
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "docs_seq_packing": DOCS_SEQ_PACKING_SQL,
     "docs_clean_pack": DOCS_CLEAN_PACK_SQL,
+    "embedding_label_centroids": EMBEDDING_LABEL_CENTROIDS_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_ngram_jaccard_exact": DEDUP_JACCARD_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

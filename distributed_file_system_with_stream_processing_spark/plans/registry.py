@@ -42,6 +42,7 @@ _FRONT = [
     "q16_supplier_part_breadth",
     "q20_volume_suppliers",
     "docs_clean_pack",
+    "embedding_label_centroids",
     "decontaminate_ngram",
     "doc_repetition_score",
     "paragraph_dedup",

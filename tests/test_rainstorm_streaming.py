@@ -365,3 +365,54 @@ def test_join_streams_left_outer_emits_unmatched_after_watermark(spark, tmp_path
     # columns: (k, left ts, right ts) — right ts is positional index 2
     assert 1 in by_k and by_k[1][0][2] is not None  # matched: right ts present
     assert 5 in by_k and by_k[5][0][2] is None  # unmatched: nulls after watermark
+
+
+def test_streaming_doc_hygiene_twin(spark, tmp_path):
+    """The LLM hygiene ops run unchanged as a STREAM: quality gate +
+    exact-dedup over streamed document files must survive exactly the
+    batch pipeline's surviving text-hash set (streaming dropDuplicates
+    keeps first ARRIVAL, so parity is on the hash set, not doc ids)."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string, n_chars long"
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8, 352),
+        (2, "the quick brown fox jumps over the lazy dog " * 8, 352),  # dup of 1
+        (3, "tiny", 4),  # fails gate
+    ]
+    rows2 = [
+        (4, "a wholly different document body with plenty of tokens " * 6, 330),
+        (5, "the quick brown fox jumps over the lazy dog " * 8, 352),  # dup again
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def hygiene(df):
+        gated = df.filter(
+            (F.col("n_chars") >= 200) & (F.size(T.words(F.col("text"))) >= 30)
+        )
+        return gated.withColumn("_h", F.md5(T.norm_text(F.col("text")))).dropDuplicates(
+            ["_h"]
+        )
+
+    batch_hashes = {
+        r["_h"] for r in hygiene(spark.read.schema(schema).parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        hygiene(stream)
+        .writeStream.format("memory")
+        .queryName("doc_hygiene")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT _h FROM doc_hygiene").collect()
+    assert {r["_h"] for r in streamed} == batch_hashes
+    assert len(streamed) == len(batch_hashes)  # dedup held across batches
