@@ -135,6 +135,52 @@ FROM s
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA for the language-ID heuristic: the (labeled, predicted)
+    confusion matrix with per-cell share of the labeled language's
+    rows. The acceptance gate every classifier stage ships with; pure
+    groupBy + one window over the tiny matrix."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = T.words(F.col("text"))
+    pred = d.select("doc_id", "lang", T.lang_predict(ws).alias("lang_pred"))
+    cell = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return cell.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / tot, 6).alias("share"),
+    )
+
+
+LANG_ID_CONFUSION_SQL = rf"""
+WITH w AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+s AS (
+    SELECT doc_id, lang,
+           len(list_filter(ws, x -> list_contains(['the','a','is','and','of'], lower(x))))      AS en,
+           len(list_filter(ws, x -> list_contains(['el','la','los','las','una'], lower(x))))    AS es,
+           len(list_filter(ws, x -> list_contains(['der','die','das','und','nicht'], lower(x)))) AS de,
+           len(list_filter(ws, x -> list_contains(['le','les','des','une','est'], lower(x))))   AS fr
+    FROM w
+),
+p AS (
+    SELECT lang,
+           CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM s
+),
+cell AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS share
+FROM cell
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread + staged ws column: see operators/dedup._with_shingles —
     # keeps the md5-per-shingle work off the single scan partition and
@@ -1108,6 +1154,7 @@ QUERIES = {
     "docs_seq_packing": docs_seq_packing,
     "docs_clean_pack": docs_clean_pack,
     "embedding_label_centroids": embedding_label_centroids,
+    "lang_id_confusion": lang_id_confusion,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1140,6 +1187,7 @@ ORACLES = {
     "docs_seq_packing": DOCS_SEQ_PACKING_SQL,
     "docs_clean_pack": DOCS_CLEAN_PACK_SQL,
     "embedding_label_centroids": EMBEDDING_LABEL_CENTROIDS_SQL,
+    "lang_id_confusion": LANG_ID_CONFUSION_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_ngram_jaccard_exact": DEDUP_JACCARD_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

@@ -43,6 +43,7 @@ _FRONT = [
     "q20_volume_suppliers",
     "docs_clean_pack",
     "embedding_label_centroids",
+    "lang_id_confusion",
     "decontaminate_ngram",
     "doc_repetition_score",
     "paragraph_dedup",

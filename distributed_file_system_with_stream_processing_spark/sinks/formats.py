@@ -97,6 +97,12 @@ def compact_files(
     the table root — each partition compaction is then an independent,
     retryable job. Returns {files_before, files_after, bytes}."""
     suffix = f".{fmt}" if fmt != "csv" else ".csv"
+    # roll BACK a swap that died between the two renames (path gone,
+    # .old holds the intact pre-compaction table) — same recovery
+    # stance as dfs.TableStore._recover: the base is never the victim
+    old0 = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old0):
+        os.rename(old0, path)
     before = _data_files(path, suffix)
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_bytes_per_file))

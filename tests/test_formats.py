@@ -86,6 +86,23 @@ def test_schema_evolution_mergeschema(spark, tmp_path):
     assert rows[7] == (14, 21)
 
 
+def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves path missing and
+    .old intact; the next compact_files must roll back and proceed."""
+    import shutil
+
+    p = str(tmp_path / "crashy")
+    spark.range(0, 1000).write.parquet(p)
+    before = _rows(spark.read.parquet(p))
+    # simulate the torn state: path renamed away, tmp half-written
+    shutil.move(p, p + ".old")
+    os.makedirs(p + ".compacting")
+    stats = FM.compact_files(spark, p, target_bytes_per_file=1 << 30)
+    assert stats["files_after"] >= 1
+    assert _rows(spark.read.parquet(p)) == before
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".compacting")
+
+
 def test_compact_files_respects_target_size(spark, tmp_path):
     p = str(tmp_path / "sized")
     spark.range(0, 50000).selectExpr("id", "repeat('x', 100) AS pad").repartition(
