@@ -999,9 +999,12 @@ def docs_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     before tokenization, declared as a single DataFrame so Catalyst
     fuses all map-side steps.
 
-    Shuffle census at any scale: dedup window on md5(text) [uniform],
-    packing window on source — two shuffles total; the decontamination
-    join broadcasts the benchmark-scale eval shingle set, and the gate
+    Shuffle census at any scale: CORPUS-cardinality shuffles are the
+    dedup window on md5(text) [uniform] and the packing window on
+    source — two. The remaining exchanges in the audit (PLANS.md) are
+    benchmark-scale: eval-shingle distinct + contaminated-id distinct
+    (both bounded by the eval set's fan-out) and spread repartitions.
+    The decontamination join broadcasts the eval shingle set; gate
     predicates are integer/regex tests (no float-boundary flake).
     Output: each surviving doc's (seq_id, seq_offset) training slot."""
     from pyspark.sql import Window

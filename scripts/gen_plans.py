@@ -53,6 +53,9 @@ AUDITED = [
     "doc_repetition_score",
     "paragraph_dedup",
     "docs_seq_packing",
+    "docs_clean_pack",
+    "embedding_label_centroids",
+    "lang_id_confusion",
 ]
 
 JOIN_KINDS = (
