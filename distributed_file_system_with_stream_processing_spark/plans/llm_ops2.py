@@ -1,0 +1,391 @@
+"""Corpus-statistics & chunking queries — second LLM-pipeline module.
+
+Same contract as ``llm_ops``: every Spark plan is declarative DataFrame
+code (JVM expressions only, no Python row UDFs) with a DuckDB oracle
+mirroring the exact arithmetic expression tree, so value hashes match
+without tolerances. Portability conventions (hash32, words, explicit
+DOUBLE casts) are documented in ``llm_ops``'s module docstring.
+
+Ops here:
+- ``tfidf_top_terms``   — per-doc salient terms (rational tf-idf).
+- ``doc_char_entropy``  — shuffle-free per-doc character entropy QA.
+- ``docs_chunk_overlap``— sliding-window chunking (size 64 / stride 48).
+- ``minhash_jaccard_estimate`` — sketch-accuracy QA: MinHash estimate
+  vs exact shingle Jaccard on the LSH candidate pairs.
+- ``events_value_zscore`` — outlier flagging from EXACT integer
+  moments (partial-agg-order-free, the q9 integer-cents trick applied
+  to second moments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+    _MINHASH_PAIRS_BODY,
+    _WS,
+)
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by a rational tf-idf.
+
+    salience = (tf · N) / (len_d · df): term frequency over document
+    length, normalized by the term's corpus document-frequency share.
+    All-integer numerator and denominator with ONE double division, so
+    the score is bit-identical in any engine (no transcendental idf) —
+    same ranking order as tf·log-idf for the per-doc top-k.
+
+    100 TB shape: tokenize → (doc_id, term) partial-agg [shuffle 1] →
+    df per term [shuffle 2, high-cardinality key] → term-keyed
+    sort-merge join back → per-doc top-k window [shuffle 3 on doc_id].
+    The corpus size N is a 1-row broadcast. No driver collect, no
+    low-cardinality shuffle key anywhere.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    lens = toks.select("doc_id", F.size("ws").cast("long").alias("len_d"))
+    # explode_outer + null filter: keeps InferFiltersFromGenerate from
+    # pushing the tokenizer below the spread repartition (see
+    # dedup._exploded_shingles for the pathology)
+    ex = (
+        toks.select("doc_id", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sal = (F.col("tf") * F.col("n_docs")).cast("double") / (
+        F.col("len_d") * F.col("df")
+    ).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_sal"), F.asc("term"))
+    return (
+        tf.join(df_t, "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", sal.alias("_sal"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("_sal", 6).alias("salience"), "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len_d FROM toks),
+ex AS (SELECT doc_id, lower(unnest(ws)) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(lens.len_d * df.df AS DOUBLE) AS sal
+    FROM tf JOIN df USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, df, sal,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sal DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, round(sal, 6) AS salience, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_char_entropy
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution stats: Shannon entropy
+    (bits), distinct-char count, digit ratio — the classic gibberish /
+    binary-spill / mojibake quality signals.
+
+    Deliberately a PURE MAP (zero shuffles): the char histogram is
+    computed per row with array expressions — O(distinct_chars · len)
+    comparisons per doc, fully inside codegen'd HOFs — instead of the
+    explode → two-shuffle groupBy form, which at 100 TB would shuffle
+    one row PER CHARACTER. Distinct chars are sorted before the
+    entropy sum so the float accumulation order is engine-identical
+    (Spark's sequential ``aggregate`` equals the negation of DuckDB's
+    ``list_sum``; negation is exact, so the twins agree bit-for-bit up
+    to log2's ulp, absorbed by round-4).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.selectExpr(
+        "doc_id",
+        "lower(text) AS _lt",
+    ).selectExpr(
+        "doc_id",
+        "_lt",
+        "transform(sequence(1, length(_lt)), i -> substring(_lt, i, 1)) AS _cs",
+    ).selectExpr(
+        "doc_id",
+        "_lt",
+        "_cs",
+        "array_sort(array_distinct(_cs)) AS _dc",
+    ).selectExpr(
+        "doc_id",
+        "_lt",
+        "_dc",
+        "transform(_dc, c -> cast(size(filter(_cs, x -> x = c)) AS DOUBLE)) AS _pc",
+    )
+    n = "cast(length(_lt) AS DOUBLE)"
+    return staged.selectExpr(
+        "doc_id",
+        "cast(length(_lt) AS BIGINT) AS n_chars_total",
+        "cast(size(_dc) AS BIGINT) AS n_distinct_chars",
+        f"""round(CASE WHEN length(_lt) > 0 THEN
+              aggregate(_pc, cast(0.0 AS DOUBLE),
+                        (acc, p) -> acc - (p / {n}) * log2(p / {n}))
+              ELSE cast(0.0 AS DOUBLE) END, 4) AS char_entropy""",
+        f"""round(CASE WHEN length(_lt) > 0 THEN
+              cast(length(_lt) - length(regexp_replace(_lt, '[0-9]', '')) AS DOUBLE) / {n}
+              ELSE cast(0.0 AS DOUBLE) END, 4) AS digit_ratio""",
+    )
+
+
+DOC_CHAR_ENTROPY_SQL = """
+WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+cs AS (
+    SELECT doc_id, lt,
+           list_transform(range(1, length(lt) + 1), i -> lt[i:i]) AS cs
+    FROM base
+),
+dc AS (SELECT doc_id, lt, cs, list_sort(list_distinct(cs)) AS dc FROM cs),
+pc AS (
+    SELECT doc_id, lt, dc,
+           list_transform(dc, c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)) AS pc
+    FROM dc
+)
+SELECT doc_id,
+       CAST(length(lt) AS BIGINT) AS n_chars_total,
+       CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+       round(CASE WHEN length(lt) > 0 THEN
+             - list_sum(list_transform(pc,
+                 p -> (p / CAST(length(lt) AS DOUBLE)) * log2(p / CAST(length(lt) AS DOUBLE))))
+             ELSE CAST(0.0 AS DOUBLE) END, 4) AS char_entropy,
+       round(CASE WHEN length(lt) > 0 THEN
+             CAST(length(lt) - length(regexp_replace(lt, '[0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(lt) AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END, 4) AS digit_ratio
+FROM pc
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_chunk_overlap
+
+_CHUNK = 64
+_STRIDE = 48
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the standard LLM
+    context-window preprocessing step (chunk 64 tokens, stride 48, so
+    consecutive chunks share 16 tokens).
+
+    Pure map + generate (zero shuffles): chunk starts come from a
+    per-row ``sequence``, the chunk itself is a token-array ``slice``.
+    Chunk identity is an md5 over the joined tokens so downstream
+    chunk-level dedup can run without re-materializing text.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    starts = F.when(
+        F.size("ws") >= 1, F.sequence(F.lit(1), F.size("ws"), F.lit(_STRIDE))
+    )
+    # posexplode_outer + null filter: the InferFiltersFromGenerate
+    # guard again (plain posexplode would push the tokenizer into the
+    # scan as a single-partition predicate)
+    chunk = F.slice(F.col("ws"), F.col("start"), _CHUNK)
+    return (
+        toks.select("doc_id", "ws", F.posexplode_outer(starts).alias("idx", "start"))
+        .filter(F.col("start").isNotNull())
+        .select(
+            "doc_id",
+            F.col("idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+DOCS_CHUNK_OVERLAP_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+st AS (
+    SELECT doc_id, ws, range(1, len(ws) + 1, {_STRIDE}) AS starts
+    FROM toks WHERE len(ws) >= 1
+),
+ex AS (
+    SELECT doc_id, ws,
+           unnest(range(0, len(starts))) AS chunk_idx,
+           unnest(starts) AS start
+    FROM st
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(ws[start:start + {_CHUNK - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ws[start:start + {_CHUNK - 1}], ' ')) AS chunk_hash
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_jaccard_estimate
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy QA: for every MinHash-LSH candidate pair, the
+    signature-overlap Jaccard ESTIMATE next to the exact shingle-set
+    Jaccard — the measurement you run before trusting a (k, bands)
+    configuration on a new corpus.
+
+    100 TB shape: the candidate pairs (LSH output, tiny vs corpus) are
+    BROADCAST back onto the shingle table twice, so the corpus-scale
+    side never reshuffles; the exact intersection runs only on
+    candidates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+    sh = spread(d).select(
+        "doc_id", T.shingles(F.col("text"), 3).alias("sh")
+    )
+    pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha"))
+    pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    exact = inter.cast("double") / (
+        F.size("sha") + F.size("shb") - inter
+    ).cast("double")
+    return (
+        pa.join(broadcast(pairs), "doc_id_a")
+        .join(pb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+        )
+    )
+
+
+MINHASH_JACCARD_EST_SQL = (
+    _MINHASH_PAIRS_BODY
+    + """
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(CAST(list_sum(list_transform(range(1, 13),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+             / CAST(12 AS DOUBLE), 6) AS est_jaccard,
+       round(CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+             / CAST(len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE),
+             6) AS exact_jaccard
+FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# events_value_zscore
+
+_MILLI = 1000
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5) from EXACT integer
+    moments.
+
+    Float sum() of values and squares is partial-agg-order-dependent
+    (the q9 trap, squared): instead values are quantized to exact
+    milli-units, first moments summed as BIGINT and second moments as
+    DECIMAL(38,0) (overflow headroom: 1e12 rows · (5·10⁵)² ≈ 2.5e23 —
+    past BIGINT, nowhere near 38 digits). mean/var/σ then come from a
+    fixed sequence of exact-input IEEE divisions, bit-stable at any
+    parallelism in any engine. z is computed on the quantized value so
+    the 2.5 threshold cuts identically everywhere.
+
+    100 TB shape: one partial-agg shuffle on event_type (low
+    cardinality, but the map-side combine reduces each partition to
+    |types| rows first), stats broadcast back — no second shuffle.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    vq = F.round(F.col("value") * _MILLI).cast("long")
+    ev = e.select("event_id", "event_type", vq.alias("v_mu"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_mu").alias("s1"),
+        F.sum((F.col("v_mu") * F.col("v_mu")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(float(_MILLI)) / F.col("n")
+    ex2 = F.col("s2").cast("double") / F.lit(float(_MILLI * _MILLI)) / F.col("n")
+    vqd = F.col("v_mu").cast("double") / F.lit(float(_MILLI))
+    scored = (
+        ev.join(broadcast(stats), "event_type")
+        .withColumn("_mean", mean)
+        .withColumn("_std", F.sqrt(ex2 - F.col("_mean") * F.col("_mean")))
+        .filter(F.col("_std") > 0)
+        .withColumn("_z", (vqd - F.col("_mean")) / F.col("_std"))
+        .filter(F.abs(F.col("_z")) > 2.5)
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        F.col("v_mu").alias("value_milli"),
+        F.round("_z", 4).alias("z"),
+    )
+
+
+EVENTS_VALUE_ZSCORE_SQL = f"""
+WITH ev AS (
+    SELECT event_id, event_type,
+           CAST(round(value * {_MILLI}) AS BIGINT) AS v_mu
+    FROM events
+),
+stats AS (
+    SELECT event_type, count(*) AS n,
+           sum(v_mu) AS s1,
+           sum(v_mu * v_mu) AS s2
+    FROM ev GROUP BY event_type
+),
+scored AS (
+    SELECT ev.event_id, ev.event_type, ev.v_mu,
+           CAST(s.s1 AS DOUBLE) / {float(_MILLI)} / s.n AS mean,
+           sqrt(CAST(s.s2 AS DOUBLE) / {float(_MILLI * _MILLI)} / s.n
+                - (CAST(s.s1 AS DOUBLE) / {float(_MILLI)} / s.n)
+                  * (CAST(s.s1 AS DOUBLE) / {float(_MILLI)} / s.n)) AS std
+    FROM ev JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, v_mu AS value_milli,
+       round((CAST(v_mu AS DOUBLE) / {float(_MILLI)} - mean) / std, 4) AS z
+FROM scored
+WHERE std > 0 AND abs((CAST(v_mu AS DOUBLE) / {float(_MILLI)} - mean) / std) > 2.5
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "doc_char_entropy": doc_char_entropy,
+    "docs_chunk_overlap": docs_chunk_overlap,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "events_value_zscore": events_value_zscore,
+}
+
+ORACLES = {
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
+    "docs_chunk_overlap": DOCS_CHUNK_OVERLAP_SQL,
+    "minhash_jaccard_estimate": MINHASH_JACCARD_EST_SQL,
+    "events_value_zscore": EVENTS_VALUE_ZSCORE_SQL,
+}

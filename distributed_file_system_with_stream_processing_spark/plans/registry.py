@@ -16,12 +16,21 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     analytics_more,
     analytics_tpch2,
     llm_ops,
+    llm_ops2,
     rainstorm_queries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (analytics, analytics_ext, analytics_tpch2, analytics_more, rainstorm_queries, llm_ops)
+_MODULES = (
+    analytics,
+    analytics_ext,
+    analytics_tpch2,
+    analytics_more,
+    rainstorm_queries,
+    llm_ops,
+    llm_ops2,
+)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
