@@ -1,0 +1,184 @@
+"""Distributed k-means (Lloyd's) over an embedding column, plus the
+trained-IVF ANN path it unlocks.
+
+Execution model (the Spark MLlib shape): centroids are METADATA — k·dim
+doubles — and live on the driver between iterations; the corpus never
+reshuffles for assignment. Each Lloyd iteration is ONE job:
+
+    scan → argmin-distance assignment (pure map: centroids are parsed
+    literal expressions, no join) → 64 micro-unit integer sums + count
+    per cluster (map-side partial agg, one metadata-scale shuffle) →
+    collect k rows to the driver.
+
+Bit-stability contract (what makes the DuckDB oracle hash-match):
+- component sums are EXACT integers (round(x·1e6) as BIGINT — the q9
+  integer-cents trick), so partial-agg order can't change them;
+- the mean divides back as ``(s / 1e6) / n`` in Python — the identical
+  two-division sequence the oracle writes as
+  ``CAST(s AS DOUBLE)/1000000.0/n`` — and doubles round-trip through
+  ``repr`` exactly, so the literals the next iteration embeds are
+  bit-identical to what the oracle's unrolled CTE computes;
+- distance is a sequential left-to-right double accumulation
+  (zip_with + aggregate ↔ DuckDB list_sum(list_transform), the
+  established lockstep pattern), ties broken by lowest cluster id.
+
+Empty clusters keep their previous centroid (standard Lloyd fallback),
+mirrored by the oracle's LEFT JOIN + COALESCE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import vector as V
+from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
+
+_MICRO = 1_000_000
+
+
+def _lit_arr(vals: list[float]) -> str:
+    """Double-array literal whose repr round-trips exactly."""
+    return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _dist_sq(vec_col: str, cent: list[float]) -> str:
+    """Squared-L2 expr string: sequential accumulation over dims."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_lit_arr(cent)}, (x, c) -> (x - c) * (x - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_expr(vec_col: str, cents: list[list[float]]) -> str:
+    """Nearest-centroid id: array_min over (dist, cluster) structs —
+    struct ordering = dist asc then cluster asc, the deterministic
+    tie-break the oracle mirrors with ORDER BY d, c."""
+    structs = ",".join(
+        f"named_struct('d', {_dist_sq(vec_col, c)}, 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    return f"array_min(array({structs})).c"
+
+
+def _init_centroids(e: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic seed: the k lowest-id vectors (metadata-scale
+    collect — k·dim doubles, the MLlib centroid-on-driver model)."""
+    rows = e.orderBy("id").limit(k).select("v").collect()
+    return [list(r["v"]) for r in rows]
+
+
+def _update_centroids(
+    e: DataFrame, cents: list[list[float]], dim: int
+) -> list[list[float]]:
+    """One Lloyd update: assignment (pure map) + per-cluster exact
+    integer component sums; means computed driver-side with the
+    oracle-identical division sequence."""
+    assigned = e.selectExpr(f"{_argmin_expr('v', cents)} AS c", "v")
+    sums = assigned.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(F.element_at("v", i + 1) * _MICRO).cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    got = {r["c"]: r for r in sums.collect()}
+    out = []
+    for j, prev in enumerate(cents):
+        r = got.get(j)
+        if r is None:
+            out.append(prev)  # empty cluster keeps its centroid
+        else:
+            out.append([(r[f"s{i}"] / float(_MICRO)) / r["n"] for i in range(dim)])
+    return out
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Train k centroids with ``iters`` Lloyd updates; returns plain
+    Python floats (engine-portable literals)."""
+    e = _spread(
+        emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    )
+    cents = _init_centroids(e, k)
+    for _ in range(iters):
+        cents = _update_centroids(e, cents, dim)
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, cluster) after ``iters`` Lloyd updates — integer-only
+    output, so the oracle hash is float-free by construction."""
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_fit(emb, id_col, vec_col, k, iters, dim)
+    return _spread(e).selectExpr(
+        "id AS vec_id", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
+    )
+
+
+def ivf_trained_ann(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    probe_cells: int = 3,
+    query_ids_below: int = 10,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN via IVF with TRAINED (k-means) cells — the production IVF
+    shape, upgrading ``similarity.ivf_ann``'s seeded cells.
+
+    Because centroids are literals, BOTH cell assignments are pure
+    maps (no centroid join at all): base vectors take their argmin
+    cell; queries sort the (dist, cell) struct array and explode the
+    first ``probe_cells`` entries. Candidates come from the cell
+    equi-join, then exact cosine re-rank + top-k window. Shuffle
+    census at any scale: the cell join (query side broadcast) and the
+    per-query window — the assignment stage shuffles nothing.
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    base = e.filter(F.col("id") >= query_ids_below)
+    cents = kmeans_fit(
+        base, id_col="id", vec_col="v", k=n_cells, iters=iters, dim=dim
+    )
+    base_cells = _spread(base).selectExpr(
+        "id AS neighbor_id", "v AS bv", f"{_argmin_expr('v', cents)} AS cell"
+    )
+    structs = ",".join(
+        f"named_struct('d', {_dist_sq('v', c)}, 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    probe = (
+        f"transform(slice(array_sort(array({structs})), 1, {probe_cells}), s -> s.c)"
+    )
+    query_cells = (
+        e.filter(F.col("id") < query_ids_below)
+        .selectExpr("id AS query_id", "v AS qv", f"explode({probe}) AS cell")
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        base_cells.join(broadcast(query_cells), "cell")
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )

@@ -374,15 +374,114 @@ WHERE std > 0 AND abs((CAST(v_mu AS DOUBLE) / {float(_MILLI)} - mean) / std) > 2
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_kmeans_assign / ann_ivf_trained
+
+_KM_K = 8
+_KM_ITERS = 2
+_DIM = 64
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 update rounds, deterministic
+    lowest-id seeds) over the embedding table; output is each vector's
+    final cluster — integer-only, so the value hash is float-free.
+
+    The oracle is the SAME algorithm UNROLLED into chained CTEs (one
+    assignment + one centroid CTE per iteration) — possible only
+    because every step is bit-stable: exact integer component sums,
+    fixed division sequence, lockstep distance accumulation, (dist,
+    cluster) tie-break. See operators/clustering.py for the contract.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    return C.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, dim=_DIM
+    )
+
+
+def _km_dist(v: str, cv: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> ({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i])))"
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    sums = ", ".join(
+        f"sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}"
+        for i in range(_DIM)
+    )
+    means = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(_DIM))
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v, s.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_km_dist('e.v', 's.v')}, s.c) AS rn
+        FROM e CROSS JOIN {cents} s)
+    WHERE rn = 1)"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""seed AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    cents = "seed"
+    for t in range(iters):
+        parts.append(assign(f"a{t}", cents))
+        parts.append(
+            f"u{t} AS (SELECT c, count(*) AS n, {sums} FROM a{t} GROUP BY c)"
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+    SELECT {cents}.c,
+           CASE WHEN u{t}.n IS NULL THEN {cents}.v ELSE [{means}] END AS v
+    FROM {cents} LEFT JOIN u{t} USING (c))"""
+        )
+        cents = f"c{t + 1}"
+    parts.append(assign("fin", cents))
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM fin"
+    )
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_oracle_sql(_KM_K, _KM_ITERS)
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED (k-means) cells — see
+    operators/clustering.ivf_trained_ann. Driver check is rows-only
+    (the trained-cell pipeline is iterative); recall@5 vs the exact
+    baseline is pinned in tests/test_ann.py."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    return C.ivf_trained_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=16,
+        iters=_KM_ITERS,
+        probe_cells=3,
+        query_ids_below=10,
+        k=5,
+        dim=_DIM,
+    )
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_char_entropy": doc_char_entropy,
     "docs_chunk_overlap": docs_chunk_overlap,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "events_value_zscore": events_value_zscore,
+    "embedding_kmeans_assign": embedding_kmeans_assign,
+    "ann_ivf_trained": ann_ivf_trained,
 }
 
 ORACLES = {
+    "embedding_kmeans_assign": EMBEDDING_KMEANS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "docs_chunk_overlap": DOCS_CHUNK_OVERLAP_SQL,

@@ -140,3 +140,72 @@ def test_quantized_ann_recall_vs_bruteforce(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
     assert all(q < 10 and n >= 10 for q, n in approx)
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark):
+    """Trained (k-means) IVF cells should beat or match the seeded-cell
+    IVF recall floor: Lloyd updates move centroids toward density, so
+    cell boundaries cut fewer true neighbor pairs."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, query_ids_below=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in C.ivf_trained_ann(emb, query_ids_below=10, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    assert all(q < 10 and n >= 10 for q, n in approx)
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """Every vector gets exactly one cluster in [0, k); clusters are
+    non-trivial (more than one populated) on real data."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    res = C.kmeans_assign(emb, k=8, iters=2).collect()
+    n_vecs = emb.count()
+    assert len(res) == n_vecs
+    assert len({r["vec_id"] for r in res}) == n_vecs
+    clusters = {r["cluster"] for r in res}
+    assert clusters <= set(range(8))
+    assert len(clusters) > 1
+
+
+def test_kmeans_update_reduces_inertia(spark):
+    """Lloyd's is monotone: mean squared distance to the assigned
+    centroid must not increase from the seed round to the trained
+    round (quantization noise allowed 1e-6 slack)."""
+    from pyspark.sql import functions as F
+
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+    )
+
+    def inertia(cents):
+        structs = ",".join(
+            f"named_struct('d', {C._dist_sq('v', c)}, 'c', {j})"
+            for j, c in enumerate(cents)
+        )
+        return (
+            e.selectExpr(f"array_min(array({structs})).d AS d")
+            .agg(F.avg("d"))
+            .collect()[0][0]
+        )
+
+    seed = C._init_centroids(e, 8)
+    trained = C.kmeans_fit(emb, k=8, iters=2)
+    assert inertia(trained) <= inertia(seed) + 1e-6
