@@ -26,16 +26,24 @@ SALT_COL = "_skew_salt"
 
 
 def _with_probe_salt(df: DataFrame, salt: int) -> DataFrame:
-    # Deterministic spread derived from ROW CONTENT, not
-    # monotonically_increasing_id(): a non-deterministic salt feeding a
-    # shuffle makes task retries recompute different ids (correct only
-    # via Spark's indeterminate-stage rollback) and blocks optimizer
-    # pushdown through the projection. xxhash64 over all columns keeps
-    # retries reproducible; identical rows co-locating on one reducer is
-    # fine — the salt exists to split KEYS, and duplicate full rows are
-    # a bounded sliver of any real hot key.
+    # Deterministic spread derived from ROW CONTENT plus the input
+    # partition id, not monotonically_increasing_id(): a
+    # non-deterministic salt feeding a shuffle makes task retries
+    # recompute different ids (correct only via Spark's
+    # indeterminate-stage rollback) and blocks optimizer pushdown
+    # through the projection. xxhash64 over all columns keeps retries
+    # reproducible; mixing in spark_partition_id() (stable per row for
+    # a deterministic scan, re-read identically on retry) additionally
+    # spreads EXACT-DUPLICATE rows — a hot key made of identical rows
+    # would otherwise co-salt onto one reducer, the very pathology the
+    # salt exists to break. Residual: identical rows within one input
+    # partition still share a salt, bounded by partition size.
     return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
 
 

@@ -4,10 +4,14 @@ subquery (Q17), disjunctive predicate join (Q19), double
 EXISTS/NOT-EXISTS (Q21), scalar-subquery + anti-join (Q22), and
 non-hierarchical GROUPING SETS.
 
-These close out the TPC-H operator families expressible on the driver
-schema (no ``partsupp`` table exists, so Q2/Q11/Q16/Q20 — the
-supplier-part-cost shapes — are out of scope; everything else is here
-or in plans/analytics*.py).
+These close out the TPC-H operator families on the driver schema.
+There is no ``partsupp`` table, so the supplier-part-cost shapes
+(Q2/Q9/Q11/Q16/Q20) derive their part-supplier relation from actual
+shipments — min observed unit price stands in for supplycost, shipped
+quantity/value for stock — preserving each query's join/subquery
+structure. With those adaptations (and Q12's l_returnflag standing in
+for the absent l_shipmode), all 22 TPC-H query shapes are covered
+across plans/analytics*.py.
 
 Scale notes (100 TB): every dim (nation/supplier/customer-agg/part
 subsets) is an explicit ``broadcast()``; the only shuffles are the
@@ -534,6 +538,199 @@ FROM qty JOIN supplier ON s_suppkey = l_suppkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp absent — each supplier's offer price
+    for a part is its minimum observed unit sale price): for STANDARD
+    parts of size <= 25, the EUROPE supplier(s) offering the lowest
+    price, with supplier/nation details.
+
+    The correlated MIN subquery is decorrelated by hand, the module's
+    idiom: derive ps = (part, supplier, cost) with ONE fact shuffle
+    [groupBy (l_partkey, l_suppkey)], restrict to the broadcast
+    region-filtered supplier dim, reduce to min-cost-per-part
+    (part-cardinality = metadata scale), and broadcast THAT back as an
+    equality join — no window re-shuffle, no second fact pass. Cost
+    equality joins on the RAW double: min() selects an existing IEEE
+    division result, bit-identical in any engine; rounding happens
+    only at display.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_name")
+    )
+    supp_eu = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost"))
+    )
+    # rename the join-back keys: ps and minc share a lineage, and
+    # same-named columns would resolve to the SAME attribute (a
+    # trivially-true predicate, i.e. a cartesian join)
+    minc = (
+        ps.groupBy("p_partkey")
+        .agg(F.min("_cost").alias("_min_cost"))
+        .select(F.col("p_partkey").alias("_min_pk"), "_min_cost")
+    )
+    return (
+        ps.join(
+            broadcast(minc),
+            (F.col("p_partkey") == F.col("_min_pk"))
+            & (F.col("_cost") == F.col("_min_cost")),
+        )
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.col("n_name").alias("nation"),
+            F.round("_cost", 2).alias("min_cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH supp_eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+ps AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supp_eu ON s_suppkey = l_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 25
+    GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+),
+minc AS (SELECT p_partkey, min(cost) AS min_cost FROM ps GROUP BY p_partkey)
+SELECT CAST(ps.p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(s_acctbal, 2) AS s_acctbal, n_name AS nation,
+       round(cost, 2) AS min_cost
+FROM ps JOIN minc ON ps.p_partkey = minc.p_partkey AND ps.cost = minc.min_cost
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp absent — shipped value stands in for
+    stock value): parts whose total shipped value from EUROPE
+    suppliers exceeds 1/200 of the region-wide total.
+
+    The global-total scalar subquery stays EXACT and order-free via
+    integer cents (the q9 trick), and the threshold compare runs in
+    pure integer space — ``value_cents * 200 > total_cents`` — so no
+    float boundary can flip a row between engines. Scale shape: one
+    fact shuffle [groupBy l_partkey] after the broadcast supplier
+    semi-join; the grand total re-aggregates the part-level partials
+    (metadata scale) and attaches as a 1-row broadcast — the same
+    BuildRight BroadcastNestedLoopJoin as tfidf_top_terms's N
+    (allow-listed in tests/test_plans.py; with a 1-row build side the
+    "loop" is appending a scalar column).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        l.join(broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "_cents"
+            )
+        )
+    )
+    total = val.agg(F.sum("_cents").alias("_total_cents"))
+    return (
+        val.crossJoin(broadcast(total))
+        .filter(F.col("_cents") * 200 > F.col("_total_cents"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("_cents") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH supp_eu AS (
+    SELECT s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+val AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem JOIN supp_eu ON s_suppkey = l_suppkey
+    GROUP BY l_partkey
+),
+tot AS (SELECT sum(cents) AS total_cents FROM val)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       round(cents / 100.0, 2) AS value
+FROM val CROSS JOIN tot
+WHERE cents * 200 > total_cents
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/receiptdate columns —
+    l_returnflag stands in for the shipmode class, the 1996 ship-date
+    window for the receipt window): per return flag, how many critical
+    (1-URGENT / 2-HIGH) vs non-critical orders shipped lines.
+
+    The canonical conditional-count over a fact-fact join: lineitem
+    filtered at the scan, one shuffle join to orders, map-side partial
+    counts into a 3-row group. Counts are integers — nothing to drift.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.select("l_orderkey", "l_returnflag")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -545,6 +742,9 @@ QUERIES = {
     "q9_nation_profit": q9_nation_profit,
     "q16_supplier_part_breadth": q16_supplier_part_breadth,
     "q20_volume_suppliers": q20_volume_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "lineitem_grouping_sets": lineitem_grouping_sets,
 }
 
@@ -559,5 +759,8 @@ ORACLES = {
     "q9_nation_profit": Q9_SQL,
     "q16_supplier_part_breadth": Q16_SQL,
     "q20_volume_suppliers": Q20_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_shipmode_priority": Q12_SQL,
     "lineitem_grouping_sets": LINEITEM_GROUPING_SETS_SQL,
 }

@@ -48,8 +48,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: tokenize → (doc_id, term) partial-agg [shuffle 1] →
     df per term [shuffle 2, high-cardinality key] → term-keyed
     sort-merge join back → per-doc top-k window [shuffle 3 on doc_id].
-    The corpus size N is a 1-row broadcast. No driver collect, no
-    low-cardinality shuffle key anywhere.
+    The corpus size N is a 1-row broadcast attached via
+    BroadcastNestedLoopJoin BuildRight — with a 1-row build side that
+    is "append a scalar column", zero fan-out, and the scored side
+    never reshuffles. (A synthetic constant equi-key does not improve
+    the plan: Catalyst constant-folds foldable join keys back to the
+    same BNLJ — allow-listed with the BuildRight assertion in
+    tests/test_plans.py.) No driver collect, no low-cardinality
+    shuffle key anywhere.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
@@ -128,7 +134,13 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id",
         "_lt",
-        "transform(sequence(1, length(_lt)), i -> substring(_lt, i, 1)) AS _cs",
+        # sequence(1, 0) is the DESCENDING range [1, 0], not empty —
+        # an empty doc would report 2 chars (both '') and 1 distinct
+        # char where the oracle's range(1, 1) is empty and yields 0.
+        # Guard so empty docs produce an empty char array.
+        """CASE WHEN length(_lt) > 0
+             THEN transform(sequence(1, length(_lt)), i -> substring(_lt, i, 1))
+             ELSE cast(array() AS array<string>) END AS _cs""",
     ).selectExpr(
         "doc_id",
         "_lt",
@@ -256,7 +268,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the candidate pairs (LSH output, tiny vs corpus) are
     BROADCAST back onto the shingle table twice, so the corpus-scale
     side never reshuffles; the exact intersection runs only on
-    candidates.
+    candidates. BOTH joins are explicitly hinted: the second join's
+    left side (candidates enriched with sha) is candidate-sized, but
+    Catalyst's size estimate for a join output is unknowable at 100 TB
+    and a mis-estimate would flip it to a corpus-wide sort-merge
+    shuffle — the explicit broadcast() pins the shape at any scale
+    (asserted in tests/test_plans.py::test_minhash_jaccard_corpus_never_shuffles).
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
@@ -270,7 +287,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sha") + F.size("shb") - inter
     ).cast("double")
     return (
-        pa.join(broadcast(pairs), "doc_id_a")
+        broadcast(pa.join(broadcast(pairs), "doc_id_a"))
         .join(pb, "doc_id_b")
         .select(
             "doc_id_a",

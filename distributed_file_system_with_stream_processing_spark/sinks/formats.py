@@ -104,6 +104,23 @@ def compact_files(
     if not os.path.exists(path) and os.path.exists(old0):
         os.rename(old0, path)
     before = _data_files(path, suffix)
+    # A hive-partitioned table root holds partition SUBDIRECTORIES and
+    # no data files; rewriting it through spark.read.load would
+    # silently FLATTEN the partition layout (the reader discovers
+    # partitions, the writer drops the directory structure). Refuse:
+    # compaction runs per partition directory, as the docstring says.
+    subdirs = [
+        f
+        for f in os.listdir(path)
+        if os.path.isdir(os.path.join(path, f)) and not f.startswith(("_", "."))
+    ]
+    if not before and subdirs:
+        raise ValueError(
+            f"compact_files: {path!r} looks like a partitioned table root "
+            f"(subdirs {subdirs[:3]}, no *{suffix} data files); compact each "
+            "partition directory instead — rewriting the root would flatten "
+            "the partition layout"
+        )
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_bytes_per_file))
     df = spark.read.format(fmt).load(path)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -32,18 +33,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and rebuild a (UTC)
-        # microsecond timestamp. Runtime confs so it works under any
-        # caller-provided SparkSession; session tz pinned to UTC so
-        # rendered timestamps match the (naive-UTC) stored values
-        # regardless of the host JVM's zone.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # testdata generations (which Spark's vectorized reader rejects
+        # unless read as raw nanos) and TIMESTAMP(MICROS) in others.
+        # Handle both: with nanosAsLong=true a NANOS column surfaces as
+        # LongType (rebuild a microsecond timestamp from it) while a
+        # MICROS column still reads as a timestamp (pass through,
+        # normalized to session-tz TIMESTAMP). Runtime confs so it
+        # works under any caller-provided SparkSession; session tz
+        # pinned to UTC so rendered timestamps match the (naive-UTC)
+        # stored values regardless of the host JVM's zone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        # TIMESTAMP_NTZ -> TIMESTAMP is value-preserving under the UTC
+        # session tz pinned above
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -115,3 +115,19 @@ def test_compact_files_respects_target_size(spark, tmp_path):
     )
     stats = FM.compact_files(spark, p, target_bytes_per_file=total // 4 + 1)
     assert 2 <= stats["files_after"] <= 6
+
+
+def test_compact_files_refuses_partitioned_root(spark, nation, tmp_path):
+    """Regression (round-2 ADVICE): a hive-partitioned table root has
+    no data files, so the old code computed total=0, read through
+    partition discovery, and rewrote to ONE unpartitioned file —
+    silently flattening the layout. It must refuse instead."""
+    p = str(tmp_path / "part_root")
+    nation.write.partitionBy("n_regionkey").parquet(p)
+    with pytest.raises(ValueError, match="partitioned table root"):
+        FM.compact_files(spark, p)
+    # per-partition compaction (the documented usage) still works
+    subs = [d for d in os.listdir(p) if not d.startswith(("_", "."))]
+    sub = os.path.join(p, subs[0])
+    stats = FM.compact_files(spark, sub)
+    assert stats["files_after"] >= 1

@@ -88,6 +88,17 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "ann_ivf_bucketed",
         # int8 coarse pass is the same queries-broadcast brute-force shape
         "ann_quantized_topk",
+        # tf-idf needs the global doc count N attached to every scored
+        # term: a 1-row global-aggregate broadcast. With a broadcast
+        # 1-row build side, BNLJ degenerates to "append a scalar
+        # column" — zero fan-out, stream side never shuffles. A
+        # synthetic constant equi-key does NOT avoid it: Catalyst
+        # constant-folds foldable join keys and plans the same BNLJ
+        # (verified empirically), so this IS the correct 100 TB shape.
+        "tfidf_top_terms",
+        # same 1-row global-total broadcast shape (Q11's grand-total
+        # scalar subquery)
+        "q11_important_parts",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
@@ -96,6 +107,19 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
         elif "BroadcastNestedLoopJoin" in plan:
             assert "BroadcastNestedLoopJoin BuildRight" in plan, name
+
+
+def test_minhash_jaccard_corpus_never_shuffles(spark):
+    """minhash_jaccard_estimate's docstring claims the corpus-scale
+    shingle table never reshuffles: candidates join back twice, both
+    times as the broadcast build side. Without the explicit hint on
+    the second join the shape depends on Catalyst's size estimate for
+    a join output — unknowable at 100 TB — so the plan must show two
+    BroadcastHashJoins and zero sort-merge/shuffled-hash joins."""
+    plan = executed_plan(QUERIES["minhash_jaccard_estimate"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 # -- codegen & aggregation shape --------------------------------------------

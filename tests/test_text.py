@@ -92,3 +92,38 @@ def test_url_count_and_first(spark):
     assert _one(spark, s, T.first_url(F.col("text"))) == "https://one.example.com"
     assert _one(spark, "no links", T.url_count(F.col("text"))) == 0
     assert _one(spark, "no links", T.first_url(F.col("text"))) == ""
+
+
+def test_doc_char_entropy_empty_doc(spark, duck, tmp_path):
+    """Regression (round-2 ADVICE): Spark's sequence(1, 0) is the
+    DESCENDING range [1, 0], so an unguarded char array reported an
+    empty doc as 2 chars / 1 distinct while the oracle's range(1, 1)
+    is empty. Empty docs must report 0 chars, 0 distinct, 0 entropy in
+    BOTH engines."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        DOC_CHAR_ENTROPY_SQL,
+        doc_char_entropy,
+    )
+
+    spark.createDataFrame(
+        [(1, ""), (2, "ab1")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r for r in doc_char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_chars_total"] == 0
+    assert rows[1]["n_distinct_chars"] == 0
+    assert rows[1]["char_entropy"] == 0.0
+    assert rows[1]["digit_ratio"] == 0.0
+    assert rows[2]["n_distinct_chars"] == 3
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orows = {r[0]: r for r in duck.execute(DOC_CHAR_ENTROPY_SQL).fetchall()}
+    for did in (1, 2):
+        s, o = rows[did], orows[did]
+        assert (s["n_chars_total"], s["n_distinct_chars"]) == (o[1], o[2])
+        assert abs(s["char_entropy"] - o[3]) < 1e-9
+        assert abs(s["digit_ratio"] - o[4]) < 1e-9
