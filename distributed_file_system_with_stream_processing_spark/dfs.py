@@ -182,6 +182,52 @@ class TableStore:
             self._cached[key] = df
         return df
 
+    _MERGED_THRU_MARKER = "_merged_thru.txt"
+
+    def merged_thru(self, name: str) -> str:
+        """Highest append sequence folded into the base by a merge
+        ('' if the base has never absorbed an append). Parquet readers
+        skip ``_``-prefixed files, so the marker rides inside base."""
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        marker = os.path.join(self._base_dir(name), self._MERGED_THRU_MARKER)
+        if not os.path.isfile(marker):
+            return ""
+        with open(marker) as fh:
+            return fh.read().strip()
+
+    def get_as_of(self, name: str, seq: str) -> DataFrame:
+        """Snapshot read: the table as it stood when ``seq`` was the
+        newest append — base plus exactly the append batches with
+        sequence <= seq. Mirrors the reference's read-at-merge-point
+        semantics (HyDFS synchronizer.go:75-139: a reader observes the
+        file at a chosen point of the timestamp-ordered append log).
+
+        Sequences are the strings returned by ``append()``; '' means
+        "base only". A merge FOLDS appends into the base — history at
+        finer grain than the last merge point no longer exists on disk
+        (exactly as in the reference, where merge materializes the
+        log) — so asking for a snapshot older than ``merged_thru()``
+        raises rather than silently returning too-new data.
+        """
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        floor = self.merged_thru(name)
+        if seq < floor:
+            raise TableStoreError(
+                f"snapshot {seq!r} predates last merge point {floor!r} "
+                f"({name}); pre-merge history is folded into the base"
+            )
+        df = self.spark.read.parquet(self._base_dir(name))
+        for batch in self._append_batches(name):
+            if batch <= seq:
+                df = df.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(self._appends_dir(name), batch)
+                    )
+                )
+        return df
+
     def _invalidate(self, name: str) -> None:
         """Drop cached reads of ``name`` (write-invalidate, as the
         reference client cache does on create/append)."""
@@ -226,6 +272,10 @@ class TableStore:
         merged.write.parquet(tmp)
         with open(os.path.join(tmp, self._FOLDED_MARKER), "w") as fh:
             fh.write("\n".join(batches) + "\n")
+        # permanent merge watermark for get_as_of (folded history is
+        # gone from disk; snapshots below this floor must refuse)
+        with open(os.path.join(tmp, self._MERGED_THRU_MARKER), "w") as fh:
+            fh.write(batches[-1] + "\n")
         os.rename(base, old)
         os.rename(tmp, base)
         # cleanup (any crash from here on is finished by _recover)

@@ -294,3 +294,76 @@ def neardup_stream(
     if docs.isStreaming:
         return pairs.dropDuplicatesWithinWatermark(["doc_id_a", "doc_id_b"])
     return pairs.dropDuplicates(["doc_id_a", "doc_id_b"])
+
+
+def decontaminate_stream(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``plans.llm_ops.decontaminate_ngram``: flag
+    arriving training docs that share >= 1 distinct n-gram with a
+    STATIC eval set.
+
+    The 100 TB stream shape is identical to batch: the eval side is
+    benchmark-scale, distinct-reduced once and broadcast into every
+    micro-batch (stream-static join needs no state); the only
+    streaming state is the per-doc hit-count aggregation, emitted in
+    update/complete mode. Bounded inputs run the exact batch plan —
+    tested equal at micro-batch boundaries in
+    tests/test_rainstorm_streaming.py.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    ev_sh = D._exploded_shingles(eval_docs, id_col, text_col, n).select("s").distinct()
+    tr_sh = D._exploded_shingles(train_docs, id_col, text_col, n)
+    return (
+        tr_sh.join(broadcast(ev_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+def fragment_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``plans.llm_ops.paragraph_dedup``: fragment
+    arriving docs into ``w``-token windows, hash, and maintain running
+    (canonical doc, copy count) per fragment hash.
+
+    Exact ``countDistinct`` is unsupported in streaming aggregation
+    (it needs per-group distinct state Spark won't hold), so the
+    stream twin reports (frag_hash, canonical_doc_id, n_copies) — the
+    dedup DECISION columns — and drops the batch op's diagnostic
+    ``n_docs``; parity with batch is asserted on the shared columns.
+    min() and count() are running-mergeable, so complete/update-mode
+    results at any micro-batch boundary equal the batch plan over the
+    data seen so far.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    ws = T.words(F.col(text_col))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(float(w))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )
+    frags = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode_outer(chunks).alias("frag"))
+        .filter(F.col("frag").isNotNull() & (F.col("frag") != ""))
+        .select("doc_id", F.md5(F.col("frag")).alias("frag_hash"))
+    )
+    return (
+        frags.groupBy("frag_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -56,6 +56,17 @@ AUDITED = [
     "docs_clean_pack",
     "embedding_label_centroids",
     "lang_id_confusion",
+    # round 3: the corpus-stats/clustering set + the TPC-H completions
+    "tfidf_top_terms",
+    "doc_char_entropy",
+    "docs_chunk_overlap",
+    "minhash_jaccard_estimate",
+    "events_value_zscore",
+    "embedding_kmeans_assign",
+    "ann_ivf_trained",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_shipmode_priority",
 ]
 
 JOIN_KINDS = (

@@ -195,3 +195,37 @@ def test_get_cache_hits_memory_and_invalidates(store, spark):
     store.append("t", _df(spark, [(2, "b")]))
     after = store.get("t", cache=True)
     assert sorted(r["id"] for r in after.collect()) == [1, 2]
+
+
+def test_get_as_of_snapshots(store, spark):
+    """Snapshot reads at each append point (reference
+    synchronizer.go:75-139 read-at-merge-point semantics): append,
+    snapshot, append, snapshot — each sees exactly its prefix of the
+    append log; merge folds history and sets the floor."""
+    store.create("t", _df(spark, [(1, "base")]))
+    s1 = store.append("t", _df(spark, [(2, "a1")]))
+    s2 = store.append("t", _df(spark, [(3, "a2")]))
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(store.get_as_of("t", "")) == [1]          # base only
+    assert ids(store.get_as_of("t", s1)) == [1, 2]       # first append
+    assert ids(store.get_as_of("t", s2)) == [1, 2, 3]    # both
+    assert store.merged_thru("t") == ""
+
+    # merge folds both appends; latest snapshot still reads correctly
+    assert store.merge("t") == 2
+    assert store.merged_thru("t") == s2
+    assert ids(store.get_as_of("t", s2)) == [1, 2, 3]
+    # finer-grained history no longer exists on disk -> refuse
+    with pytest.raises(TableStoreError, match="predates last merge"):
+        store.get_as_of("t", s1)
+
+    # appends after the merge snapshot correctly above the new floor
+    s3 = store.append("t", _df(spark, [(4, "a3")]))
+    assert ids(store.get_as_of("t", s2)) == [1, 2, 3]
+    assert ids(store.get_as_of("t", s3)) == [1, 2, 3, 4]
+
+
+def test_get_as_of_missing_table(store):
+    with pytest.raises(TableStoreError, match="doesn't exist"):
+        store.get_as_of("nope", "")

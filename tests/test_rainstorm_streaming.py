@@ -416,3 +416,100 @@ def test_streaming_doc_hygiene_twin(spark, tmp_path):
     streamed = spark.sql("SELECT _h FROM doc_hygiene").collect()
     assert {r["_h"] for r in streamed} == batch_hashes
     assert len(streamed) == len(batch_hashes)  # dedup held across batches
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """decontaminate as a STREAM: training docs arrive in micro-batches
+    and join a static broadcast eval set; at the availableNow boundary
+    the per-doc hit counts must equal the batch plan over all files."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        decontaminate_stream,
+    )
+
+    src = str(tmp_path / "train")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    ev = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta"), (901, "one two three four five six")],
+        schema,
+    )
+    rows1 = [
+        (1, "alpha beta gamma delta something else entirely here"),  # 2 shared 3-grams
+        (2, "completely disjoint vocabulary with no overlap at all"),
+    ]
+    rows2 = [
+        (3, "count one two three four five six seven"),  # shares eval 2's grams
+        (4, "alpha beta gamma and also one two three"),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in decontaminate_stream(
+            spark.read.schema(schema).parquet(src), ev
+        ).collect()
+    }
+    assert batch, "fixture produced no contamination hits"
+    assert 2 not in {d for d, _ in batch}  # clean doc stays clean
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        decontaminate_stream(stream, ev)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    assert streamed == batch
+
+
+def test_fragment_dedup_stream_matches_batch(spark, tmp_path):
+    """Fragment-level dedup as a STREAM: running (canonical, copies)
+    per fragment hash at the availableNow boundary == the batch plan;
+    also parity with plans.paragraph_dedup's shared columns when run
+    over the same bounded input."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        fragment_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    boiler = "all rights reserved contact us"  # >4 tokens → 2 frags, 1 shared window
+    rows1 = [(1, f"unique leading words here {boiler}"), (2, f"other body text now {boiler}")]
+    rows2 = [(3, f"third doc arrives later {boiler}"), (4, "nothing repeated in this one")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch = {
+        (r["frag_hash"], r["canonical_doc_id"], r["n_copies"])
+        for r in fragment_dedup_stream(spark.read.schema(schema).parquet(src)).collect()
+    }
+    assert batch, "fixture planted no repeated fragments"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        fragment_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fragdedup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["frag_hash"], r["canonical_doc_id"], r["n_copies"])
+        for r in spark.sql("SELECT * FROM fragdedup_stream").collect()
+    }
+    assert streamed == batch
