@@ -83,6 +83,8 @@ def main() -> None:
         "q2_min_cost_supplier",
         "q11_important_parts",
         "q12_shipmode_priority",
+        "doc_winnowing_fingerprint",
+        "embedding_norm_stats",
     ]
     headline = [q for q in headline if q in QUERIES]
 

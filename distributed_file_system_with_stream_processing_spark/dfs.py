@@ -117,6 +117,36 @@ class TableStore:
                 shutil.rmtree(old)
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
+        # -- compact_appends() recovery (independent of the base swap) --
+        ad = self._appends_dir(name)
+        if os.path.isdir(ad):
+            for d in list(os.listdir(ad)):
+                if d.startswith(self._COMPACTING_PREFIX):
+                    target = d[len(self._COMPACTING_PREFIX):]
+                    tpath = os.path.join(ad, target)
+                    dpath = os.path.join(ad, d)
+                    if os.path.isdir(tpath):
+                        # died before the target delete: the originals
+                        # are all intact — roll BACK, compaction simply
+                        # didn't happen
+                        shutil.rmtree(dpath)
+                    else:
+                        # died between delete and rename: the combined
+                        # copy holds every row — roll FORWARD
+                        os.rename(dpath, tpath)
+            # finish marker-driven deletion of folded batches (crash
+            # mid-cleanup leaves the marker; folded dirs are superseded
+            # by the combined batch and must not double-read)
+            for b in self._append_batches(name):
+                marker = os.path.join(ad, b, self._FOLDED_MARKER)
+                if os.path.isfile(marker):
+                    with open(marker) as fh:
+                        folded = [ln.strip() for ln in fh if ln.strip()]
+                    for s in folded:
+                        sdir = os.path.join(ad, s)
+                        if s != b and os.path.isdir(sdir):
+                            shutil.rmtree(sdir)
+                    os.remove(marker)
 
     # -- ops mirroring the reference's user commands ----------------------
 
@@ -174,7 +204,13 @@ class TableStore:
         for seq in self._append_batches(name):
             part = self.spark.read.parquet(
                 os.path.join(self._appends_dir(name), seq)
-            ).withColumn("_append_seq", F.lit(seq))
+            )
+            # a compact_appends() batch carries per-row _append_seq
+            # (the original append stamps) — keep it, so ordering
+            # semantics survive compaction; plain batches stamp the
+            # batch name
+            if "_append_seq" not in part.columns:
+                part = part.withColumn("_append_seq", F.lit(seq))
             df = df.unionByName(part)
         df = df if with_seq else df.drop("_append_seq")
         if cache:
@@ -183,6 +219,75 @@ class TableStore:
         return df
 
     _MERGED_THRU_MARKER = "_merged_thru.txt"
+    _MAX_SEQ_MARKER = "_max_seq.txt"
+    _COMPACTING_PREFIX = "_compacting_"
+
+    def _batch_max_seq(self, name: str, batch: str) -> str:
+        """Newest original append stamp inside a batch dir — the dir
+        name for plain batches; compact_appends() batches keep their
+        true maximum in a permanent marker (their dir is named by the
+        EARLIEST folded stamp)."""
+        m = os.path.join(self._appends_dir(name), batch, self._MAX_SEQ_MARKER)
+        if os.path.isfile(m):
+            with open(m) as fh:
+                return fh.read().strip()
+        return batch
+
+    def compact_appends(self, name: str) -> int:
+        """Fold every pending append batch into ONE batch without
+        touching the base — O(pending bytes), vs ``merge()``'s
+        O(whole table) rewrite. The LSM stance the reference's design
+        implies: appends stay cheap, background compaction bounds the
+        batch/file count a reader must list, and the full base rewrite
+        happens only at merge.
+
+        Ordering semantics are byte-identical before and after: the
+        combined batch stores each row's ORIGINAL stamp in a per-row
+        ``_append_seq`` column (``get``/``get_as_of``/``merge`` prefer
+        that column over the dir name), is named by the EARLIEST
+        folded stamp (so every pre-existing snapshot handle stays
+        ≥-comparable), and records its true newest stamp in a
+        permanent ``_max_seq`` marker for ``merge()``'s floor.
+
+        Crash-safe; every intermediate state is repaired by
+        ``_recover``: the combined copy writes aside under a
+        ``_``-prefixed dir (invisible to readers), the earliest
+        original is deleted and the copy renamed into its place
+        (crash between → roll forward from the copy, which holds every
+        row; crash before → roll back, originals intact), and the
+        remaining folded batches are deleted marker-driven (crash
+        mid-cleanup → recovery finishes the deletes). Returns the
+        number of batches folded (0 if fewer than 2 pending)."""
+        if not self.exists(name):  # runs _recover() first
+            raise TableStoreError(f"table doesn't exist ({name})")
+        batches = self._append_batches(name)
+        if len(batches) <= 1:
+            return 0
+        ad = self._appends_dir(name)
+        max_seq = max(self._batch_max_seq(name, b) for b in batches)
+        combined = None
+        for b in batches:
+            part = self.spark.read.parquet(os.path.join(ad, b))
+            if "_append_seq" not in part.columns:
+                part = part.withColumn("_append_seq", F.lit(b))
+            combined = part if combined is None else combined.unionByName(part)
+        target = batches[0]
+        tmp = os.path.join(ad, self._COMPACTING_PREFIX + target)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        combined.write.parquet(tmp)
+        with open(os.path.join(tmp, self._FOLDED_MARKER), "w") as fh:
+            fh.write("\n".join(batches) + "\n")
+        with open(os.path.join(tmp, self._MAX_SEQ_MARKER), "w") as fh:
+            fh.write(max_seq + "\n")
+        shutil.rmtree(os.path.join(ad, target))
+        os.rename(tmp, os.path.join(ad, target))
+        # cleanup (any crash from here on is finished by _recover)
+        for b in batches[1:]:
+            shutil.rmtree(os.path.join(ad, b))
+        os.remove(os.path.join(ad, target, self._FOLDED_MARKER))
+        self._invalidate(name)
+        return len(batches)
 
     def merged_thru(self, name: str) -> str:
         """Highest append sequence folded into the base by a merge
@@ -219,13 +324,20 @@ class TableStore:
                 f"({name}); pre-merge history is folded into the base"
             )
         df = self.spark.read.parquet(self._base_dir(name))
+        cols = df.columns
         for batch in self._append_batches(name):
             if batch <= seq:
-                df = df.unionByName(
-                    self.spark.read.parquet(
-                        os.path.join(self._appends_dir(name), batch)
-                    )
+                part = self.spark.read.parquet(
+                    os.path.join(self._appends_dir(name), batch)
                 )
+                # a compact_appends() batch is named by its EARLIEST
+                # folded stamp and carries per-row _append_seq — the
+                # row-level filter keeps snapshot precision exact
+                if "_append_seq" in part.columns:
+                    part = part.filter(F.col("_append_seq") <= seq).drop(
+                        "_append_seq"
+                    )
+                df = df.unionByName(part.select(cols))
         return df
 
     def _invalidate(self, name: str) -> None:
@@ -273,9 +385,11 @@ class TableStore:
         with open(os.path.join(tmp, self._FOLDED_MARKER), "w") as fh:
             fh.write("\n".join(batches) + "\n")
         # permanent merge watermark for get_as_of (folded history is
-        # gone from disk; snapshots below this floor must refuse)
+        # gone from disk; snapshots below this floor must refuse).
+        # _batch_max_seq, not batches[-1]: a compact_appends() batch is
+        # named by its EARLIEST folded stamp but contains newer rows.
         with open(os.path.join(tmp, self._MERGED_THRU_MARKER), "w") as fh:
-            fh.write(batches[-1] + "\n")
+            fh.write(max(self._batch_max_seq(name, b) for b in batches) + "\n")
         os.rename(base, old)
         os.rename(tmp, base)
         # cleanup (any crash from here on is finished by _recover)

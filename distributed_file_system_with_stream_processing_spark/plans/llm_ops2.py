@@ -499,6 +499,146 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# doc_winnowing_fingerprint
+
+_WIN_K = 3  # words per gram
+_WIN_W = 4  # gram hashes per winnowing window
+
+
+def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``_WIN_K``-word gram,
+    slide a ``_WIN_W``-hash window, keep each window's MINIMUM hash.
+    Guarantees: any shared run of >= K + W - 1 words between two docs
+    yields >= 1 shared fingerprint, while selecting only ~2/(W+1) of
+    the hashes — the local, position-robust dedup signal that plain
+    MinHash (global, order-blind) can't give.
+
+    Pure map + generate, zero shuffles; output is exploded
+    (doc_id, fp) DISTINCT-per-doc rows, ready for a fingerprint
+    equi-join (same downstream shape as the LSH band join — uniform
+    64-bit-ish key, scale-safe). hash32 is the repo's portable md5
+    prefix, so the oracle winnows bit-identically.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # the short-doc guard is a CASE inside the projection, NOT a
+    # .filter(size(hs) >= W): an explicit filter on a derived column
+    # gets pushed below the spread repartition into the scan with the
+    # whole tokenizer expression inlined as a single-partition scan
+    # predicate (the InferFiltersFromGenerate-class pathology —
+    # guarded by test_no_heavy_expressions_in_scan_predicates). The
+    # CASE also dodges sequence(1, n<1) descending-range wraparound.
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(_WIN_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
+        )
+    )
+    staged = (
+        d.select("doc_id", T.words(F.col("text")).alias("ws"))
+        .select("doc_id", F.transform(T.word_ngrams(F.col("ws"), _WIN_K), T.hash32).alias("hs"))
+        .select(
+            "doc_id",
+            F.when(F.size("hs") >= _WIN_W, wins)
+            .otherwise(F.array().cast("array<long>"))
+            .alias("fps"),
+        )
+    )
+    # explode_outer + null filter: the InferFiltersFromGenerate guard
+    # (see dedup._exploded_shingles)
+    return (
+        staged.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+DOC_WINNOWING_SQL = rf"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(ws) - {_WIN_K - 2}),
+               i -> ('0x' || substr(md5(array_to_string(ws[i:i+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT) AS hs
+    FROM t WHERE len(ws) >= {_WIN_K}
+),
+w AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 2}),
+               j -> list_min(hs[j:j+{_WIN_W - 1}]))) AS fps
+    FROM g WHERE len(hs) >= {_WIN_W}
+)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_stats
+
+_NORM_MILLI = 1000
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA: vector count, mean squared norm, and
+    degenerate (near-zero-norm) count — the sanity gate before any
+    cosine-based pipeline stage (a zero vector makes cosine undefined;
+    a drifting norm distribution flags a broken encoder shard).
+
+    Exactness: components quantize to milli-units, per-vector squared
+    norm is an integer ``aggregate``, label sums go through
+    DECIMAL(38,0) (headroom: 1e12 vectors × 64·(1.5e3)² ≈ 1.4e20 —
+    past BIGINT, 18 digits clear of 38), and the near-zero test is a
+    pure integer compare (norm² < 0.01 ⇔ milli-sum < 1e4). One
+    low-cardinality partial-agg shuffle; nothing else moves.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = lambda x: F.round(x.cast("double") * _NORM_MILLI).cast("long")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + q(x) * q(x),
+    )
+    per_vec = e.select("label", sq.alias("_sq"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("_sq").cast("decimal(38,0)")).alias("_s"),
+            F.sum(
+                F.when(F.col("_sq") < _NORM_MILLI * _NORM_MILLI // 100, 1).otherwise(0)
+            ).alias("n_near_zero"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            F.round(
+                F.col("_s").cast("double")
+                / F.lit(float(_NORM_MILLI * _NORM_MILLI))
+                / F.col("n_vecs"),
+                6,
+            ).alias("mean_sq_norm"),
+            "n_near_zero",
+        )
+    )
+
+
+EMBEDDING_NORM_STATS_SQL = f"""
+WITH pv AS (
+    SELECT label,
+           list_sum(list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * {_NORM_MILLI}) AS BIGINT)
+                    * CAST(round(x * {_NORM_MILLI}) AS BIGINT))) AS sq
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       count(*) AS n_vecs,
+       round(CAST(sum(sq) AS DOUBLE) / {float(_NORM_MILLI * _NORM_MILLI)} / count(*), 6)
+           AS mean_sq_norm,
+       sum(CASE WHEN sq < {_NORM_MILLI * _NORM_MILLI // 100} THEN 1 ELSE 0 END)
+           AS n_near_zero
+FROM pv GROUP BY label
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_char_entropy": doc_char_entropy,
@@ -507,6 +647,8 @@ QUERIES = {
     "events_value_zscore": events_value_zscore,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "ann_ivf_trained": ann_ivf_trained,
+    "doc_winnowing_fingerprint": doc_winnowing_fingerprint,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLES = {
@@ -516,4 +658,6 @@ ORACLES = {
     "docs_chunk_overlap": DOCS_CHUNK_OVERLAP_SQL,
     "minhash_jaccard_estimate": MINHASH_JACCARD_EST_SQL,
     "events_value_zscore": EVENTS_VALUE_ZSCORE_SQL,
+    "doc_winnowing_fingerprint": DOC_WINNOWING_SQL,
+    "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
 }

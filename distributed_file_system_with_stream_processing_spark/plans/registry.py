@@ -56,10 +56,12 @@ _FRONT = [
     "events_value_zscore",
     "embedding_kmeans_assign",
     "ann_ivf_trained",
-    # new this round (complete the 22 TPC-H query shapes)
+    # new this round (complete the 22 TPC-H query shapes + corpus QA)
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",
+    "doc_winnowing_fingerprint",
+    "embedding_norm_stats",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",

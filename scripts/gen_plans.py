@@ -67,6 +67,8 @@ AUDITED = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",
+    "doc_winnowing_fingerprint",
+    "embedding_norm_stats",
 ]
 
 JOIN_KINDS = (

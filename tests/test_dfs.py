@@ -229,3 +229,71 @@ def test_get_as_of_snapshots(store, spark):
 def test_get_as_of_missing_table(store):
     with pytest.raises(TableStoreError, match="doesn't exist"):
         store.get_as_of("nope", "")
+
+
+def test_compact_appends_preserves_semantics(store, spark):
+    """LSM compaction: N pending batches fold into one without touching
+    the base; get(), snapshot reads, and merge ordering are identical
+    before/after (per-row _append_seq survives inside the combined
+    batch)."""
+    store.create("t", _df(spark, [(1, "base")]))
+    s1 = store.append("t", _df(spark, [(2, "a1")]))
+    s2 = store.append("t", _df(spark, [(3, "a2")]))
+    s3 = store.append("t", _df(spark, [(4, "a3")]))
+
+    before = sorted((r["id"], r["val"]) for r in store.get("t").collect())
+    assert store.compact_appends("t") == 3
+    assert len(store.ls("t")["pending_appends"]) == 1
+    after = sorted((r["id"], r["val"]) for r in store.get("t").collect())
+    assert after == before
+
+    # snapshot precision survives: the combined batch is named s1 but
+    # carries per-row stamps, so an as-of read at s2 excludes s3's rows
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(store.get_as_of("t", s1)) == [1, 2]
+    assert ids(store.get_as_of("t", s2)) == [1, 2, 3]
+    assert ids(store.get_as_of("t", s3)) == [1, 2, 3, 4]
+
+    # merge() floor accounts for the compacted batch's true max stamp
+    assert store.merge("t") == 1
+    assert store.merged_thru("t") == s3
+    assert ids(store.get("t")) == [1, 2, 3, 4]
+
+
+def test_compact_appends_single_batch_noop(store, spark):
+    store.create("t", _df(spark, [(1, "base")]))
+    store.append("t", _df(spark, [(2, "a")]))
+    assert store.compact_appends("t") == 0
+
+
+def test_compact_appends_crash_recovery(store, spark):
+    """Both torn states repair: tmp + target present -> roll back
+    (originals intact); tmp only -> roll forward (combined copy holds
+    every row). Leftover folded-batches marker -> cleanup finishes."""
+    import os
+    import shutil
+
+    store.create("t", _df(spark, [(1, "base")]))
+    s1 = store.append("t", _df(spark, [(2, "a1")]))
+    s2 = store.append("t", _df(spark, [(3, "a2")]))
+    ad = store._appends_dir("t")
+
+    # simulate: combined written, crash BEFORE target delete
+    store.compact_appends("t")  # do a real one on a copy to steal its layout
+    combined = os.path.join(ad, s1)
+    tmp = os.path.join(ad, store._COMPACTING_PREFIX + s1)
+    shutil.copytree(combined, tmp)
+    ids = lambda: sorted(r["id"] for r in store.get("t").collect())
+    assert ids() == [1, 2, 3]  # _recover rolled the stray tmp back
+    assert not os.path.isdir(tmp)
+
+    # simulate: crash BETWEEN delete and rename (tmp only)
+    shutil.copytree(combined, tmp)
+    # the tmp still holds the folded marker in a real crash; recreate it
+    with open(os.path.join(tmp, store._FOLDED_MARKER), "w") as fh:
+        fh.write(f"{s1}\n{s2}\n")
+    shutil.rmtree(combined)
+    assert ids() == [1, 2, 3]  # rolled forward from the combined copy
+    assert os.path.isdir(combined)
+    assert not os.path.isdir(tmp)
+    assert not os.path.isfile(os.path.join(combined, store._FOLDED_MARKER))

@@ -170,6 +170,7 @@ def test_no_heavy_expressions_in_scan_predicates(spark):
         "dedup_ngram_jaccard",
         "dedup_simhash",
         "doc_fingerprint",
+        "doc_winnowing_fingerprint",
     ]:
         plan = executed_plan(QUERIES[name](spark, SF_SMOKE))
         for ln in plan.splitlines():

@@ -127,3 +127,28 @@ def test_doc_char_entropy_empty_doc(spark, duck, tmp_path):
         assert (s["n_chars_total"], s["n_distinct_chars"]) == (o[1], o[2])
         assert abs(s["char_entropy"] - o[3]) < 1e-9
         assert abs(s["digit_ratio"] - o[4]) < 1e-9
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Winnowing's defining property (SIGMOD'03): two documents sharing
+    a run of >= K + W - 1 = 6 words MUST share >= 1 fingerprint, and
+    disjoint-vocabulary docs share none."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        doc_winnowing_fingerprint,
+    )
+
+    shared = "quick brown foxes jump over fences"  # 6-word shared run
+    docs = [
+        (1, f"intro words here {shared} tail one ending now"),
+        (2, f"totally different prefix {shared} and another suffix"),
+        (3, "disjoint vocabulary entirely unrelated content words everywhere"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = doc_winnowing_fingerprint(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-word run produced no shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
