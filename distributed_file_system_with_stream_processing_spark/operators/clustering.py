@@ -109,9 +109,19 @@ def kmeans_fit(
     e = _spread(
         emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     )
-    cents = _init_centroids(e, k)
-    for _ in range(iters):
-        cents = _update_centroids(e, cents, dim)
+    # Lloyd's makes iters+1 full passes (seed + one per update);
+    # persist the prepared vectors so each pass reads executor-local
+    # columnar batches instead of re-scanning parquet and re-casting —
+    # the standard MLlib k-means stance (its .fit caches the input).
+    # At 100 TB this is MEMORY_AND_DISK on the cluster; training
+    # inputs are usually a sample anyway.
+    e = e.persist()
+    try:
+        cents = _init_centroids(e, k)
+        for _ in range(iters):
+            cents = _update_centroids(e, cents, dim)
+    finally:
+        e.unpersist()
     return cents
 
 
