@@ -85,6 +85,7 @@ def main() -> None:
         "q12_shipmode_priority",
         "doc_winnowing_fingerprint",
         "embedding_norm_stats",
+        "semantic_dedup",
     ]
     headline = [q for q in headline if q in QUERIES]
 

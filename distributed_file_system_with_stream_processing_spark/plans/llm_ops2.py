@@ -648,6 +648,72 @@ FROM pv GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): for
+    every vector, its semantic-duplicate group and whether it is the
+    group's canonical representative. Composition of two scale paths
+    already proven separately: banded sign-LSH near-dup pairs
+    (embedding_neardup's plan — band equi-join, no all-pairs) →
+    large-star/small-star connected components (diameter-independent)
+    → keep = lowest vec_id per component; singletons are their own
+    cluster via the left join + coalesce, so the output covers the
+    WHOLE table (the downstream filter is just ``WHERE keep``).
+
+    Oracle: the near-dup SQL's candidate body + recursive-CTE
+    transitive closure, the dedup_clusters pattern on embedding pairs.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.banded_neardup_pairs(
+        emb, threshold=0.35, bands=8, rows_per_band=8, dim=64
+    )
+    cc = D.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select("vec_id")
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).cast("long").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        EMBEDDING_NEARDUP_SQL,
+    )
+
+    body = EMBEDDING_NEARDUP_SQL.rsplit("SELECT id_a, id_b", 1)[0].rstrip().rstrip(",")
+    return (
+        body.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+        + """,
+pairs AS (SELECT id_a, id_b FROM s WHERE sim >= CAST(0.35 AS DOUBLE)),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+       CAST(coalesce(cc.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+       coalesce(cc.cluster_id, e.vec_id) = e.vec_id AS keep
+FROM e LEFT JOIN cc ON e.vec_id = cc.node
+"""
+    )
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_char_entropy": doc_char_entropy,
@@ -658,6 +724,7 @@ QUERIES = {
     "ann_ivf_trained": ann_ivf_trained,
     "doc_winnowing_fingerprint": doc_winnowing_fingerprint,
     "embedding_norm_stats": embedding_norm_stats,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLES = {
@@ -669,4 +736,5 @@ ORACLES = {
     "events_value_zscore": EVENTS_VALUE_ZSCORE_SQL,
     "doc_winnowing_fingerprint": DOC_WINNOWING_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
 }

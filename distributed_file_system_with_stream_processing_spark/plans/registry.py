@@ -62,6 +62,7 @@ _FRONT = [
     "q12_shipmode_priority",
     "doc_winnowing_fingerprint",
     "embedding_norm_stats",
+    "semantic_dedup",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
