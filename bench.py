@@ -86,6 +86,7 @@ def main() -> None:
         "doc_winnowing_fingerprint",
         "embedding_norm_stats",
         "semantic_dedup",
+        "docs_gopher_rules",
     ]
     headline = [q for q in headline if q in QUERIES]
 

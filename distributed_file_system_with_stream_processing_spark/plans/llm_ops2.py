@@ -714,6 +714,140 @@ FROM e LEFT JOIN cc ON e.vec_id = cc.node
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+# ---------------------------------------------------------------------------
+# docs_gopher_rules
+
+_GOPHER_STOP = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1) adapted to
+    the portable-arithmetic contract: word-count bounds, mean word
+    length bounds, alphabetic-word ratio, and stopword presence, plus
+    the combined pass flag a pretraining filter would gate on.
+
+    Every ratio is exact-int / exact-int with ONE double division
+    (sum of token lengths and alphabetic-token counts are integers),
+    so the twins agree bit-for-bit. Pure map, zero shuffles — the
+    same shape Gopher's filter runs at corpus scale.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = T.words(F.col("text"))
+    staged = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_len_sum"),
+        F.size(
+            F.filter(ws, lambda w: F.lower(w).rlike("[a-z]"))
+        ).cast("long").alias("_n_alpha"),
+        F.size(
+            F.filter(ws, lambda w: F.lower(w).isin(*_GOPHER_STOP))
+        ).cast("long").alias("n_stopwords"),
+    )
+    mwl = F.col("_len_sum").cast("double") / F.col("n_words")
+    alpha = F.col("_n_alpha").cast("double") / F.col("n_words")
+    return (
+        staged.filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(mwl, 4).alias("mean_word_len"),
+            F.round(alpha, 4).alias("alpha_word_ratio"),
+            "n_stopwords",
+            (
+                F.col("n_words").between(15, 100000)
+                & mwl.between(3.0, 10.0)
+                & (alpha >= 0.8)
+                & (F.col("n_stopwords") >= 2)
+            ).alias("passes"),
+        )
+    )
+
+
+DOCS_GOPHER_RULES_SQL = rf"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+c AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS len_sum,
+           CAST(len(list_filter(ws, w -> regexp_matches(lower(w), '[a-z]'))) AS BIGINT)
+               AS n_alpha,
+           CAST(len(list_filter(ws, w -> list_contains(
+               {list(_GOPHER_STOP)!r}, lower(w)))) AS BIGINT) AS n_stopwords
+    FROM t WHERE len(ws) > 0
+)
+SELECT doc_id, n_words,
+       round(CAST(len_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_word_ratio,
+       n_stopwords,
+       (n_words BETWEEN 15 AND 100000
+        AND CAST(len_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        AND n_stopwords >= 2) AS passes
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_stats
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal AUDIO decode path as a driver-checked query —
+    the audio twin of multimodal_image_stats. The stub codec tiles 16
+    md5 bytes into 1024 pseudo-samples and computes REAL feature math
+    (rms, zero-crossing rate) in numpy over Arrow batches; because
+    1024 is an exact multiple of the 16-byte period, both features
+    reduce to closed forms over the byte pattern that the oracle
+    reproduces in SQL (rms = mean over the 16 bytes; zero-crossings =
+    64·(in-period sign changes) + 63·(wraparound change), over 1023
+    diffs) — the pandas-UDF stage is value-hash-verified end to end.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = M.audio_features(media)
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_cross", 4).alias("zero_cross"),
+    )
+
+
+MULTIMODAL_AUDIO_STATS_SQL = """
+WITH b AS (
+    SELECT doc_id AS media_id,
+           CAST((length(text) % 50 + 1) * 1000 AS INT) AS duration_ms,
+           list_transform(range(0, 16),
+               i -> ('0x' || substr(md5(text), CAST(i*2+1 AS INT), 2))::BIGINT) AS bys
+    FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+    SELECT media_id, duration_ms,
+           list_transform(bys, x -> (CAST(x AS DOUBLE) - 127.5) / 127.5) AS sm,
+           list_transform(bys, x -> CASE WHEN x >= 128 THEN 1 ELSE -1 END) AS sg
+    FROM b
+),
+f AS (
+    SELECT media_id, duration_ms,
+           sqrt(list_sum(list_transform(sm, v -> v * v)) / 1024.0 * 64.0) AS rms,
+           (64.0 * list_sum(list_transform(range(1, 16),
+                j -> CASE WHEN sg[CAST(j AS INT)] <> sg[CAST(j AS INT) + 1]
+                          THEN 1 ELSE 0 END))
+            + 63.0 * (CASE WHEN sg[16] <> sg[1] THEN 1 ELSE 0 END)) / 1023.0 AS zc
+    FROM s
+)
+SELECT media_id, duration_ms, CAST(16000 AS INT) AS sample_rate,
+       round(rms, 4) AS rms, round(zc, 4) AS zero_cross
+FROM f
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_char_entropy": doc_char_entropy,
@@ -725,6 +859,8 @@ QUERIES = {
     "doc_winnowing_fingerprint": doc_winnowing_fingerprint,
     "embedding_norm_stats": embedding_norm_stats,
     "semantic_dedup": semantic_dedup,
+    "docs_gopher_rules": docs_gopher_rules,
+    "multimodal_audio_stats": multimodal_audio_stats,
 }
 
 ORACLES = {
@@ -737,4 +873,6 @@ ORACLES = {
     "doc_winnowing_fingerprint": DOC_WINNOWING_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "docs_gopher_rules": DOCS_GOPHER_RULES_SQL,
+    "multimodal_audio_stats": MULTIMODAL_AUDIO_STATS_SQL,
 }

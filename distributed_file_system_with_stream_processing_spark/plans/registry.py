@@ -63,6 +63,8 @@ _FRONT = [
     "doc_winnowing_fingerprint",
     "embedding_norm_stats",
     "semantic_dedup",
+    "docs_gopher_rules",
+    "multimodal_audio_stats",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
