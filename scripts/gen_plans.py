@@ -69,6 +69,8 @@ AUDITED = [
     "q12_shipmode_priority",
     "doc_winnowing_fingerprint",
     "embedding_norm_stats",
+    "docs_gopher_rules",
+    "multimodal_audio_stats",
 ]
 
 JOIN_KINDS = (
