@@ -230,3 +230,31 @@ def url_count(col: Column) -> Column:
 def first_url(col: Column) -> Column:
     """First URL in the text; empty string when none."""
     return F.regexp_extract(col, URL_RE, 0)
+
+
+def winnow_from_hashes(hs: Column, w: int = 4) -> Column:
+    """Winnowing selection over a PRECOMPUTED gram-hash array: slide a
+    w-hash window, keep each window's minimum — distinct. Empty array
+    below w hashes. Take a materialized COLUMN REF for ``hs`` (stage
+    it in its own select first): HOFs are interpreted, so an inlined
+    subexpression referenced here 3× would re-hash every gram 3×.
+
+    Guard note: the short-array case is a CASE inside the expression —
+    callers must NOT re-filter on a derived size (scan-predicate
+    inlining pathology, see the batch plan's docstring) — and the CASE
+    also dodges sequence(1, n<1) descending-range wraparound."""
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )
+    return F.when(F.size(hs) >= w, wins).otherwise(F.array().cast("array<long>"))
+
+
+def gram_hashes(ws: Column, k: int = 3) -> Column:
+    """hash32 of every k-word gram of a token array — the winnowing
+    input. Shared by the batch plan
+    (plans/llm_ops2.doc_winnowing_fingerprint) and the streaming twin
+    (streaming/rainstorm.winnow_stream); pure column expression."""
+    return F.transform(word_ngrams(ws, k), hash32)

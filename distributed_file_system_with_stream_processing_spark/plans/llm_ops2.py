@@ -531,27 +531,20 @@ def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, so the oracle winnows bit-identically.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    # the short-doc guard is a CASE inside the projection, NOT a
-    # .filter(size(hs) >= W): an explicit filter on a derived column
+    # the short-doc guard is a CASE inside T.winnow_fingerprints, NOT
+    # a .filter(size >= W): an explicit filter on a derived column
     # gets pushed below the spread repartition into the scan with the
     # whole tokenizer expression inlined as a single-partition scan
     # predicate (the InferFiltersFromGenerate-class pathology —
     # guarded by test_no_heavy_expressions_in_scan_predicates). The
-    # CASE also dodges sequence(1, n<1) descending-range wraparound.
-    wins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - F.lit(_WIN_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
-        )
-    )
+    # expression is shared with the streaming twin
+    # (tests/test_rainstorm_streaming.py) — same column math in both.
     staged = (
         d.select("doc_id", T.words(F.col("text")).alias("ws"))
-        .select("doc_id", F.transform(T.word_ngrams(F.col("ws"), _WIN_K), T.hash32).alias("hs"))
+        .select("doc_id", T.gram_hashes(F.col("ws"), _WIN_K).alias("hs"))
         .select(
             "doc_id",
-            F.when(F.size("hs") >= _WIN_W, wins)
-            .otherwise(F.array().cast("array<long>"))
-            .alias("fps"),
+            T.winnow_from_hashes(F.col("hs"), _WIN_W).alias("fps"),
         )
     )
     # explode_outer + null filter: the InferFiltersFromGenerate guard
@@ -791,6 +784,51 @@ FROM c
 """
 
 
+def docs_gopher_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-gate acceptance matrix: how many docs each
+    source contributes and what fraction survives the quality gate —
+    the dashboard a data-mixing owner reads before re-weighting
+    sources (a source whose acceptance collapses is broken upstream).
+
+    Reuses docs_gopher_rules' exact per-doc gate, then ONE
+    low-cardinality shuffle on source; share = exact-int / exact-int
+    with one double division. The per-doc stage stays a pure map.
+    """
+    gated = docs_gopher_rules(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        gated.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs"), 4
+            ).alias("pass_share"),
+        )
+    )
+
+
+# the per-doc gate SQL, wrapped as a subquery so the matrix oracle
+# reuses the EXACT same rule arithmetic
+DOCS_GOPHER_BY_SOURCE_SQL = rf"""
+WITH g AS ({DOCS_GOPHER_RULES_SQL}),
+j AS (SELECT g.doc_id, g.passes, d.source
+      FROM g JOIN documents d ON g.doc_id = d.doc_id)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN passes THEN 1 ELSE 0 END) AS n_pass,
+       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+           AS pass_share
+FROM j GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal_audio_stats
 
@@ -860,6 +898,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "semantic_dedup": semantic_dedup,
     "docs_gopher_rules": docs_gopher_rules,
+    "docs_gopher_by_source": docs_gopher_by_source,
     "multimodal_audio_stats": multimodal_audio_stats,
 }
 
@@ -874,5 +913,6 @@ ORACLES = {
     "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "docs_gopher_rules": DOCS_GOPHER_RULES_SQL,
+    "docs_gopher_by_source": DOCS_GOPHER_BY_SOURCE_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_STATS_SQL,
 }

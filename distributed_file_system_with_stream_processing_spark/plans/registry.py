@@ -64,6 +64,7 @@ _FRONT = [
     "embedding_norm_stats",
     "semantic_dedup",
     "docs_gopher_rules",
+    "docs_gopher_by_source",
     "multimodal_audio_stats",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",

@@ -367,3 +367,34 @@ def fragment_dedup_stream(
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def winnow_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``plans.llm_ops2.doc_winnowing_fingerprint``:
+    winnowing fingerprints for arriving documents, exploded to
+    (doc_id, fp) rows ready for a fingerprint equi-join against an
+    index. COMPLETELY STATELESS — the fingerprint set is a per-row
+    column expression (functions.text.gram_hashes +
+    winnow_from_hashes, the same staged expressions as batch), so it
+    runs in append mode with no watermark and no state store; the
+    downstream match-against-index is a stream-static or
+    stream-stream join, the caller's choice. Bounded inputs run the
+    exact batch plan — parity tested at micro-batch boundaries.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), T.words(F.col(text_col)).alias("ws"))
+        .select("doc_id", T.gram_hashes(F.col("ws"), k).alias("hs"))
+        .select("doc_id", T.winnow_from_hashes(F.col("hs"), w).alias("fps"))
+    )
+    return (
+        staged.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )

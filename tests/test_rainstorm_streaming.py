@@ -513,3 +513,57 @@ def test_fragment_dedup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM fragdedup_stream").collect()
     }
     assert streamed == batch
+
+
+def test_winnow_stream_matches_batch(spark, tmp_path):
+    """Winnowing fingerprints as a stateless STREAM (append mode, no
+    watermark): the (doc_id, fp) rows across all micro-batches must
+    equal the batch plan — and equal the registered
+    doc_winnowing_fingerprint query on the same dir (same staged
+    expressions by construction)."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        doc_winnowing_fingerprint,
+    )
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        winnow_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    boiler = "quick brown foxes jump over tall fences daily"
+    rows1 = [(1, f"first document prefix {boiler} and a tail"), (2, "tiny doc")]
+    rows2 = [(3, f"second arrival shares {boiler} exactly once more")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_stream(spark.read.schema(schema).parquet(src)).collect()
+    }
+    assert batch
+    # registered-plan parity (llm_ops2 reads <dir>/documents.parquet)
+    os.symlink(src, str(tmp_path / "documents.parquet"))
+    reg = {
+        (r["doc_id"], r["fp"])
+        for r in doc_winnowing_fingerprint(spark, str(tmp_path)).collect()
+    }
+    assert reg == batch
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        winnow_stream(stream)
+        .writeStream.format("memory")
+        .queryName("winnow_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["fp"])
+        for r in spark.sql("SELECT * FROM winnow_stream").collect()
+    }
+    assert streamed == batch
