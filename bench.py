@@ -87,6 +87,7 @@ def main() -> None:
         "embedding_norm_stats",
         "semantic_dedup",
         "docs_gopher_rules",
+        "docs_unigram_perplexity",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -830,6 +830,83 @@ FROM j GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# docs_unigram_perplexity
+
+_PPL_MICRO = 1_000_000
+
+
+def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained unigram LM — the
+    CCNet-style quality signal (Wenzek et al. 2020 score with a KenLM
+    5-gram; the unigram variant keeps the identical pipeline shape
+    with no external model): low perplexity ≈ in-distribution prose,
+    high ≈ gibberish/outliers.
+
+    Float-determinism: summing tf·log p(w) per doc is the q9 trap
+    (partial-agg-order-dependent), so each term's log-prob quantizes
+    ONCE to exact micro-units — l_mu = round(log(count/N)·1e6) as
+    BIGINT, identical in any engine — and the per-doc reduction is an
+    exact integer sum. ppl = exp(−Σ tf·l_mu / 1e6 / n_tokens): a
+    fixed sequence of exact-input IEEE ops, bit-stable at any
+    parallelism.
+
+    100 TB shape: (doc, term) partial agg [shuffle 1, the tfidf
+    backbone], term counts [shuffle 2, high-cardinality key],
+    term-keyed join back, per-doc integer sum [shuffle 3 on doc_id].
+    The corpus total is a 1-row BuildRight broadcast (the tfidf/q11
+    allow-listed shape).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    ex = (
+        toks.select("doc_id", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    l_mu = F.round(
+        F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPL_MICRO
+    ).cast("long")
+    scored = (
+        tf.join(ct, "term")
+        .crossJoin(broadcast(n_tot))
+        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(
+        -(F.col("_s").cast("double") / _PPL_MICRO) / F.col("n_tokens")
+    )
+    return scored.select(
+        "doc_id", "n_tokens", F.round(ppl, 4).alias("perplexity")
+    )
+
+
+DOCS_UNIGRAM_PPL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+ex AS (SELECT doc_id, lower(unnest(ws)) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
+n AS (SELECT sum(ctot) AS n_corpus FROM ct),
+scored AS (
+    SELECT tf.doc_id, tf.tf,
+           tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / n.n_corpus)
+                              * {_PPL_MICRO}) AS BIGINT) AS tl
+    FROM tf JOIN ct USING (term) CROSS JOIN n
+),
+agg AS (
+    SELECT doc_id, sum(tf) AS n_tokens, sum(tl) AS s
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(exp(-(CAST(s AS DOUBLE) / {_PPL_MICRO}) / n_tokens), 4) AS perplexity
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_audio_stats
 
 
@@ -899,6 +976,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "docs_gopher_rules": docs_gopher_rules,
     "docs_gopher_by_source": docs_gopher_by_source,
+    "docs_unigram_perplexity": docs_unigram_perplexity,
     "multimodal_audio_stats": multimodal_audio_stats,
 }
 
@@ -914,5 +992,6 @@ ORACLES = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "docs_gopher_rules": DOCS_GOPHER_RULES_SQL,
     "docs_gopher_by_source": DOCS_GOPHER_BY_SOURCE_SQL,
+    "docs_unigram_perplexity": DOCS_UNIGRAM_PPL_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_STATS_SQL,
 }

@@ -65,6 +65,7 @@ _FRONT = [
     "semantic_dedup",
     "docs_gopher_rules",
     "docs_gopher_by_source",
+    "docs_unigram_perplexity",
     "multimodal_audio_stats",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",

@@ -70,6 +70,8 @@ AUDITED = [
     "doc_winnowing_fingerprint",
     "embedding_norm_stats",
     "docs_gopher_rules",
+    "docs_gopher_by_source",
+    "docs_unigram_perplexity",
     "multimodal_audio_stats",
 ]
 

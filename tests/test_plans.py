@@ -97,8 +97,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # (verified empirically), so this IS the correct 100 TB shape.
         "tfidf_top_terms",
         # same 1-row global-total broadcast shape (Q11's grand-total
-        # scalar subquery)
+        # scalar subquery; the perplexity LM's corpus-token total)
         "q11_important_parts",
+        "docs_unigram_perplexity",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
