@@ -92,3 +92,27 @@ def test_approx_percentiles_accuracy(spark):
     for k, ex in exact.items():
         for a, e in zip(approx[k], ex):
             assert abs(a - e) / e < 0.03, (k, approx[k], ex)
+
+
+def test_registry_front_loads_unchecked_queries():
+    """The driver verifies queries in enumeration order and has capped
+    at 50/round historically: the _FRONT list must (a) lead the
+    enumeration exactly, (b) contain every query that still lacks a
+    driver CORRECTNESS row (all round-3 additions), and (c) not exceed
+    the 50-entry cap, or the entries past it silently lose their shot
+    at a driver row."""
+    from distributed_file_system_with_stream_processing_spark.plans import registry as R
+
+    names = list(R.QUERIES)
+    assert names[: len(R._FRONT)] == R._FRONT
+    assert len(R._FRONT) <= 50, len(R._FRONT)
+    round3 = {
+        "tfidf_top_terms", "doc_char_entropy", "docs_chunk_overlap",
+        "minhash_jaccard_estimate", "events_value_zscore",
+        "embedding_kmeans_assign", "ann_ivf_trained",
+        "q2_min_cost_supplier", "q11_important_parts", "q12_shipmode_priority",
+        "doc_winnowing_fingerprint", "embedding_norm_stats", "semantic_dedup",
+        "docs_gopher_rules", "docs_gopher_by_source",
+        "docs_unigram_perplexity", "multimodal_audio_stats",
+    }
+    assert round3 <= set(R._FRONT)
