@@ -76,3 +76,77 @@ def test_redact_always_removes_planted_email(spark, pre, post):
     out = df.select(T.redact_pii(F.col("text")).alias("r")).first()["r"]
     assert "contact.me@example.org" not in out
     assert "<EMAIL>" in out
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+doc_words = st.lists(word, min_size=0, max_size=30)
+
+
+@given(
+    shared=st.lists(word, min_size=6, max_size=6),
+    pre_a=doc_words, post_a=doc_words, pre_b=doc_words, post_b=doc_words,
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee_for_any_shared_run(
+    spark, shared, pre_a, post_a, pre_b, post_b
+):
+    """Winnowing's SIGMOD'03 guarantee as a PROPERTY: for ANY two
+    documents sharing a run of k + w - 1 = 6 words, the fingerprint
+    sets intersect — whatever surrounds the run."""
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    mk = lambda ws: " ".join(ws)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, mk(pre_a + shared + post_a)), (2, mk(pre_b + shared + post_b))],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id",
+            T.winnow_from_hashes(
+                T.gram_hashes(T.words(F.col("text")), 3), 4
+            ).alias("fps"),
+        ).collect()
+    }
+    assert fps[1] & fps[2], (fps, shared)
+
+
+@given(
+    base=st.lists(st.integers(0, 100), min_size=1, max_size=8),
+    batches=st.lists(
+        st.lists(st.integers(0, 100), min_size=1, max_size=4), min_size=2, max_size=4
+    ),
+)
+@settings(**SETTINGS)
+def test_compact_appends_preserves_get_for_any_log(
+    spark, tmp_path_factory, base, batches
+):
+    """For ANY append log, compact_appends changes nothing a reader
+    can observe: get() multiset, per-row _append_seq stamps, and the
+    post-merge table all equal the uncompacted twin's."""
+    from distributed_file_system_with_stream_processing_spark.dfs import TableStore
+
+    mk = lambda xs: spark.createDataFrame([(x,) for x in xs], "v long")  # noqa: E731
+    root = tmp_path_factory.mktemp("prop_compact")
+    plain, compacted = TableStore(spark, str(root / "p")), TableStore(spark, str(root / "c"))
+    for store in (plain, compacted):
+        store.create("t", mk(base))
+    seqs = {}
+    for b in batches:
+        s_p = plain.append("t", mk(b))
+        s_c = compacted.append("t", mk(b))
+        seqs[s_c] = s_p
+    assert compacted.compact_appends("t") == len(batches)
+
+    obs = lambda st_, with_seq: sorted(  # noqa: E731
+        tuple(r) for r in st_.get("t", with_seq=with_seq).collect()
+    )
+    assert obs(compacted, False) == obs(plain, False)
+    # per-row stamps survive compaction (modulo each store's own seq names)
+    c_rows = sorted((r["v"], r["_append_seq"]) for r in compacted.get("t", with_seq=True).collect())
+    p_rows = sorted((r["v"], seqs.get(r["_append_seq"], r["_append_seq"]))
+                    for r in plain.get("t", with_seq=True).collect())
+    assert [(v, seqs.get(s, s)) for v, s in c_rows] == p_rows
+    compacted.merge("t"); plain.merge("t")
+    assert obs(compacted, False) == obs(plain, False)
