@@ -829,6 +829,62 @@ FROM j GROUP BY source
 """
 
 
+def docs_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source — the dedup-QA dashboard
+    sibling of docs_gopher_by_source: what fraction of each source's
+    docs appear in at least one MinHash-LSH candidate pair. A source
+    whose dup share spikes is re-crawling or mirroring content; the
+    mixing owner down-weights it before training.
+
+    Scale shape: the pair list is LSH output (tiny vs corpus), its
+    distinct member ids are broadcast into the documents join, and
+    the final agg is one low-cardinality shuffle — the corpus-scale
+    documents table never reshuffles beyond the LSH pass itself.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+    members = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(broadcast(members), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") / F.col("n_docs"), 4).alias(
+                "dup_share"
+            ),
+        )
+    )
+
+
+NEARDUP_RATE_BY_SOURCE_SQL = (
+    _MINHASH_PAIRS_BODY
+    + """,
+members AS (SELECT DISTINCT doc_id FROM (
+    SELECT da AS doc_id FROM cand UNION ALL SELECT db AS doc_id FROM cand)),
+j AS (
+    SELECT d.source, CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+    FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
+SELECT source, count(*) AS n_docs, sum(dup) AS n_dup,
+       round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_share
+FROM j GROUP BY source
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # docs_unigram_perplexity
 
@@ -977,6 +1033,7 @@ QUERIES = {
     "docs_gopher_rules": docs_gopher_rules,
     "docs_gopher_by_source": docs_gopher_by_source,
     "docs_unigram_perplexity": docs_unigram_perplexity,
+    "docs_neardup_rate_by_source": docs_neardup_rate_by_source,
     "multimodal_audio_stats": multimodal_audio_stats,
 }
 
@@ -993,5 +1050,6 @@ ORACLES = {
     "docs_gopher_rules": DOCS_GOPHER_RULES_SQL,
     "docs_gopher_by_source": DOCS_GOPHER_BY_SOURCE_SQL,
     "docs_unigram_perplexity": DOCS_UNIGRAM_PPL_SQL,
+    "docs_neardup_rate_by_source": NEARDUP_RATE_BY_SOURCE_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_STATS_SQL,
 }

@@ -72,6 +72,7 @@ AUDITED = [
     "docs_gopher_rules",
     "docs_gopher_by_source",
     "docs_unigram_perplexity",
+    "docs_neardup_rate_by_source",
     "multimodal_audio_stats",
 ]
 

@@ -113,6 +113,7 @@ def test_registry_front_loads_unchecked_queries():
         "q2_min_cost_supplier", "q11_important_parts", "q12_shipmode_priority",
         "doc_winnowing_fingerprint", "embedding_norm_stats", "semantic_dedup",
         "docs_gopher_rules", "docs_gopher_by_source",
-        "docs_unigram_perplexity", "multimodal_audio_stats",
+        "docs_unigram_perplexity", "docs_neardup_rate_by_source",
+        "multimodal_audio_stats",
     }
     assert round3 <= set(R._FRONT)
