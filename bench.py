@@ -88,6 +88,11 @@ def main() -> None:
         "semantic_dedup",
         "docs_gopher_rules",
         "docs_unigram_perplexity",
+        # late round-3 additions: the full SemDeDup recipe + the two
+        # targeted-selection scorers
+        "semantic_dedup_kmeans",
+        "docs_bm25_score",
+        "dsir_importance_weights",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -142,6 +142,68 @@ def kmeans_assign(
     )
 
 
+def semdedup_kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.35,
+    dim: int = 64,
+) -> DataFrame:
+    """The FULL SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then compare pairs only WITHIN a
+    cluster and drop every vector that has a higher-priority (lower
+    id) semantic duplicate in its cell.
+
+    This is the complement of ``semantic_dedup`` (banded-LSH → CC):
+    there the candidate bound comes from hash collisions; here it
+    comes from the trained partition of the space — per-cell pairwise
+    work is (n/k)² per cell, and at 100 TB k scales with the corpus
+    (SemDeDup used 50k clusters on LAION) so cells stay bounded and
+    the cluster equi-join key has enough cardinality to spread. The
+    trained cells are the SAME deterministic Lloyd pipeline the
+    kmeans/IVF ops prove (centroids-as-literals: assignment is a pure
+    map, no centroid join).
+
+    Shuffle census: Lloyd metadata shuffles (k rows each) + ONE
+    corpus shuffle on `cluster` for the self-join + the dup-id
+    distinct. Norms are hoisted per vector (computed once, carried
+    through the join) — per candidate pair only the dot product runs.
+
+    Output covers the whole table: (vec_id, cluster, keep) — integer
+    + bool, float-free value hash; the threshold compare itself is
+    bit-stable (sequential zip_with/aggregate dot ↔ DuckDB list_sum,
+    same association).
+    """
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_fit(emb, id_col, vec_col, k, iters, dim)
+    assigned = _spread(e).selectExpr(
+        "id", "v", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
+    ).withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    sim = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("id").alias("vec_id"), "cluster")
+        .join(dup_ids, F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", "cluster", F.col("dup_id").isNull().alias("keep"))
+    )
+
+
 def ivf_trained_ann(
     emb: DataFrame,
     id_col: str = "vec_id",

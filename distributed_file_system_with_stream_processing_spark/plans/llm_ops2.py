@@ -445,7 +445,10 @@ def _km_dist(v: str, cv: str) -> str:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_oracle_parts(k: int, iters: int) -> list[str]:
+    """The unrolled-Lloyd CTE chain ending in ``fin(vec_id, v, c)`` —
+    shared by the kmeans-assign oracle and llm_ops3's SemDeDup-over-
+    cells oracle (same bit-stable pipeline, different epilogue)."""
     sums = ", ".join(
         f"sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}"
         for i in range(_DIM)
@@ -481,8 +484,12 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
         )
         cents = f"c{t + 1}"
     parts.append(assign("fin", cents))
+    return parts
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
     return (
-        ",\n".join(parts)
+        ",\n".join(_kmeans_oracle_parts(k, iters))
         + "\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM fin"
     )
 

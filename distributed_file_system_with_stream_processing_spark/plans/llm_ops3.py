@@ -1,0 +1,325 @@
+"""Training-data curation queries, third LLM-pipeline module.
+
+Same contract as ``llm_ops``/``llm_ops2``: declarative DataFrame plans
+(JVM expressions only), each with a DuckDB oracle mirroring the exact
+arithmetic so value hashes match without tolerances. Portability
+conventions (hash32, words, micro-unit quantization of per-item float
+contributions so per-doc reductions are order-free integer sums) are
+documented in those modules.
+
+Ops here:
+- ``semantic_dedup_kmeans`` — the FULL SemDeDup recipe: trained
+  k-means cells, then pairwise cosine only within a cell.
+- ``docs_bm25_score`` — BM25 relevance of every document against a
+  fixed query-term set (Robertson/Sparck Jones; the Lucene idf).
+- ``dsir_importance_weights`` — DSIR-style (Xie et al. 2023,
+  arXiv:2302.03169) hashed-unigram importance weights for targeted
+  data selection: log p_target(x)/p_raw(x) under bucketed unigram LMs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _DOT, _WS
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+    _kmeans_oracle_parts,
+)
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_kmeans
+
+_SD_K = 16
+_SD_ITERS = 2
+_SD_THRESHOLD = 0.35
+
+
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED k-means cells — see
+    operators/clustering.semdedup_kmeans for the scale analysis
+    (per-cell quadratic bound, one corpus shuffle on the cell key).
+    The oracle chains the unrolled-Lloyd CTE (bit-stable, shared with
+    embedding_kmeans_assign) into the within-cell pair join, so this
+    is a full value-hash row despite the iterative training step.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    return C.semdedup_kmeans(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_SD_K,
+        iters=_SD_ITERS,
+        threshold=_SD_THRESHOLD,
+        dim=64,
+    )
+
+
+def _semdedup_kmeans_sql() -> str:
+    body = ",\n".join(_kmeans_oracle_parts(_SD_K, _SD_ITERS))
+    return (
+        body
+        + f""",
+fn AS (SELECT vec_id, v, c, sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM fin),
+dup AS (
+    SELECT DISTINCT b.vec_id AS dup_id
+    FROM fn a JOIN fn b ON a.c = b.c AND a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
+          >= CAST({_SD_THRESHOLD} AS DOUBLE)
+)
+SELECT f.vec_id, CAST(f.c AS BIGINT) AS cluster, d.dup_id IS NULL AS keep
+FROM fin f LEFT JOIN dup d ON f.vec_id = d.dup_id
+"""
+    )
+
+
+SEMANTIC_DEDUP_KMEANS_SQL = _semdedup_kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# docs_bm25_score
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("stream", "join", "vector", "spark")
+_BM25_MICRO = 1_000_000
+
+
+def docs_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term
+    set — the retrieval-side scoring a curation pipeline uses to mine
+    topic-targeted subsets from a raw corpus. idf is the Lucene/
+    Robertson form ln((N - df + 0.5)/(df + 0.5) + 1) (always
+    positive); docs with zero query-term hits are not emitted (their
+    score is identically 0 — the downstream consumer is a top-k or
+    threshold gate either way).
+
+    Float-determinism: the per-(doc, term) contribution
+    idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) is a fixed sequence
+    of IEEE ops on exact-integer-derived doubles, quantized ONCE to
+    micro-units; the per-doc reduction is an exact integer sum
+    (partial-agg-order-free — the perplexity/q9 discipline).
+
+    100 TB shape: one corpus scan → explode filtered to the |Q| query
+    terms (the filter cannot reach the scan, but the (doc, term)
+    partial agg sees only matching tokens) → shuffle 1 on (doc_id,
+    term); df is a |Q|-row agg off that compact table [shuffle 2,
+    map-side partials]; N and total_len ride ONE 1-row aggregate
+    broadcast (the allow-listed tfidf/q11 BuildRight shape); the
+    |Q|·idf table broadcasts into the hash join; shuffle 3 is the
+    per-doc integer sum. The corpus itself moves twice (tokenize →
+    (doc,term) agg → doc agg), never more.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_len"),
+    )
+    ex = (
+        toks.select("doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    tf = ex.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_tbl = df_t.crossJoin(broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(broadcast(idf_tbl), "term")
+        .select(
+            "doc_id",
+            F.round(contrib * _BM25_MICRO).cast("long").alias("_c_mu"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("_c_mu").alias("_s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_hit_terms",
+        # round to 6 = the micro-unit resolution itself. Rounding the
+        # quantized sum to FEWER digits is the halfway trap: s ending
+        # in ...50 puts the true value exactly on a 4-decimal midpoint,
+        # where Spark (decimal-string HALF_UP) and DuckDB (binary
+        # double) legitimately disagree — seen live at sf0.01.
+        F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+DOCS_BM25_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM toks),
+ex AS (
+    SELECT doc_id, dl, term FROM (
+        SELECT doc_id, len(ws) AS dl, lower(unnest(ws)) AS term FROM toks)
+    WHERE term IN ({_BM25_TERMS_SQL})
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex GROUP BY doc_id, dl, term),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf AS (
+    SELECT term,
+           ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+           CAST(s.total_len AS DOUBLE) / s.n_docs AS avgdl
+    FROM df_t CROSS JOIN stats s
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(round(i.idf * (tf.tf * ({_BM25_K1} + 1.0))
+                      / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                         + {_BM25_B} * tf.dl / i.avgdl))
+                      * {_BM25_MICRO}) AS BIGINT) AS c_mu
+    FROM tf JOIN idf i USING (term)
+)
+SELECT doc_id, count(*) AS n_hit_terms,
+       round(CAST(sum(c_mu) AS DOUBLE) / {_BM25_MICRO}, 6) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_MICRO = 1_000_000
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by log p_target(x) − p_raw(x) under hashed-unigram bag
+    models, the signal importance-resampling uses to tilt a huge raw
+    corpus toward a target domain (here: the lang='en' slice).
+
+    Features are hash32(term) mod 256 buckets — the bucket-count
+    tables are FIXED-SIZE metadata (256 rows) at any corpus size, the
+    whole point of hashed DSIR. Both LMs use add-one smoothing. Each
+    bucket's log-ratio ln p_t(b) − ln p_r(b) quantizes ONCE to
+    micro-units; a doc's log-weight is the exact integer sum
+    Σ tf_b · lr_mu[b] (order-free at any parallelism).
+
+    100 TB shape: ONE tokenize pass → (doc, bucket) partial agg
+    [shuffle 1, the backbone]; bucket totals fold off that compact
+    table [shuffle 2, 256 keys, map-side partials]; grand totals are
+    a 1-row BuildRight broadcast (allow-listed shape) onto 256 rows;
+    the 256-row log-ratio table broadcasts into the hash join;
+    shuffle 3 is the per-doc integer sum. The raw corpus never moves
+    at full width — only (doc_id, bucket, tf) triples after shuffle 1.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ex = (
+        d.select("doc_id", "lang", F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (T.hash32(F.lower(F.col("w"))) % _DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    tfb = ex.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    bc = tfb.groupBy("bucket").agg(
+        F.sum("tf").alias("raw_n"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(0)).alias(
+            "tgt_n"
+        ),
+    )
+    tot = bc.agg(F.sum("raw_n").alias("r_tot"), F.sum("tgt_n").alias("t_tot"))
+    lr = bc.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_n") + 1).cast("double")
+                    / (F.col("t_tot") + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("raw_n") + 1).cast("double")
+                    / (F.col("r_tot") + _DSIR_BUCKETS)
+                )
+            )
+            * _DSIR_MICRO
+        )
+        .cast("long")
+        .alias("lr_mu"),
+    )
+    out = (
+        tfb.join(broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_mu")).alias("_s"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_s").cast("double") / _DSIR_MICRO, 6).alias("log_weight"),
+    )
+
+
+DSIR_WEIGHTS_SQL = rf"""
+WITH ex AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(lower(unnest({_WS}))), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS bucket
+    FROM documents
+),
+tfb AS (SELECT doc_id, lang, bucket, count(*) AS tf
+        FROM ex GROUP BY doc_id, lang, bucket),
+bc AS (
+    SELECT bucket, sum(tf) AS raw_n,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN tf ELSE 0 END) AS tgt_n
+    FROM tfb GROUP BY bucket
+),
+tot AS (SELECT sum(raw_n) AS r_tot, sum(tgt_n) AS t_tot FROM bc),
+lr AS (
+    SELECT bucket,
+           CAST(round((ln(CAST(tgt_n + 1 AS DOUBLE) / (t.t_tot + {_DSIR_BUCKETS}))
+                       - ln(CAST(raw_n + 1 AS DOUBLE) / (t.r_tot + {_DSIR_BUCKETS})))
+                      * {_DSIR_MICRO}) AS BIGINT) AS lr_mu
+    FROM bc CROSS JOIN tot t
+),
+agg AS (
+    SELECT doc_id, sum(tf) AS n_tokens, sum(tf * lr_mu) AS s
+    FROM tfb JOIN lr USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(s AS DOUBLE) / {_DSIR_MICRO}, 6) AS log_weight
+FROM agg
+"""
+
+
+QUERIES = {
+    "semantic_dedup_kmeans": semantic_dedup_kmeans,
+    "docs_bm25_score": docs_bm25_score,
+    "dsir_importance_weights": dsir_importance_weights,
+}
+
+ORACLES = {
+    "semantic_dedup_kmeans": SEMANTIC_DEDUP_KMEANS_SQL,
+    "docs_bm25_score": DOCS_BM25_SQL,
+    "dsir_importance_weights": DSIR_WEIGHTS_SQL,
+}

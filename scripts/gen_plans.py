@@ -74,6 +74,9 @@ AUDITED = [
     "docs_unigram_perplexity",
     "docs_neardup_rate_by_source",
     "multimodal_audio_stats",
+    "semantic_dedup_kmeans",
+    "docs_bm25_score",
+    "dsir_importance_weights",
 ]
 
 JOIN_KINDS = (

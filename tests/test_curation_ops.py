@@ -1,0 +1,100 @@
+"""Semantic properties of the targeted-curation ops (llm_ops3) — the
+oracle parity in test_queries proves arithmetic equivalence; these pin
+the *meaning*: SemDeDup's keep rule, BM25's ranking behavior, DSIR's
+target-tilt direction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_semdedup_kmeans_keep_rule(spark):
+    """keep=False ⇔ a lower-id same-cell member with cosine ≥ t exists
+    — recomputed brute-force WITHIN each cell from the op's own cell
+    assignment (the oracle proves the cells; this proves the rule)."""
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+
+    out = M.semantic_dedup_kmeans(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    j = out.join(emb, "vec_id")
+    a = j.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cluster")
+    b = j.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cluster")
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(V.cosine(F.col("va"), F.col("vb")) >= M._SD_THRESHOLD)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    expect = {r["vec_id"] for r in dup.collect()}
+    got = {r["vec_id"] for r in out.filter(~F.col("keep")).collect()}
+    assert got == expect
+    assert len(got) > 0, "fixture should contain semantic duplicates"
+    # every cell's lowest id is always kept
+    low = {
+        r["m"]
+        for r in out.groupBy("cluster").agg(F.min("vec_id").alias("m")).collect()
+    }
+    assert low <= {r["vec_id"] for r in out.filter(F.col("keep")).collect()}
+
+
+def test_semdedup_kmeans_covers_whole_table(spark):
+    out = M.semantic_dedup_kmeans(spark, SF_SMOKE)
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_bm25_scores_positive_and_hit_counts_reconstruct(spark):
+    """Lucene idf is always positive, so every emitted score must be
+    > 0 with 1..|Q| hit terms; one doc's n_hit_terms is reconstructed
+    from raw tokens to pin the tokenizer/casing wiring."""
+    rows = M.docs_bm25_score(spark, SF_SMOKE).collect()
+    assert rows, "query terms must hit the corpus"
+    assert all(r["bm25"] > 0 for r in rows)
+    assert all(1 <= r["n_hit_terms"] <= len(M._BM25_TERMS) for r in rows)
+    # reconstruct one doc's n_hit_terms from raw tokens — catches a
+    # wrong tokenizer/casing wiring that oracle symmetry would mask
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    one = rows[0]
+    ws = [
+        w.lower()
+        for w in docs.filter(F.col("doc_id") == one["doc_id"])
+        .select(T.words(F.col("text")).alias("ws"))
+        .collect()[0]["ws"]
+    ]
+    n_hit = len({w for w in ws if w in M._BM25_TERMS})
+    assert n_hit == one["n_hit_terms"]
+
+
+def test_dsir_tilts_toward_target(spark):
+    """The mean importance log-weight of target-domain (en) docs must
+    exceed the non-target mean — the defining property of importance
+    weights log p_target/p_raw (Xie et al. 2023): docs distributed
+    like the target score higher."""
+    w = M.dsir_importance_weights(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    j = w.join(docs, "doc_id")
+    means = {
+        r["t"]: r["m"]
+        for r in j.groupBy((F.col("lang") == M._DSIR_TARGET_LANG).alias("t"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+
+def test_dsir_covers_all_nonempty_docs(spark):
+    w = M.dsir_importance_weights(spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    ).count()
+    assert w.count() == n_docs

@@ -100,6 +100,11 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # scalar subquery; the perplexity LM's corpus-token total)
         "q11_important_parts",
         "docs_unigram_perplexity",
+        # same shape again: BM25's (N, total_len) corpus stats and
+        # DSIR's (r_tot, t_tot) grand totals are 1-row BuildRight
+        # broadcasts onto |Q|-row / 256-row metadata tables
+        "docs_bm25_score",
+        "dsir_importance_weights",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
