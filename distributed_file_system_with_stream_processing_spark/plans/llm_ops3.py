@@ -88,6 +88,54 @@ _BM25_TERMS = ("stream", "join", "vector", "spark")
 _BM25_MICRO = 1_000_000
 
 
+def _bm25_tf(toks: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) for the query terms only."""
+    ex = (
+        toks.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    return ex.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _bm25_idf_tbl(toks: DataFrame, tf: DataFrame) -> DataFrame:
+    """|Q|-row (term, idf, avgdl) model table — the trainable half of
+    BM25, shared by the batch query and the stream-scorer trainer so
+    the model constants are bit-identical in both paths."""
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_len"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return df_t.crossJoin(broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+
+
+def bm25_train(docs: DataFrame) -> dict:
+    """Collect the BM25 model (metadata-scale: |Q| idf doubles + one
+    avgdl) for embedding as literals in a stateless stream scorer —
+    the train-offline/score-online split. Doubles round-trip repr
+    exactly, so the stream scorer's arithmetic is bit-identical to
+    the batch query's."""
+    toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
+    rows = _bm25_idf_tbl(toks, _bm25_tf(toks)).collect()
+    return {
+        "idf": {r["term"]: r["idf"] for r in rows},
+        "avgdl": rows[0]["avgdl"] if rows else 0.0,
+        "k1": _BM25_K1,
+        "b": _BM25_B,
+        "micro": _BM25_MICRO,
+    }
+
+
 def docs_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a fixed query-term
     set — the retrieval-side scoring a curation pipeline uses to mine
@@ -115,25 +163,8 @@ def docs_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("ws")).alias("total_len"),
-    )
-    ex = (
-        toks.select("doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w"))
-        .filter(F.col("w").isNotNull())
-        .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-    )
-    tf = ex.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf_tbl = df_t.crossJoin(broadcast(stats)).select(
-        "term",
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ).alias("idf"),
-        (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
-    )
+    tf = _bm25_tf(toks)
+    idf_tbl = _bm25_idf_tbl(toks, tf)
     contrib = (
         F.col("idf")
         * (F.col("tf") * (_BM25_K1 + 1.0))
@@ -207,6 +238,81 @@ _DSIR_TARGET_LANG = "en"
 _DSIR_MICRO = 1_000_000
 
 
+def _dsir_tfb(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, tf) — the single-pass hashed-unigram
+    backbone both the LM training fold and the per-doc scoring read."""
+    ex = (
+        docs.select(
+            "doc_id", "lang", F.explode_outer(T.words(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (T.hash32(F.lower(F.col("w"))) % _DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    return ex.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _dsir_lr_tbl(tfb: DataFrame) -> DataFrame:
+    """256-row (bucket, lr_mu) model table: micro-quantized
+    ln p_target(b) − ln p_raw(b) under add-one smoothing."""
+    bc = tfb.groupBy("bucket").agg(
+        F.sum("tf").alias("raw_n"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("tgt_n"),
+    )
+    tot = bc.agg(F.sum("raw_n").alias("r_tot"), F.sum("tgt_n").alias("t_tot"))
+    return bc.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_n") + 1).cast("double")
+                    / (F.col("t_tot") + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("raw_n") + 1).cast("double")
+                    / (F.col("r_tot") + _DSIR_BUCKETS)
+                )
+            )
+            * _DSIR_MICRO
+        )
+        .cast("long")
+        .alias("lr_mu"),
+        "r_tot",
+        "t_tot",
+    )
+
+
+def dsir_train(docs: DataFrame) -> dict[int, int]:
+    """Collect the full 256-entry {bucket: lr_mu} model for literal
+    embedding in a stateless stream scorer. Buckets absent from the
+    training corpus get the smoothed count-0 default (computed in
+    Python — those buckets by construction never appear when scoring
+    the training distribution, only genuinely novel stream tokens)."""
+    import math
+
+    rows = _dsir_lr_tbl(_dsir_tfb(docs)).collect()
+    out = {r["bucket"]: r["lr_mu"] for r in rows}
+    if rows:
+        r_tot, t_tot = rows[0]["r_tot"], rows[0]["t_tot"]
+        default = round(
+            (
+                math.log(1.0 / (t_tot + _DSIR_BUCKETS))
+                - math.log(1.0 / (r_tot + _DSIR_BUCKETS))
+            )
+            * _DSIR_MICRO
+        )
+    else:
+        default = 0
+    for b in range(_DSIR_BUCKETS):
+        out.setdefault(b, default)
+    return out
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -230,41 +336,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     at full width — only (doc_id, bucket, tf) triples after shuffle 1.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    ex = (
-        d.select("doc_id", "lang", F.explode_outer(T.words(F.col("text"))).alias("w"))
-        .filter(F.col("w").isNotNull())
-        .select(
-            "doc_id",
-            "lang",
-            (T.hash32(F.lower(F.col("w"))) % _DSIR_BUCKETS).alias("bucket"),
-        )
-    )
-    tfb = ex.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    bc = tfb.groupBy("bucket").agg(
-        F.sum("tf").alias("raw_n"),
-        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(0)).alias(
-            "tgt_n"
-        ),
-    )
-    tot = bc.agg(F.sum("raw_n").alias("r_tot"), F.sum("tgt_n").alias("t_tot"))
-    lr = bc.crossJoin(broadcast(tot)).select(
-        "bucket",
-        F.round(
-            (
-                F.log(
-                    (F.col("tgt_n") + 1).cast("double")
-                    / (F.col("t_tot") + _DSIR_BUCKETS)
-                )
-                - F.log(
-                    (F.col("raw_n") + 1).cast("double")
-                    / (F.col("r_tot") + _DSIR_BUCKETS)
-                )
-            )
-            * _DSIR_MICRO
-        )
-        .cast("long")
-        .alias("lr_mu"),
-    )
+    tfb = _dsir_tfb(d)
+    lr = _dsir_lr_tbl(tfb)
     out = (
         tfb.join(broadcast(lr), "bucket")
         .groupBy("doc_id")

@@ -369,6 +369,105 @@ def fragment_dedup_stream(
     )
 
 
+def bm25_score_stream(docs: DataFrame, model: dict) -> DataFrame:
+    """Stateless stream scorer for the train-offline/score-online BM25
+    split: ``plans.llm_ops3.bm25_train`` collects the metadata-scale
+    model (|Q| idf doubles + avgdl) batch-side; this embeds it as
+    LITERALS so scoring each arriving doc is a pure per-row column
+    expression — append mode, no state store, no join (the
+    centroids-as-literals stance applied to retrieval scoring).
+
+    Arithmetic is the batch query's exactly: per-term contribution in
+    the same operation order on repr-round-tripped doubles, micro-
+    quantized, integer-summed — so bounded inputs reproduce
+    ``docs_bm25_score`` bit-for-bit (tested at micro-batch
+    boundaries). Docs with zero query-term hits are not emitted,
+    matching batch.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    k1, b, micro = model["k1"], model["b"], model["micro"]
+    avgdl = model["avgdl"]
+    ws = T.words(F.col("text"))
+    staged = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        F.transform(F.col("ws"), lambda w: F.lower(w)).alias("wl"),
+    )
+    # NB: the lambda must be single-arg — PySpark dispatches on lambda
+    # arity, and a captured-default second parameter turns it into the
+    # (element, index) form with the index bound in its place
+    def _tf(term: str):
+        return F.size(F.filter(F.col("wl"), lambda w: w == F.lit(term)))
+
+    c_mu_cols, hit_cols = [], []
+    for term, idf in sorted(model["idf"].items()):
+        tf = _tf(term)
+        contrib = (
+            F.lit(idf)
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        c_mu_cols.append(
+            F.when(tf > 0, F.round(contrib * micro).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+        hit_cols.append(F.when(tf > 0, 1).otherwise(0))
+    s = c_mu_cols[0]
+    for c in c_mu_cols[1:]:
+        s = s + c
+    n_hit = hit_cols[0]
+    for c in hit_cols[1:]:
+        n_hit = n_hit + c
+    return (
+        staged.select(
+            "doc_id",
+            n_hit.cast("long").alias("n_hit_terms"),
+            F.round(s.cast("double") / micro, 6).alias("bm25"),
+        )
+        .filter(F.col("n_hit_terms") > 0)
+    )
+
+
+def dsir_score_stream(
+    docs: DataFrame, lr_mu: dict[int, int], buckets: int = 256, micro: int = 1_000_000
+) -> DataFrame:
+    """Stateless stream scorer for DSIR importance weights:
+    ``plans.llm_ops3.dsir_train`` collects the 256-entry
+    {bucket: lr_mu} table; this embeds it as ONE map literal and
+    scores each arriving doc with a per-row integer fold — append
+    mode, no state, no join. Integer addition is associative, so
+    bounded inputs reproduce ``dsir_importance_weights`` bit-for-bit
+    regardless of the batch plan's aggregation grouping (tested at
+    micro-batch boundaries). Empty docs are not emitted, matching
+    batch."""
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+
+    map_lit = F.expr(
+        "map(" + ",".join(f"{b}L,{lr_mu[b]}L" for b in sorted(lr_mu)) + ")"
+    )
+    ws = T.words(F.col("text"))
+    staged = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.col("ws"),
+                lambda w: F.element_at(map_lit, T.hash32(F.lower(w)) % buckets),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_s"),
+    )
+    return (
+        staged.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_s").cast("double") / micro, 6).alias("log_weight"),
+        )
+    )
+
+
 def winnow_stream(
     docs: DataFrame,
     id_col: str = "doc_id",

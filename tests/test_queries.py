@@ -115,5 +115,7 @@ def test_registry_front_loads_unchecked_queries():
         "docs_gopher_rules", "docs_gopher_by_source",
         "docs_unigram_perplexity", "docs_neardup_rate_by_source",
         "multimodal_audio_stats",
+        "semantic_dedup_kmeans", "docs_bm25_score",
+        "dsir_importance_weights",
     }
     assert round3 <= set(R._FRONT)

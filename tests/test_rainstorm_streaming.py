@@ -567,3 +567,83 @@ def test_winnow_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM winnow_stream").collect()
     }
     assert streamed == batch
+
+
+def test_bm25_score_stream_matches_batch(spark, tmp_path):
+    """Train-offline/score-online BM25: the model trained batch-side
+    (bm25_train) embedded as literals must make the stateless stream
+    scorer reproduce the registered docs_bm25_score bit-for-bit over
+    bounded input."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        bm25_score_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = M.bm25_train(docs)
+    batch = {
+        (r["doc_id"], r["n_hit_terms"], r["bm25"])
+        for r in M.docs_bm25_score(spark, SF_SMOKE).collect()
+    }
+    assert batch
+
+    src = str(tmp_path / "docs")
+    docs.select("doc_id", "text").repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        bm25_score_stream(stream, model)
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["n_hit_terms"], r["bm25"])
+        for r in spark.sql("SELECT * FROM bm25_stream").collect()
+    }
+    assert streamed == batch
+
+
+def test_dsir_score_stream_matches_batch(spark, tmp_path):
+    """Same split for DSIR: 256-entry log-ratio map trained batch-side
+    (dsir_train), stream scoring is a per-row integer fold — exact
+    parity with the registered dsir_importance_weights."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        dsir_score_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lr = M.dsir_train(docs)
+    assert len(lr) == 256
+    batch = {
+        (r["doc_id"], r["n_tokens"], r["log_weight"])
+        for r in M.dsir_importance_weights(spark, SF_SMOKE).collect()
+    }
+    assert batch
+
+    src = str(tmp_path / "docs")
+    docs.select("doc_id", "text").repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        dsir_score_stream(stream, lr)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["n_tokens"], r["log_weight"])
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert streamed == batch
