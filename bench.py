@@ -93,6 +93,7 @@ def main() -> None:
         "semantic_dedup_kmeans",
         "docs_bm25_score",
         "dsir_importance_weights",
+        "dsir_resample_topk",
     ]
     headline = [q for q in headline if q in QUERIES]
 

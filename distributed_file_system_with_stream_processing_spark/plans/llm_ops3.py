@@ -19,7 +19,7 @@ Ops here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -353,7 +353,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_WEIGHTS_SQL = rf"""
+_DSIR_BODY = rf"""
 WITH ex AS (
     SELECT doc_id, lang,
            ('0x' || substr(md5(lower(unnest({_WS}))), 1, 8))::BIGINT
@@ -378,21 +378,134 @@ lr AS (
 agg AS (
     SELECT doc_id, sum(tf) AS n_tokens, sum(tf * lr_mu) AS s
     FROM tfb JOIN lr USING (bucket) GROUP BY doc_id
-)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(s AS DOUBLE) / {_DSIR_MICRO}, 6) AS log_weight
-FROM agg
+),
+w AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(s AS DOUBLE) / {_DSIR_MICRO}, 6) AS log_weight
+    FROM agg
+)"""
+
+DSIR_WEIGHTS_SQL = _DSIR_BODY + "\nSELECT doc_id, n_tokens, log_weight FROM w\n"
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample_topk
+
+_RS_N = 200
+_RS_TEMP = 1.0
+
+
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step that completes DSIR: importance sampling
+    without replacement via the Gumbel-top-k trick (Kool et al. 2019)
+    — rank docs by log_weight/T + Gumbel noise and keep the top n.
+    The "noise" is deterministic (hash32 of the doc id → uniform in
+    (0,1) → −ln(−ln u)), so the sample is reproducible and the
+    DuckDB oracle draws the identical Gumbels.
+
+    The perturbed key quantizes to micro-units BEFORE ranking, so a
+    1-ulp ln() divergence between engines cannot reorder neighbors
+    (the established rank-on-integers discipline).
+
+    100 TB shape: the weight pipeline's shuffles, then a global
+    top-n — Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition heap of n, driver merge of n·partitions): NO
+    global sort, no single-task window over the corpus. Only the
+    n=200 selected rows see the final rank window (metadata-scale).
+    """
+    w = dsir_importance_weights(spark, sf_dir)
+    u = (T.hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
+    g = -F.log(-F.log(u))
+    key_mu = F.round((F.col("log_weight") / _RS_TEMP + g) * 1000000.0).cast("long")
+    sel = (
+        w.select("doc_id", "log_weight", key_mu.alias("key_mu"))
+        .orderBy(F.desc("key_mu"), F.asc("doc_id"))
+        .limit(_RS_N)
+    )
+    win = Window.orderBy(F.desc("key_mu"), F.asc("doc_id"))
+    return (
+        sel.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("doc_id", "log_weight", "rank")
+    )
+
+
+DSIR_RESAMPLE_SQL = (
+    _DSIR_BODY
+    + f""",
+gk AS (
+    SELECT doc_id, log_weight,
+           CAST(round((log_weight / {_RS_TEMP}
+                 + (-ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                            / 4294967296.0))))
+                * 1000000.0) AS BIGINT) AS key_mu
+    FROM w
+),
+sel AS (SELECT * FROM gk ORDER BY key_mu DESC, doc_id LIMIT {_RS_N})
+SELECT doc_id, log_weight,
+       CAST(row_number() OVER (ORDER BY key_mu DESC, doc_id) AS BIGINT) AS rank
+FROM sel
 """
+)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_cell_stats
+
+
+def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup QA dashboard: per-cell size, duplicate count, and
+    dup rate — the signal for tuning k (cells too big → quadratic
+    blowup; dup rate collapsing to 0 → threshold too tight). Pure
+    rollup of semantic_dedup_kmeans' output: one metadata-cardinality
+    shuffle (k cells) past the recipe's own plan; rate is an exact
+    integer ratio rounded once."""
+    out = semantic_dedup_kmeans(spark, sf_dir)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dups"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_members"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _semdedup_cell_stats_sql() -> str:
+    """Fold the recipe's final SELECT into a CTE and roll up per cell
+    (the _semantic_dedup_sql rsplit idiom)."""
+    head, tail = SEMANTIC_DEDUP_KMEANS_SQL.rsplit("SELECT f.vec_id", 1)
+    return (
+        head.rstrip()
+        + ",\nsd AS (SELECT f.vec_id"
+        + tail.rstrip()
+        + ")\n"
+        "SELECT cluster, count(*) AS n_members,\n"
+        "       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dups,\n"
+        "       round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)\n"
+        "             / count(*), 6) AS dup_rate\n"
+        "FROM sd GROUP BY cluster"
+    )
 
 
 QUERIES = {
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
     "docs_bm25_score": docs_bm25_score,
     "dsir_importance_weights": dsir_importance_weights,
+    "dsir_resample_topk": dsir_resample_topk,
+    "semdedup_cell_stats": semdedup_cell_stats,
 }
 
 ORACLES = {
     "semantic_dedup_kmeans": SEMANTIC_DEDUP_KMEANS_SQL,
     "docs_bm25_score": DOCS_BM25_SQL,
     "dsir_importance_weights": DSIR_WEIGHTS_SQL,
+    "dsir_resample_topk": DSIR_RESAMPLE_SQL,
+    "semdedup_cell_stats": _semdedup_cell_stats_sql(),
 }

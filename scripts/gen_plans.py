@@ -77,6 +77,8 @@ AUDITED = [
     "semantic_dedup_kmeans",
     "docs_bm25_score",
     "dsir_importance_weights",
+    "dsir_resample_topk",
+    "semdedup_cell_stats",
 ]
 
 JOIN_KINDS = (

@@ -105,6 +105,7 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # broadcasts onto |Q|-row / 256-row metadata tables
         "docs_bm25_score",
         "dsir_importance_weights",
+        "dsir_resample_topk",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))

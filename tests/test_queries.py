@@ -116,6 +116,7 @@ def test_registry_front_loads_unchecked_queries():
         "docs_unigram_perplexity", "docs_neardup_rate_by_source",
         "multimodal_audio_stats",
         "semantic_dedup_kmeans", "docs_bm25_score",
-        "dsir_importance_weights",
+        "dsir_importance_weights", "dsir_resample_topk",
+        "semdedup_cell_stats",
     }
     assert round3 <= set(R._FRONT)
