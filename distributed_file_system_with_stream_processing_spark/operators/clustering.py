@@ -204,6 +204,67 @@ def semdedup_kmeans(
     )
 
 
+def semdedup_prepare_index(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The static side of the streaming SemDeDup gate: indexed vectors
+    with their trained cell and hoisted norm, ready to persist as a
+    (cell-partitionable) table the stream joins against."""
+    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    return e.selectExpr(
+        "id", "v", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
+    ).withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+
+
+def semdedup_gate(
+    vecs: DataFrame,
+    cents: list[list[float]],
+    index: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup as an ONLINE GATE: flag each arriving vector whose
+    cell (assigned by the trained centroid literals — pure map, no
+    join) contains an already-indexed vector with a LOWER id and
+    cosine ≥ threshold. Works identically on a batch DataFrame and a
+    structured stream: cell assignment is stateless column math, and
+    the index probe is two stream-static joins (left_semi for dups,
+    left_anti for keeps) — per-micro-batch, NO state store, append
+    mode. With index = the full table, the output equals
+    ``semdedup_kmeans``'s (vec_id, cluster, keep) exactly (the parity
+    test's oracle).
+
+    100 TB shape: the static index re-reads per micro-batch pruned to
+    the arriving cells when persisted cell-partitioned; the join is an
+    equi-join on cluster with the cosine verify on candidates only —
+    the same per-cell bound as the batch recipe.
+    """
+    e = vecs.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    assigned = e.selectExpr(
+        "id", "v", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
+    ).withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    idx = index.select(
+        F.col("id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("cluster").alias("cb"),
+        F.col("nrm").alias("nb"),
+    )
+    cond = (
+        (F.col("cluster") == F.col("cb"))
+        & (F.col("ib") < F.col("id"))
+        & (V.dot(F.col("v"), F.col("vb")) / (F.col("nrm") * F.col("nb")) >= threshold)
+    )
+    dups = assigned.join(idx, cond, "left_semi").withColumn("keep", F.lit(False))
+    keeps = assigned.join(idx, cond, "left_anti").withColumn("keep", F.lit(True))
+    return dups.unionByName(keeps).select(
+        F.col("id").alias("vec_id"), "cluster", "keep"
+    )
+
+
 def ivf_trained_ann(
     emb: DataFrame,
     id_col: str = "vec_id",

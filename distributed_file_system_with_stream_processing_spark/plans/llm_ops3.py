@@ -448,6 +448,61 @@ FROM sel
 )
 
 
+_RSS_QUOTA = 10
+
+
+def dsir_resample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DSIR resampling: a PER-SOURCE Gumbel-top-k quota —
+    the data-mixing variant (each source contributes its best
+    ``_RSS_QUOTA`` docs by perturbed importance key), preventing one
+    dominant source from monopolizing the global sample.
+
+    Same deterministic Gumbel + micro-quantize-before-rank discipline
+    as ``dsir_resample_topk``. Shape: the weight pipeline, a PK join
+    back to documents for the source column (co-partitioned
+    fact-fact join on doc_id), then ONE per-source top-k window —
+    the grouped-top-k standard; at extreme source skew the two-phase
+    (per-partition heap, then per-source merge) rewrite applies, but
+    a window over a 20-source key with quota 10 is already
+    reducer-bounded: each group retains ``quota`` rows."""
+    w = dsir_importance_weights(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = (T.hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
+    g = -F.log(-F.log(u))
+    key_mu = F.round((F.col("log_weight") / _RS_TEMP + g) * 1000000.0).cast("long")
+    win = Window.partitionBy("source").orderBy(F.desc("key_mu"), F.asc("doc_id"))
+    return (
+        w.join(src, "doc_id")
+        .select("source", "doc_id", "log_weight", key_mu.alias("key_mu"))
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= _RSS_QUOTA)
+        .select("source", "doc_id", "log_weight", "rank")
+    )
+
+
+DSIR_RESAMPLE_STRAT_SQL = (
+    _DSIR_BODY
+    + f""",
+gk AS (
+    SELECT d.source, w.doc_id, w.log_weight,
+           CAST(round((w.log_weight / {_RS_TEMP}
+                 + (-ln(-ln((('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                            / 4294967296.0))))
+                * 1000000.0) AS BIGINT) AS key_mu
+    FROM w JOIN documents d ON w.doc_id = d.doc_id
+),
+rk AS (
+    SELECT source, doc_id, log_weight,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY key_mu DESC, doc_id) AS rank
+    FROM gk
+)
+SELECT source, doc_id, log_weight, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_RSS_QUOTA}
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # semdedup_cell_stats
 
@@ -499,6 +554,7 @@ QUERIES = {
     "docs_bm25_score": docs_bm25_score,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_resample_topk": dsir_resample_topk,
+    "dsir_resample_stratified": dsir_resample_stratified,
     "semdedup_cell_stats": semdedup_cell_stats,
 }
 
@@ -507,5 +563,6 @@ ORACLES = {
     "docs_bm25_score": DOCS_BM25_SQL,
     "dsir_importance_weights": DSIR_WEIGHTS_SQL,
     "dsir_resample_topk": DSIR_RESAMPLE_SQL,
+    "dsir_resample_stratified": DSIR_RESAMPLE_STRAT_SQL,
     "semdedup_cell_stats": _semdedup_cell_stats_sql(),
 }

@@ -75,6 +75,7 @@ _FRONT = [
     "dsir_importance_weights",
     "dsir_resample_topk",
     "semdedup_cell_stats",
+    "dsir_resample_stratified",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
@@ -101,14 +102,14 @@ _FRONT = [
     "docs_systematic_sample",
     "docs_stratified_sample",
     "multimodal_image_stats",
-    "embedding_neardup",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
     # embedding_neardup's r2 hash row), ann_ivf_bucketed /
     # ann_quantized_topk (rows-only by design — their driver row
     # carries no hash signal; recall is pinned in tests/test_ann.py),
-    # and ann_cosine_topk / ann_lsh_bucketed (both pass(r2))
+    # and ann_cosine_topk / ann_lsh_bucketed / embedding_neardup
+    # (all pass(r2))
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

@@ -79,6 +79,7 @@ AUDITED = [
     "dsir_importance_weights",
     "dsir_resample_topk",
     "semdedup_cell_stats",
+    "dsir_resample_stratified",
 ]
 
 JOIN_KINDS = (

@@ -106,6 +106,7 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "docs_bm25_score",
         "dsir_importance_weights",
         "dsir_resample_topk",
+        "dsir_resample_stratified",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))

@@ -647,3 +647,56 @@ def test_dsir_score_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dsir_stream").collect()
     }
     assert streamed == batch
+
+
+def test_semdedup_gate_stream_matches_batch_recipe(spark, tmp_path):
+    """Streaming SemDeDup gate: trained centroids as literals + a
+    static persisted index; arriving vectors are flagged via two
+    stateless stream-static joins (left_semi / left_anti). With
+    index = the full table, the streamed output must equal the
+    registered semantic_dedup_kmeans recipe exactly — cell, keep
+    flag, every row."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = C.kmeans_fit(emb, k=M._SD_K, iters=M._SD_ITERS, dim=64)
+    index = C.semdedup_prepare_index(emb, cents)
+
+    expected = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in M.semantic_dedup_kmeans(spark, SF_SMOKE).collect()
+    }
+    assert expected and any(not k for (_, _, k) in expected)
+
+    # batch parity of the gate itself
+    got_batch = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in C.semdedup_gate(emb, cents, index, threshold=M._SD_THRESHOLD).collect()
+    }
+    assert got_batch == expected
+
+    # stream parity: index persisted + re-read (the realistic static
+    # side), vectors arrive as a file stream
+    idx_path = str(tmp_path / "semdedup_index")
+    index.write.parquet(idx_path)
+    static_idx = spark.read.parquet(idx_path)
+    src = str(tmp_path / "vecs")
+    emb.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        C.semdedup_gate(stream, cents, static_idx, threshold=M._SD_THRESHOLD)
+        .writeStream.format("memory")
+        .queryName("semdedup_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in spark.sql("SELECT * FROM semdedup_gate").collect()
+    }
+    assert streamed == expected
