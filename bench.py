@@ -94,6 +94,7 @@ def main() -> None:
         "docs_bm25_score",
         "dsir_importance_weights",
         "dsir_resample_topk",
+        "bm25_retrieval_topk",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -231,6 +231,149 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# bm25_retrieval_topk
+
+_RET_QUERIES_BELOW = 10  # docs with doc_id < 10 act as the query table
+_RET_QTERMS = 6  # first N words of a query doc form its term set
+_RET_K = 5
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BM25 retrieval over a query TABLE (not a literal term
+    set): the lowest ``_RET_QUERIES_BELOW`` doc ids act as queries
+    (their first ``_RET_QTERMS`` words, lowercased + deduped, are the
+    term set — the ANN family's query-ids-below convention applied to
+    text). Top-``_RET_K`` base docs per query by BM25.
+
+    100 TB shape: postings = the (doc, term) tfidf backbone [shuffle
+    1]; the query-term table is benchmark-scale and BROADCASTS into
+    the postings join, so only matching postings survive; df folds off
+    the matched (≤ |qterms|·n_docs) table [shuffle 2, tiny]; corpus
+    stats ride the 1-row BuildRight broadcast; per-(query, doc) score
+    is an INTEGER sum of micro-quantized contributions [shuffle 3], so
+    ranking needs no further quantization; final top-k is the
+    per-query window (the ann_cosine_topk shape — rank by the exact
+    integer, ties by doc_id).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    qterms = (
+        toks.filter(F.col("doc_id") < _RET_QUERIES_BELOW)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode_outer(F.slice("ws", 1, _RET_QTERMS)).alias("w"),
+        )
+        .filter(F.col("w").isNotNull())
+        .select("query_id", F.lower(F.col("w")).alias("term"))
+        .distinct()
+    )
+    base = toks.filter(F.col("doc_id") >= _RET_QUERIES_BELOW)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_len"),
+    )
+    postings = (
+        base.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    matched = postings.join(broadcast(qterms), "term")
+    df_t = (
+        matched.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf_tbl = df_t.crossJoin(broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        matched.join(broadcast(idf_tbl), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(contrib * _BM25_MICRO).cast("long").alias("_c_mu"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c_mu").alias("_s"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= _RET_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+BM25_RETRIEVAL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, lower(unnest(ws[1:{_RET_QTERMS}])) AS term
+    FROM toks WHERE doc_id < {_RET_QUERIES_BELOW}
+),
+base AS (SELECT * FROM toks WHERE doc_id >= {_RET_QUERIES_BELOW}),
+stats AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM base),
+postings AS (
+    SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(ws) AS dl, lower(unnest(ws)) AS term FROM base)
+    GROUP BY doc_id, dl, term
+),
+matched AS (SELECT q.query_id, p.* FROM postings p JOIN qterms q USING (term)),
+df_t AS (
+    SELECT term, count(*) AS df FROM (SELECT DISTINCT term, doc_id FROM matched)
+    GROUP BY term
+),
+idf AS (
+    SELECT term,
+           ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+           CAST(s.total_len AS DOUBLE) / s.n_docs AS avgdl
+    FROM df_t CROSS JOIN stats s
+),
+scored AS (
+    SELECT query_id, doc_id, sum(c_mu) AS s FROM (
+        SELECT m.query_id, m.doc_id,
+               CAST(round(i.idf * (m.tf * ({_BM25_K1} + 1.0))
+                          / (m.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                             + {_BM25_B} * m.dl / i.avgdl))
+                          * {_BM25_MICRO}) AS BIGINT) AS c_mu
+        FROM matched m JOIN idf i USING (term))
+    GROUP BY query_id, doc_id
+),
+rk AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / {_BM25_MICRO}, 6) AS bm25,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_RET_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dsir_importance_weights
 
 _DSIR_BUCKETS = 256
@@ -552,6 +695,7 @@ def _semdedup_cell_stats_sql() -> str:
 QUERIES = {
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
     "docs_bm25_score": docs_bm25_score,
+    "bm25_retrieval_topk": bm25_retrieval_topk,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_resample_topk": dsir_resample_topk,
     "dsir_resample_stratified": dsir_resample_stratified,
@@ -561,6 +705,7 @@ QUERIES = {
 ORACLES = {
     "semantic_dedup_kmeans": SEMANTIC_DEDUP_KMEANS_SQL,
     "docs_bm25_score": DOCS_BM25_SQL,
+    "bm25_retrieval_topk": BM25_RETRIEVAL_SQL,
     "dsir_importance_weights": DSIR_WEIGHTS_SQL,
     "dsir_resample_topk": DSIR_RESAMPLE_SQL,
     "dsir_resample_stratified": DSIR_RESAMPLE_STRAT_SQL,

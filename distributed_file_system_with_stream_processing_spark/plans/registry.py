@@ -76,6 +76,7 @@ _FRONT = [
     "dsir_resample_topk",
     "semdedup_cell_stats",
     "dsir_resample_stratified",
+    "bm25_retrieval_topk",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",

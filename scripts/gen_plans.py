@@ -80,6 +80,7 @@ AUDITED = [
     "dsir_resample_topk",
     "semdedup_cell_stats",
     "dsir_resample_stratified",
+    "bm25_retrieval_topk",
 ]
 
 JOIN_KINDS = (
