@@ -95,6 +95,7 @@ def main() -> None:
         "dsir_importance_weights",
         "dsir_resample_topk",
         "bm25_retrieval_topk",
+        "rrf_fusion_topk",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -374,6 +374,104 @@ FROM rk WHERE rank <= {_RET_K}
 
 
 # ---------------------------------------------------------------------------
+# rrf_fusion_topk
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009)
+    of the lexical (bm25_retrieval_topk) and dense (ann_cosine_topk)
+    rankings for the shared query ids 0..9 — the standard two-tower
+    fusion rrf(d) = Σ_systems 1/(C + rank_d).
+
+    Each system's contribution quantizes to integer micro-units
+    (1e6/(C+rank) — with rank ≤ 5 these are exact-input single
+    divisions, never a .5 rounding boundary), so the fused score is
+    an integer sum and the fused rank needs no re-quantization.
+    Shape: both backbones' plans + a FULL OUTER join of two
+    (≤ k·|Q|)-row toplists — metadata-scale fusion on top of the
+    established retrieval shapes; flags record which system(s)
+    surfaced each item.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops as L
+
+    bm = bm25_retrieval_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("item_id"), F.col("rank").alias("_br")
+    )
+    ann = L.ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), F.col("rank").alias("_ar")
+    )
+    c_mu = lambda col: F.coalesce(
+        F.round(1000000.0 / (_RRF_C + F.col(col))).cast("long"), F.lit(0).cast("long")
+    )
+    fused = (
+        bm.join(ann, ["query_id", "item_id"], "full_outer")
+        .select(
+            "query_id",
+            "item_id",
+            (c_mu("_br") + c_mu("_ar")).alias("_s_mu"),
+            F.col("_br").isNotNull().alias("in_bm25"),
+            F.col("_ar").isNotNull().alias("in_ann"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("_s_mu"), F.asc("item_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(F.col("_s_mu").cast("double") / 1000000.0, 6).alias("rrf"),
+            "in_bm25",
+            "in_ann",
+            "rank",
+        )
+    )
+
+
+def _rrf_sql() -> str:
+    """Chain BOTH backbone oracles' CTE bodies (no name collisions by
+    construction) and fuse — the registered oracles stay the single
+    source of truth for each system's ranking arithmetic."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import ANN_TOPK_SQL
+
+    b_body, b_tail = BM25_RETRIEVAL_SQL.rsplit("SELECT query_id, doc_id,", 1)
+    a = ANN_TOPK_SQL.strip()
+    assert a.startswith("WITH ")
+    a_body, a_tail = a[len("WITH "):].rsplit("SELECT query_id, neighbor_id,", 1)
+    return (
+        b_body.rstrip().rstrip(",")
+        + ",\nbmr AS (SELECT query_id, doc_id, "
+        + b_tail.strip()
+        + "),\n"
+        + a_body.rstrip().rstrip(",")
+        + ",\nannr AS (SELECT query_id, neighbor_id, "
+        + a_tail.strip()
+        + "),\n"
+        + f"""fused AS (
+    SELECT coalesce(bm.query_id, an.query_id) AS query_id,
+           coalesce(bm.doc_id, an.neighbor_id) AS item_id,
+           coalesce(CAST(round(1000000.0 / ({_RRF_C} + bm.rank)) AS BIGINT), 0)
+         + coalesce(CAST(round(1000000.0 / ({_RRF_C} + an.rank)) AS BIGINT), 0) AS s_mu,
+           bm.rank IS NOT NULL AS in_bm25,
+           an.rank IS NOT NULL AS in_ann
+    FROM bmr bm FULL OUTER JOIN annr an
+         ON bm.query_id = an.query_id AND bm.doc_id = an.neighbor_id
+),
+fr AS (
+    SELECT query_id, item_id, s_mu, in_bm25, in_ann,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s_mu DESC, item_id) AS rank
+    FROM fused
+)
+SELECT query_id, item_id, round(CAST(s_mu AS DOUBLE) / 1000000.0, 6) AS rrf,
+       in_bm25, in_ann, CAST(rank AS BIGINT) AS rank
+FROM fr
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # dsir_importance_weights
 
 _DSIR_BUCKETS = 256
@@ -696,6 +794,7 @@ QUERIES = {
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
     "docs_bm25_score": docs_bm25_score,
     "bm25_retrieval_topk": bm25_retrieval_topk,
+    "rrf_fusion_topk": rrf_fusion_topk,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_resample_topk": dsir_resample_topk,
     "dsir_resample_stratified": dsir_resample_stratified,
@@ -706,6 +805,7 @@ ORACLES = {
     "semantic_dedup_kmeans": SEMANTIC_DEDUP_KMEANS_SQL,
     "docs_bm25_score": DOCS_BM25_SQL,
     "bm25_retrieval_topk": BM25_RETRIEVAL_SQL,
+    "rrf_fusion_topk": _rrf_sql(),
     "dsir_importance_weights": DSIR_WEIGHTS_SQL,
     "dsir_resample_topk": DSIR_RESAMPLE_SQL,
     "dsir_resample_stratified": DSIR_RESAMPLE_STRAT_SQL,

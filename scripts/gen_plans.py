@@ -81,6 +81,7 @@ AUDITED = [
     "semdedup_cell_stats",
     "dsir_resample_stratified",
     "bm25_retrieval_topk",
+    "rrf_fusion_topk",
 ]
 
 JOIN_KINDS = (

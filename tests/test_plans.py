@@ -108,6 +108,7 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "dsir_resample_topk",
         "dsir_resample_stratified",
         "bm25_retrieval_topk",
+        "rrf_fusion_topk",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))

@@ -118,6 +118,6 @@ def test_registry_front_loads_unchecked_queries():
         "semantic_dedup_kmeans", "docs_bm25_score",
         "dsir_importance_weights", "dsir_resample_topk",
         "semdedup_cell_stats", "dsir_resample_stratified",
-        "bm25_retrieval_topk",
+        "bm25_retrieval_topk", "rrf_fusion_topk",
     }
     assert round3 <= set(R._FRONT)
