@@ -50,6 +50,10 @@ RESIZED_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_ts_ms int, frame binary"
 
+FRAME_FEATURES_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_ts_ms int, lead_byte int, frame_mean double"
+)
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id bigint, duration_ms int, sample_rate int, rms double, zero_cross double"
 )
@@ -215,6 +219,33 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Sampled frame bytes → per-frame scalar features. The SECOND
+    Arrow stage of the video path (sample_frames → frame_features):
+    two chained ``mapInPandas`` stages with the binary frames staying
+    on the executors between them — the decode→featurize pipeline
+    shape a real video corpus needs. The feature math (first byte,
+    byte mean) runs in numpy over each frame vector; with the stub
+    codec the rolled-digest layout makes both reducible to closed
+    forms over the md5 bytes, so the whole two-stage UDF chain is
+    value-hash-verifiable end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(bytes(f), dtype=np.uint8) for f in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "lead_byte": [int(a[0]) for a in arrs],
+                    "frame_mean": [float(a.mean()) for a in arrs],
+                }
+            )
+
+    return frames.mapInPandas(gen, schema=FRAME_FEATURES_SCHEMA)
 
 
 # -- audio path ------------------------------------------------------------

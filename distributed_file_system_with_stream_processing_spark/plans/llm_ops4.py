@@ -1,0 +1,325 @@
+"""Training-data curation queries, fourth LLM-pipeline module.
+
+Same contract as ``llm_ops``/``llm_ops2``/``llm_ops3``: declarative
+DataFrame plans (JVM expressions only; the multimodal query's Arrow
+stages are the documented exception), each with a DuckDB oracle
+mirroring the exact arithmetic so value hashes match without
+tolerances. Portability conventions (micro-unit quantization of each
+per-item float contribution so per-group reductions are order-free
+integer sums) are documented in those modules.
+
+Ops here:
+- ``ngram_counts_topk`` — the corpus bigram-counts table (the LM
+  training-counts backbone), global top-k with deterministic ties.
+- ``docs_bigram_perplexity`` — per-document perplexity under an
+  add-k-smoothed corpus bigram LM (the CCNet-style quality signal one
+  order up from ``docs_unigram_perplexity``).
+- ``docs_kl_by_source`` — per-source unigram-distribution KL
+  divergence vs the corpus distribution (data-mixing diagnostic).
+- ``multimodal_video_frames`` — the VIDEO decode path as a
+  driver-checked query: frame sampling (row explosion) chained into
+  per-frame featurization, two Arrow ``mapInPandas`` stages.
+
+The reference engine streams text lines through RainStorm operators
+(reference rainstorm/rainstorm.go:307-355); everything here is part of
+the beyond-reference LLM-data-pipeline surface (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# bigram backbone (shared by ngram_counts_topk and docs_bigram_perplexity)
+
+_NG_TOPK = 100
+_BG_MICRO = 1_000_000
+_BG_K = 0.5  # add-k smoothing constant
+
+# DuckDB twin of T.word_ngrams(ws, 2) on a lowered token list; DuckDB's
+# range(1, n) is empty for n <= 1, so docs under 2 tokens contribute no
+# grams without an explicit guard (unlike Spark's sequence, which
+# word_ngrams already guards with a CASE).
+_BIGRAMS = (
+    "list_transform(range(1, len(ws)), i -> "
+    "ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])"
+)
+_TOKS_L = f"list_transform({_WS}, w -> lower(w))"
+
+
+def _bigram_tf(d: DataFrame) -> DataFrame:
+    """(doc_id, gram, tf): per-document bigram term frequencies over
+    lowercased whitespace tokens, gram = space-joined pair."""
+    toks = d.select(
+        "doc_id",
+        F.transform(T.words(F.col("text")), lambda w: F.lower(w)).alias("ws"),
+    )
+    ex = (
+        toks.select("doc_id", F.explode_outer(T.word_ngrams(F.col("ws"), 2)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    return ex.groupBy("doc_id", F.col("g").alias("gram")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def ngram_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-``_NG_TOPK`` — the counts table every
+    count-based LM / contamination / repetition pipeline starts from.
+
+    100 TB shape: per-doc (doc_id, gram) partial agg [shuffle 1, the
+    map-side-combine backbone shared with docs_bigram_perplexity],
+    corpus gram counts [shuffle 2], then a global top-k that plans as
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver —
+    no global sort). Ties break on the gram string so the k-boundary
+    is deterministic in any engine.
+    """
+    bg = _bigram_tf(spread(load_table(spark, sf_dir, "documents")))
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cnt"))
+    return (
+        cbg.orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(_NG_TOPK)
+        .select("gram", "cnt")
+    )
+
+
+NGRAM_COUNTS_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS cnt FROM bg GROUP BY gram)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt
+FROM cbg ORDER BY cnt DESC, gram LIMIT {_NG_TOPK}
+"""
+
+
+def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed corpus bigram
+    LM — one order above ``docs_unigram_perplexity`` (CCNet trains a
+    5-gram; the bigram keeps the identical pipeline shape without an
+    external model): p(v|u) = (c(uv)+k) / (c(u)+k·V), k=0.5, c(u) the
+    corpus unigram count, V the vocabulary size.
+
+    Float-determinism: both log-prob inputs are exact-representable
+    (integer counts + 0.5, and 0.5·V), so each gram's log-prob
+    quantizes ONCE to micro-units (round(ln(num/den)·1e6) as BIGINT,
+    identical in any engine) and the per-doc reduction is an exact
+    integer sum — the docs_unigram_perplexity convention.
+
+    100 TB shape: (doc, gram) partial agg [shuffle 1], corpus gram
+    counts [shuffle 2], unigram counts [shuffle 3, term key]; the
+    context count c(u) joins gram-counts via substring_index on the
+    gram's first token [shuffle 4, u key — gram-count-table scale, not
+    corpus scale]; V rides a 1-row BuildRight broadcast; per-doc
+    integer sum [shuffle 5 on doc_id]. Every corpus-scale stage has a
+    map-side partial; nothing is quadratic.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    cbg_u = cbg.withColumn("u", F.substring_index("gram", " ", 1)).join(
+        uni.withColumnRenamed("term", "u"), "u"
+    )
+    l_mu = F.round(
+        F.log(
+            (F.col("cbg") + F.lit(_BG_K))
+            / (F.col("cu") + F.lit(_BG_K) * F.col("vsz"))
+        )
+        * _BG_MICRO
+    ).cast("long")
+    scored = (
+        bg.join(cbg_u, "gram")
+        .crossJoin(broadcast(vocab))
+        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(-(F.col("_s").cast("double") / _BG_MICRO) / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id", "n_bigrams", F.round(ppl, 4).alias("bigram_ppl")
+    )
+
+
+DOCS_BIGRAM_PPL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS cbg FROM bg GROUP BY gram),
+uni AS (
+    SELECT term, count(*) AS cu FROM (
+        SELECT unnest(ws) AS term FROM toks)
+    GROUP BY term
+),
+vocab AS (SELECT count(*) AS vsz FROM uni),
+cbg_u AS (
+    SELECT c.gram, c.cbg, u.cu
+    FROM cbg c JOIN uni u ON split_part(c.gram, ' ', 1) = u.term
+),
+scored AS (
+    SELECT b.doc_id, b.tf,
+           b.tf * CAST(round(ln((c.cbg + {_BG_K})
+                               / (c.cu + {_BG_K} * v.vsz))
+                            * {_BG_MICRO}) AS BIGINT) AS tl
+    FROM bg b JOIN cbg_u c USING (gram) CROSS JOIN vocab v
+),
+agg AS (
+    SELECT doc_id, sum(tf) AS n_bigrams, sum(tl) AS s
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS bigram_ppl
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_kl_by_source
+
+_KL_NANO = 1_000_000_000
+
+
+def docs_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    from the corpus distribution, in nats — the data-mixing
+    diagnostic: a source whose token distribution drifts far from the
+    mix shows up as a high KL(p_source ‖ p_corpus).
+
+    Each (source, term) contribution p_s·ln(p_s/q) quantizes ONCE to
+    nano-units (both ratios are single divisions of exact integers,
+    so the value is a fixed sequence of IEEE ops) and the per-source
+    reduction is an exact integer sum.
+
+    100 TB shape: (source, term) partial agg [shuffle 1, map-side
+    combine soaks the per-doc repetition], corpus term counts fold off
+    that table [shuffle 2, term key]; per-source totals are a
+    handful of rows and BROADCAST back; the final per-source sum
+    reuses the source key. No corpus-scale join.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ex = (
+        d.select("source", F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("source", F.lower(F.col("w")).alias("term"))
+    )
+    cs = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = cs.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = cs.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_tot = ns.agg(F.sum("n_s").alias("n_corpus"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_corpus")
+    t_nano = F.round(p_s * F.log(p_s / q) * _KL_NANO).cast("long")
+    return (
+        cs.join(ct, "term")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n_tot))
+        .select("source", "n_s", t_nano.alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("_t").cast("double") / _KL_NANO, 6).alias("kl_nats"),
+        )
+    )
+
+
+DOCS_KL_BY_SOURCE_SQL = rf"""
+WITH ex AS (
+    SELECT source, lower(unnest({_WS})) AS term FROM documents
+),
+cs AS (SELECT source, term, count(*) AS c_st FROM ex GROUP BY source, term),
+ct AS (SELECT term, sum(c_st) AS c_t FROM cs GROUP BY term),
+ns AS (SELECT source, sum(c_st) AS n_s FROM cs GROUP BY source),
+n AS (SELECT sum(n_s) AS n_corpus FROM ns),
+scored AS (
+    SELECT cs.source, ns.n_s,
+           CAST(round((CAST(cs.c_st AS DOUBLE) / ns.n_s)
+                      * ln((CAST(cs.c_st AS DOUBLE) / ns.n_s)
+                           / (CAST(ct.c_t AS DOUBLE) / n.n_corpus))
+                      * {_KL_NANO}) AS BIGINT) AS t
+    FROM cs JOIN ct USING (term) JOIN ns ON cs.source = ns.source CROSS JOIN n
+)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(t) AS DOUBLE) / {_KL_NANO}, 6) AS kl_nats
+FROM scored GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_video_frames
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal VIDEO decode path as a driver-checked query —
+    completes the image/audio/video triple (multimodal_image_stats,
+    multimodal_audio_stats). Two chained Arrow stages: frame sampling
+    at 1 fps (row EXPLOSION inside the pandas batch — the flatMap
+    shape, operators/multimodal.py sample_frames) then per-frame
+    featurization (frame_features). The stub codec's frame f is the
+    16 md5 bytes rolled by f, so the real numpy features reduce to
+    closed forms the oracle reproduces: lead_byte = bys[(-f) mod 16],
+    frame_mean = mean(bys) (roll-invariant); n_frames =
+    duration_ms/1000 = len(text) mod 50 + 1 pins the explosion
+    cardinality.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = M.frame_features(M.sample_frames(media, every_ms=1000))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        "lead_byte",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+WITH b AS (
+    SELECT doc_id AS media_id,
+           (length(text) % 50 + 1) AS n_frames,
+           list_transform(range(0, 16),
+               i -> ('0x' || substr(md5(text), CAST(i*2+1 AS INT), 2))::BIGINT) AS bys
+    FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+    SELECT media_id, CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx, bys
+    FROM b
+)
+SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS INT) AS frame_ts_ms,
+       CAST(bys[CAST((16 - (frame_idx % 16)) % 16 AS INT) + 1] AS INT) AS lead_byte,
+       round(list_sum(bys) / 16.0, 4) AS frame_mean
+FROM fr
+"""
+
+
+QUERIES = {
+    "ngram_counts_topk": ngram_counts_topk,
+    "docs_bigram_perplexity": docs_bigram_perplexity,
+    "docs_kl_by_source": docs_kl_by_source,
+    "multimodal_video_frames": multimodal_video_frames,
+}
+
+ORACLES = {
+    "ngram_counts_topk": NGRAM_COUNTS_SQL,
+    "docs_bigram_perplexity": DOCS_BIGRAM_PPL_SQL,
+    "docs_kl_by_source": DOCS_KL_BY_SOURCE_SQL,
+    "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
+}

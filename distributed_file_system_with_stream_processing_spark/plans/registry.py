@@ -18,6 +18,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops,
     llm_ops2,
     llm_ops3,
+    llm_ops4,
     rainstorm_queries,
 )
 
@@ -32,6 +33,7 @@ _MODULES = (
     llm_ops,
     llm_ops2,
     llm_ops3,
+    llm_ops4,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -78,6 +80,11 @@ _FRONT = [
     "dsir_resample_stratified",
     "bm25_retrieval_topk",
     "rrf_fusion_topk",
+    # new this session (llm_ops4 + streaming-adjacent)
+    "ngram_counts_topk",
+    "docs_bigram_perplexity",
+    "docs_kl_by_source",
+    "multimodal_video_frames",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",

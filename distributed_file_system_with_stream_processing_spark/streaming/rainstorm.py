@@ -497,3 +497,68 @@ def winnow_stream(
         staged.select("doc_id", F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+
+
+def semdedup_indexed_stream(
+    vec_stream: DataFrame,
+    cents: list[list[float]],
+    index_sink,
+    result_sink,
+    checkpoint_dir: str,
+    threshold: float = 0.35,
+):
+    """Streaming SemDeDup with INCREMENTAL index maintenance — the
+    online version of the full recipe: each micro-batch is gated
+    against the duplicate index AND appended back into it, so later
+    arrivals dedup against everything that has already streamed
+    through, not just an offline snapshot.
+
+    Per micro-batch (foreachBatch):
+      1. prepare the batch (trained-centroid cell assignment + hoisted
+         norm — pure column math, operators/clustering.py
+         semdedup_prepare_index);
+      2. probe = current index snapshot ∪ the batch itself, so
+         WITHIN-batch duplicates are caught by the same ``ib < id``
+         strict inequality that orders cross-batch pairs;
+      3. gate verdicts (vec_id, cluster, keep) upsert into
+         ``result_sink``; the prepared batch upserts into
+         ``index_sink`` (both KeyedUpsertSink — idempotent merge, so
+         foreachBatch's at-least-once replay is exactly-once end to
+         end REGARDLESS of where a crash lands: replaying step 3
+         re-derives the same verdicts because the probe's semi-join
+         semantics are insensitive to the batch's own rows already
+         being indexed, and the upserts are no-ops on identical rows).
+
+    Parity: when ids are non-decreasing across batches (any order
+    within a batch), the final ``result_sink`` state equals the batch
+    ``semdedup_kmeans`` recipe row-for-row — the lower-id-wins rule
+    needs every lower id indexed (or co-arriving) by the time a vector
+    is gated.
+
+    100 TB shape: the index is hash-bucketed parquet (the upsert
+    sink's layout); a micro-batch reads only its own cells' candidates
+    through the cluster equi-join, and the index rewrite touches only
+    the buckets the batch's ids hash into.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prepared = C.semdedup_prepare_index(batch_df, cents)
+        prepared.persist()
+        try:
+            idx = index_sink.snapshot(spark).select("id", "v", "cluster", "nrm")
+            probe = idx.unionByName(prepared.select("id", "v", "cluster", "nrm"))
+        except FileNotFoundError:
+            probe = prepared.select("id", "v", "cluster", "nrm")
+        verdicts = C.semdedup_gate(batch_df, cents, probe, threshold=threshold)
+        result_sink.apply_batch(verdicts, batch_id)
+        index_sink.apply_batch(prepared.select("id", "v", "cluster", "nrm"), batch_id)
+        prepared.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -82,6 +82,10 @@ AUDITED = [
     "dsir_resample_stratified",
     "bm25_retrieval_topk",
     "rrf_fusion_topk",
+    "ngram_counts_topk",
+    "docs_bigram_perplexity",
+    "docs_kl_by_source",
+    "multimodal_video_frames",
 ]
 
 JOIN_KINDS = (

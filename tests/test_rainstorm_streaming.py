@@ -700,3 +700,82 @@ def test_semdedup_gate_stream_matches_batch_recipe(spark, tmp_path):
         for r in spark.sql("SELECT * FROM semdedup_gate").collect()
     }
     assert streamed == expected
+
+
+def test_semdedup_indexed_stream_incremental_index(spark, tmp_path):
+    """Incremental SemDeDup: each micro-batch is gated against the
+    persisted index AND upserted back into it, so later batches dedup
+    against earlier arrivals. With id-ordered arrival the final result
+    state must equal the batch semantic_dedup_kmeans recipe exactly;
+    replaying the whole stream with a fresh checkpoint must leave the
+    sinks unchanged (idempotent upserts = exactly-once)."""
+    import time as _t
+
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import KeyedUpsertSink
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        semdedup_indexed_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = C.kmeans_fit(emb, k=M._SD_K, iters=M._SD_ITERS, dim=64)
+    expected = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in M.semantic_dedup_kmeans(spark, SF_SMOKE).collect()
+    }
+    assert expected and any(not k for (_, _, k) in expected)
+
+    # three id-ordered arrival batches (parity precondition), distinct
+    # mtimes so maxFilesPerTrigger=1 replays them in arrival order
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = str(tmp_path / "vecs")
+    for lo, hi in [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]:
+        part = emb
+        if lo is not None:
+            part = part.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("vec_id") < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    index_sink = KeyedUpsertSink(str(tmp_path / "idx"), key="id", order_col="id")
+    result_sink = KeyedUpsertSink(str(tmp_path / "res"), key="vec_id", order_col="vec_id")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = semdedup_indexed_stream(
+        stream, cents, index_sink, result_sink,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=M._SD_THRESHOLD,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in result_sink.snapshot(spark).select("vec_id", "cluster", "keep").collect()
+    }
+    assert got == expected
+    assert index_sink.snapshot(spark).count() == len(ids)
+
+    # full replay with a fresh checkpoint: sinks must not change
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = semdedup_indexed_stream(
+        stream2, cents, index_sink, result_sink,
+        checkpoint_dir=str(tmp_path / "ckpt2"), threshold=M._SD_THRESHOLD,
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in result_sink.snapshot(spark).select("vec_id", "cluster", "keep").collect()
+    }
+    assert got2 == expected
+    assert index_sink.snapshot(spark).count() == len(ids)
