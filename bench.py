@@ -96,6 +96,12 @@ def main() -> None:
         "dsir_resample_topk",
         "bm25_retrieval_topk",
         "rrf_fusion_topk",
+        # round-3 continuation: bigram LM surface + mixing diagnostics
+        "ngram_counts_topk",
+        "docs_bigram_perplexity",
+        "docs_kl_by_source",
+        "minhash_containment",
+        "events_anomaly_mad",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -32,8 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
-from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+    _MINHASH_PAIRS_BODY,
+    _WS,
+)
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -100,6 +104,66 @@ FROM cbg ORDER BY cnt DESC, gram LIMIT {_NG_TOPK}
 """
 
 
+def bigram_model(docs: DataFrame) -> DataFrame:
+    """(gram, l_mu): micro-quantized smoothed log p(v|u) for every
+    corpus bigram — the TRAINABLE half of the bigram LM, shared by the
+    batch query and the stream scorer (streaming.rainstorm.
+    bigram_ppl_stream). Unlike the BM25/DSIR stream models this table
+    is CORPUS-scale (one row per distinct bigram), so it cannot embed
+    as literals: it persists as parquet and scorers JOIN it — the
+    train-offline/score-online split for a model bigger than a
+    broadcast.
+
+    l_mu = round(ln((c(uv)+k) / (c(u)+k·V)) · 1e6) as BIGINT — both
+    ratio inputs exact-representable, quantized once, so any scorer's
+    per-doc reduction is an exact integer sum.
+    """
+    bg = _bigram_tf(docs)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
+    toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    l_mu = F.round(
+        F.log(
+            (F.col("cbg") + F.lit(_BG_K))
+            / (F.col("cu") + F.lit(_BG_K) * F.col("vsz"))
+        )
+        * _BG_MICRO
+    ).cast("long")
+    return (
+        cbg.withColumn("u", F.substring_index("gram", " ", 1))
+        .join(uni, "u")
+        .crossJoin(broadcast(vocab))
+        .select("gram", l_mu.alias("l_mu"))
+    )
+
+
+def bigram_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents against a (gram, l_mu) bigram LM table:
+    (doc_id, n_bigrams, bigram_ppl). Grams absent from the model are
+    dropped by the inner join (scored mass = known grams only — exact
+    on the training corpus, where every gram is known; for novel text
+    this is the standard known-event perplexity). Identical plan in
+    batch and per-micro-batch streaming use."""
+    bg = _bigram_tf(docs)
+    scored = (
+        bg.join(model, "gram")
+        .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(-(F.col("_s").cast("double") / _BG_MICRO) / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id", "n_bigrams", F.round(ppl, 4).alias("bigram_ppl")
+    )
+
+
 def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under an add-k-smoothed corpus bigram
     LM — one order above ``docs_unigram_perplexity`` (CCNet trains a
@@ -122,38 +186,7 @@ def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial; nothing is quadratic.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    bg = _bigram_tf(d)
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
-    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
-    uni = (
-        toks.select(F.explode_outer("ws").alias("w"))
-        .filter(F.col("w").isNotNull())
-        .select(F.lower(F.col("w")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
-    cbg_u = cbg.withColumn("u", F.substring_index("gram", " ", 1)).join(
-        uni.withColumnRenamed("term", "u"), "u"
-    )
-    l_mu = F.round(
-        F.log(
-            (F.col("cbg") + F.lit(_BG_K))
-            / (F.col("cu") + F.lit(_BG_K) * F.col("vsz"))
-        )
-        * _BG_MICRO
-    ).cast("long")
-    scored = (
-        bg.join(cbg_u, "gram")
-        .crossJoin(broadcast(vocab))
-        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
-        .groupBy("doc_id")
-        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
-    )
-    ppl = F.exp(-(F.col("_s").cast("double") / _BG_MICRO) / F.col("n_bigrams"))
-    return scored.select(
-        "doc_id", "n_bigrams", F.round(ppl, 4).alias("bigram_ppl")
-    )
+    return bigram_score(d, bigram_model(d))
 
 
 DOCS_BIGRAM_PPL_SQL = rf"""
@@ -310,11 +343,150 @@ FROM fr
 """
 
 
+# ---------------------------------------------------------------------------
+# minhash_containment
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT for every MinHash-LSH candidate pair:
+    |A∩B|/|A| and |A∩B|/|B| — the asymmetric complement of Jaccard
+    that catches a short document wholly quoted inside a long one
+    (near-identical containment, low Jaccard), the partial-overlap
+    dedup signal (Broder 1997's containment measure).
+
+    100 TB shape: identical to minhash_jaccard_estimate — the LSH
+    candidate pairs are metadata-scale and BROADCAST back onto the
+    shingle table twice (both joins explicitly hinted so a
+    mis-estimate can never flip the corpus side into a sort-merge
+    shuffle); the exact intersection runs only on candidates.
+    Shingle sets are distinct by construction (T.shingles), so the
+    ratios are over set cardinalities.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6).select(
+        "doc_id_a", "doc_id_b"
+    )
+    sh = spread(d).select("doc_id", T.shingles(F.col("text"), 3).alias("sh"))
+    pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha"))
+    pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    c_ab = inter.cast("double") / F.size("sha").cast("double")
+    c_ba = inter.cast("double") / F.size("shb").cast("double")
+    return (
+        broadcast(pa.join(broadcast(pairs), "doc_id_a"))
+        .join(pb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(c_ab, 6).alias("cont_a_in_b"),
+            F.round(c_ba, 6).alias("cont_b_in_a"),
+            F.round(F.greatest(c_ab, c_ba), 6).alias("max_containment"),
+        )
+    )
+
+
+MINHASH_CONTAINMENT_SQL = (
+    _MINHASH_PAIRS_BODY
+    + """
+, ex AS (
+    SELECT cand.da, cand.db,
+           CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) AS inter,
+           CAST(len(x.sh) AS DOUBLE) AS la, CAST(len(y.sh) AS DOUBLE) AS lb
+    FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(inter / la, 6) AS cont_a_in_b,
+       round(inter / lb, 6) AS cont_b_in_a,
+       round(greatest(inter / la, inter / lb), 6) AS max_containment
+FROM ex
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad
+
+_MAD_MILLI = 1000
+_MAD_SIGMA = 1.4826  # consistency constant: MAD → σ under normality
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags: |value − median| > 3·1.4826·MAD
+    (Hampel filter) — the median/MAD pair survives the very outliers a
+    mean/stddev z-score (events_value_zscore) gets dragged by.
+
+    Float-determinism: values quantize to exact milli-units FIRST, so
+    both medians interpolate over integers (exact .0/.5 halves —
+    identical in any engine) and every deviation is an exact integer;
+    the thresholds and scores are then fixed sequences of exact-input
+    IEEE ops. mad = 0 (constant-majority type) reports score −1.0 and
+    flags any nonzero deviation.
+
+    100 TB shape: two grouped EXACT percentile passes on the
+    event_type key (key cardinality = #types; swap percentile →
+    approx_percentile at scale, the order_percentiles_approx GK path)
+    + two metadata-scale broadcast joins back. The fact table never
+    shuffles — deviations and flags are map-side column math.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * _MAD_MILLI).cast("long").alias("v_mi"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(v_mi, 0.5)").alias("med")
+    )
+    dev = e.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v_mi") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = dev.join(broadcast(mad), "event_type")
+    score = F.when(F.col("mad") == 0, F.lit(-1.0)).otherwise(
+        F.round(F.col("adev") / (F.lit(_MAD_SIGMA) * F.col("mad")), 4)
+    )
+    flag = F.col("adev") > F.lit(3.0) * F.lit(_MAD_SIGMA) * F.col("mad")
+    return scored.select(
+        "event_id",
+        "event_type",
+        "v_mi",
+        score.alias("mad_score"),
+        flag.alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = f"""
+WITH e AS (
+    SELECT event_id, event_type,
+           CAST(round(value * {_MAD_MILLI}) AS BIGINT) AS v_mi
+    FROM events
+),
+med AS (
+    SELECT event_type, quantile_cont(v_mi, 0.5) AS med FROM e GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.v_mi, abs(e.v_mi - med.med) AS adev
+    FROM e JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.v_mi,
+       CASE WHEN m.mad = 0 THEN -1.0
+            ELSE round(d.adev / ({_MAD_SIGMA} * m.mad), 4) END AS mad_score,
+       d.adev > 3.0 * {_MAD_SIGMA} * m.mad AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+
 QUERIES = {
     "ngram_counts_topk": ngram_counts_topk,
     "docs_bigram_perplexity": docs_bigram_perplexity,
     "docs_kl_by_source": docs_kl_by_source,
     "multimodal_video_frames": multimodal_video_frames,
+    "minhash_containment": minhash_containment,
+    "events_anomaly_mad": events_anomaly_mad,
 }
 
 ORACLES = {
@@ -322,4 +494,6 @@ ORACLES = {
     "docs_bigram_perplexity": DOCS_BIGRAM_PPL_SQL,
     "docs_kl_by_source": DOCS_KL_BY_SOURCE_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
+    "minhash_containment": MINHASH_CONTAINMENT_SQL,
+    "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
 }

@@ -562,3 +562,47 @@ def semdedup_indexed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bigram_ppl_stream(
+    doc_stream: DataFrame,
+    model_dir: str,
+    result_sink,
+    checkpoint_dir: str,
+):
+    """Score-online against a PERSISTED corpus-scale bigram LM — the
+    third point on the train-offline/score-online spectrum: BM25/DSIR
+    stream scorers embed their metadata-scale models as literals
+    (stateless per-row expressions); the bigram LM has one row per
+    corpus bigram, far past any broadcast, so arriving documents JOIN
+    the parquet model table (plans.llm_ops4.bigram_model) instead.
+
+    foreachBatch runs the registered batch scoring plan
+    (plans.llm_ops4.bigram_score) per micro-batch: explode grams →
+    equi-join the model on gram → per-doc exact integer log-prob sum.
+    Documents are row-atomic in the stream, so the per-batch
+    groupBy(doc_id) is exact with NO cross-batch state; verdicts
+    upsert through a KeyedUpsertSink (idempotent merge → exactly-once
+    under at-least-once replay). Scoring the training corpus is
+    bit-identical to docs_bigram_perplexity; novel text scores over
+    its known grams (the inner join drops unseen ones — documented in
+    bigram_score).
+
+    100 TB shape: the model join is gram-keyed (high cardinality —
+    spreads); only the micro-batch's grams shuffle. With the model
+    bucketed on gram the join co-locates and the batch side alone
+    moves.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import bigram_score
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = spark.read.parquet(model_dir)
+        result_sink.apply_batch(bigram_score(batch_df, model), batch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -86,6 +86,8 @@ AUDITED = [
     "docs_bigram_perplexity",
     "docs_kl_by_source",
     "multimodal_video_frames",
+    "minhash_containment",
+    "events_anomaly_mad",
 ]
 
 JOIN_KINDS = (

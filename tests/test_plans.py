@@ -109,6 +109,10 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "dsir_resample_stratified",
         "bm25_retrieval_topk",
         "rrf_fusion_topk",
+        # same shape: the bigram LM's 1-row vocabulary-size broadcast
+        # and the KL diagnostic's 1-row corpus-total broadcast
+        "docs_bigram_perplexity",
+        "docs_kl_by_source",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
@@ -126,10 +130,11 @@ def test_minhash_jaccard_corpus_never_shuffles(spark):
     the second join the shape depends on Catalyst's size estimate for
     a join output — unknowable at 100 TB — so the plan must show two
     BroadcastHashJoins and zero sort-merge/shuffled-hash joins."""
-    plan = executed_plan(QUERIES["minhash_jaccard_estimate"](spark, SF_SMOKE))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" not in plan, plan
+    for q in ("minhash_jaccard_estimate", "minhash_containment"):
+        plan = executed_plan(QUERIES[q](spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 2, (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+        assert "ShuffledHashJoin" not in plan, (q, plan)
 
 
 # -- codegen & aggregation shape --------------------------------------------

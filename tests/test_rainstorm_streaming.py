@@ -779,3 +779,56 @@ def test_semdedup_indexed_stream_incremental_index(spark, tmp_path):
     }
     assert got2 == expected
     assert index_sink.snapshot(spark).count() == len(ids)
+
+
+def test_bigram_ppl_stream_matches_batch(spark, tmp_path):
+    """Streaming bigram-LM scoring against a persisted corpus-scale
+    model table: state after streaming the corpus in two batches must
+    equal the registered docs_bigram_perplexity output exactly, and a
+    novel doc with unseen grams still scores over its known grams."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops4 as M
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import KeyedUpsertSink
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        bigram_ppl_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model_dir = str(tmp_path / "bigram_model")
+    M.bigram_model(docs).write.parquet(model_dir)
+
+    expected = {
+        (r["doc_id"], r["n_bigrams"], r["bigram_ppl"])
+        for r in M.docs_bigram_perplexity(spark, SF_SMOKE).collect()
+    }
+    assert expected
+
+    src = str(tmp_path / "docs")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(src)
+
+    sink = KeyedUpsertSink(str(tmp_path / "res"), key="doc_id", order_col="doc_id")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = bigram_ppl_stream(stream, model_dir, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["bigram_ppl"])
+        for r in sink.snapshot(spark).select("doc_id", "n_bigrams", "bigram_ppl").collect()
+    }
+    assert got == expected
+
+    # novel text: unseen grams drop, known grams still score (seed a
+    # guaranteed-known gram by borrowing a corpus doc's leading pair)
+    lead = " ".join(docs.select("text").first()["text"].split()[:2])
+    novel = spark.createDataFrame(
+        [(999999, f"{lead} zzzqqq xylophoneqq", "en", "novel", 1)],
+        docs.schema,
+    )
+    scored = M.bigram_score(novel, spark.read.parquet(model_dir)).collect()
+    assert len(scored) == 1 and scored[0]["n_bigrams"] >= 1
