@@ -102,6 +102,9 @@ def main() -> None:
         "docs_kl_by_source",
         "minhash_containment",
         "events_anomaly_mad",
+        "fusion_interp_topk",
+        "token_freq_countmin",
+        "docs_pretokenize_stats",
     ]
     headline = [q for q in headline if q in QUERIES]
 

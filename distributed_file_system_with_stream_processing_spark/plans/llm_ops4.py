@@ -27,7 +27,7 @@ the beyond-reference LLM-data-pipeline surface (SURVEY.md §2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -480,6 +480,309 @@ FROM dev d JOIN mad m USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# fusion_interp_topk
+
+_INTERP_ALPHA = 0.5  # lexical weight; dense gets 1 − alpha
+_INTERP_MICRO = 1_000_000
+
+
+def fusion_interp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by SCORE interpolation — the complement of
+    rrf_fusion_topk's rank fusion: per-query min-max-normalize each
+    system's scores, then blend α·bm25_norm + (1−α)·cosine_norm
+    (the standard interpolation baseline in hybrid-search evals).
+
+    Determinism: both inputs are each backbone's PUBLIC rounded
+    scores (round-6 doubles, hash-proven identical cross-engine), so
+    the per-query min/max and the normalization (two subtractions,
+    one division) are fixed sequences over identical inputs; the
+    blend quantizes ONCE to integer micro-units and the fused rank
+    orders by that exact integer. Items surfaced by only one system
+    take 0 for the missing side (below that system's observed min —
+    absent-from-top-k means unranked, not average).
+
+    Shape: both backbones' plans + per-query window min/max over the
+    (≤ k·|Q|)-row toplists + a FULL OUTER metadata-scale fusion join —
+    the rrf_fusion_topk shape with one extra window pass.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops as L
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as L3
+
+    wq = Window.partitionBy("query_id")
+
+    def norm(df: DataFrame, item: str, score: str, out: str) -> DataFrame:
+        mn, mx = F.min(score).over(wq), F.max(score).over(wq)
+        return df.select(
+            "query_id",
+            F.col(item).alias("item_id"),
+            F.when(mx > mn, (F.col(score) - mn) / (mx - mn))
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    bm = norm(L3.bm25_retrieval_topk(spark, sf_dir), "doc_id", "bm25", "nb")
+    ann = norm(L.ann_cosine_topk(spark, sf_dir), "neighbor_id", "sim", "na")
+    blend_mu = F.round(
+        (
+            F.lit(_INTERP_ALPHA) * F.coalesce(F.col("nb"), F.lit(0.0))
+            + F.lit(1.0 - _INTERP_ALPHA) * F.coalesce(F.col("na"), F.lit(0.0))
+        )
+        * _INTERP_MICRO
+    ).cast("long")
+    fused = bm.join(ann, ["query_id", "item_id"], "full_outer").select(
+        "query_id",
+        "item_id",
+        blend_mu.alias("_s_mu"),
+        F.col("nb").isNotNull().alias("in_bm25"),
+        F.col("na").isNotNull().alias("in_ann"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("_s_mu"), F.asc("item_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(F.col("_s_mu").cast("double") / _INTERP_MICRO, 6).alias("interp"),
+            "in_bm25",
+            "in_ann",
+            "rank",
+        )
+    )
+
+
+def _interp_sql() -> str:
+    """Chain both backbone oracles' CTE bodies (the rrf_fusion_topk
+    surgery) and fuse by normalized-score interpolation."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import ANN_TOPK_SQL
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops3 import (
+        BM25_RETRIEVAL_SQL,
+    )
+
+    b_body, b_tail = BM25_RETRIEVAL_SQL.rsplit("SELECT query_id, doc_id,", 1)
+    a = ANN_TOPK_SQL.strip()
+    assert a.startswith("WITH ")
+    a_body, a_tail = a[len("WITH "):].rsplit("SELECT query_id, neighbor_id,", 1)
+    return (
+        b_body.rstrip().rstrip(",")
+        + ",\nbmr AS (SELECT query_id, doc_id, "
+        + b_tail.strip()
+        + "),\n"
+        + a_body.rstrip().rstrip(",")
+        + ",\nannr AS (SELECT query_id, neighbor_id, "
+        + a_tail.strip()
+        + "),\n"
+        + f"""bmn AS (
+    SELECT query_id, doc_id AS item_id,
+           CASE WHEN max(bm25) OVER (PARTITION BY query_id)
+                     > min(bm25) OVER (PARTITION BY query_id)
+                THEN (bm25 - min(bm25) OVER (PARTITION BY query_id))
+                     / (max(bm25) OVER (PARTITION BY query_id)
+                        - min(bm25) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS nb
+    FROM bmr
+),
+ann2 AS (
+    SELECT query_id, neighbor_id AS item_id,
+           CASE WHEN max(sim) OVER (PARTITION BY query_id)
+                     > min(sim) OVER (PARTITION BY query_id)
+                THEN (sim - min(sim) OVER (PARTITION BY query_id))
+                     / (max(sim) OVER (PARTITION BY query_id)
+                        - min(sim) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS na
+    FROM annr
+),
+fused AS (
+    SELECT coalesce(b.query_id, a.query_id) AS query_id,
+           coalesce(b.item_id, a.item_id) AS item_id,
+           CAST(round(({_INTERP_ALPHA} * coalesce(b.nb, 0.0)
+                       + {1.0 - _INTERP_ALPHA} * coalesce(a.na, 0.0))
+                      * {_INTERP_MICRO}) AS BIGINT) AS s_mu,
+           b.item_id IS NOT NULL AS in_bm25,
+           a.item_id IS NOT NULL AS in_ann
+    FROM bmn b FULL OUTER JOIN ann2 a
+         ON b.query_id = a.query_id AND b.item_id = a.item_id
+),
+fr AS (
+    SELECT query_id, item_id, s_mu, in_bm25, in_ann,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s_mu DESC, item_id) AS rank
+    FROM fused
+)
+SELECT query_id, item_id,
+       round(CAST(s_mu AS DOUBLE) / {_INTERP_MICRO}, 6) AS interp,
+       in_bm25, in_ann, CAST(rank AS BIGINT) AS rank
+FROM fr
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_freq_countmin
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_CMS_TOPK = 20
+
+
+def token_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency QA (Cormode & Muthukrishnan 2005):
+    build a d×w CMS over corpus token frequencies, then report the
+    sketch ESTIMATE next to the true count for the top-k tokens — the
+    overestimate you measure before trusting a (d, w) configuration
+    as the fixed-memory frequency store at 100 TB.
+
+    The sketch is LINEAR, so it folds off the (term, cnt) table —
+    bucket(d, w) = Σ cnt over terms hashing there — instead of
+    re-scanning the corpus d times. Deterministic end to end: buckets
+    come from the portable minhash affine family on hash32(term), so
+    the oracle builds the bit-identical sketch; every value is an
+    integer (full value-hash row, unlike the HLL/GK sketches).
+
+    100 TB shape: token explode → (term, cnt) agg [the shared shuffle
+    1]; the sketch fold is a vocab-scale ×d explode into a ≤ d·w-row
+    agg with map-side combine [shuffle 2, 4096 distinct keys]; the
+    top-k plans as TakeOrderedAndProject and probes the sketch through
+    a BROADCAST of the d·w-row table. est ≥ true always (one-sided).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ex = (
+        d.select(F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+    )
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    h = T.hash32(F.col("term"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("row"),
+                (
+                    (F.lit(T.mh_params(k)[0]) * h + F.lit(T.mh_params(k)[1]))
+                    % F.lit(T.MINHASH_PRIME)
+                    % F.lit(_CMS_W)
+                ).alias("bucket"),
+            )
+            for k in range(_CMS_D)
+        ]
+    )
+    cms = (
+        ct.select("cnt", F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("bsum"))
+    )
+    top = ct.orderBy(F.desc("cnt"), F.asc("term")).limit(_CMS_TOPK)
+    probed = (
+        top.select("term", "cnt", F.explode(buckets).alias("rb"))
+        .select("term", "cnt", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .join(broadcast(cms), ["row", "bucket"])
+        .groupBy("term")
+        .agg(F.max("cnt").alias("true_cnt"), F.min("bsum").alias("est_cnt"))
+    )
+    return probed.select(
+        "term", "true_cnt", "est_cnt", (F.col("est_cnt") - F.col("true_cnt")).alias("overcount")
+    )
+
+
+def _cms_sql() -> str:
+    h = "('0x' || substr(md5(term), 1, 8))::BIGINT"
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS row, (({T.mh_params(k)[0]} * {h} + {T.mh_params(k)[1]})"
+        f" % {T.MINHASH_PRIME}) % {_CMS_W} AS bucket, cnt, term FROM ct"
+        for k in range(_CMS_D)
+    )
+    return rf"""
+WITH ex AS (SELECT lower(unnest({_WS})) AS term FROM documents),
+ct AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term),
+rb AS ({union}),
+cms AS (SELECT row, bucket, sum(cnt) AS bsum FROM rb GROUP BY row, bucket),
+top AS (SELECT term, cnt FROM ct ORDER BY cnt DESC, term LIMIT {_CMS_TOPK}),
+probed AS (
+    SELECT r.term, max(r.cnt) AS true_cnt, min(c.bsum) AS est_cnt
+    FROM rb r JOIN cms c USING (row, bucket)
+    WHERE r.term IN (SELECT term FROM top)
+    GROUP BY r.term
+)
+SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+FROM probed
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_pretokenize_stats
+
+_PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals consume backslash escapes, DuckDB's don't:
+# the expr-embedded copy needs its backslash doubled or '\s' reaches
+# the Java regex engine as a literal 's' (and the class matches spaces)
+_PRETOK_RE_SPARK = _PRETOK_RE.replace("\\", "\\\\")
+
+
+def docs_pretokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization census: split each document with the
+    GPT-2-ish pretokenizer classes (letter runs | digit runs | single
+    non-alnum marks) and report piece counts by class plus fertility
+    (chars per piece) — the pre-BPE token-budget estimator a training
+    pipeline runs before committing a corpus to tokenization.
+
+    Zero shuffles: every column is per-row HOF math over the regex
+    pieces (counts, class filters, one exact division) — the plan is a
+    pure scan→project, embarrassingly parallel at any scale. The
+    character classes are ASCII-explicit so Java and RE2 regex
+    semantics agree byte-for-byte.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ps = F.expr(f"regexp_extract_all(text, '{_PRETOK_RE_SPARK}', 0)")
+    staged = d.select(
+        "doc_id",
+        F.size(ps).alias("n_pieces"),
+        F.size(F.expr(f"filter(regexp_extract_all(text, '{_PRETOK_RE_SPARK}', 0), p -> p rlike '^[A-Za-z]')")).alias("n_alpha"),
+        F.size(F.expr(f"filter(regexp_extract_all(text, '{_PRETOK_RE_SPARK}', 0), p -> p rlike '^[0-9]')")).alias("n_num"),
+        F.expr(
+            f"aggregate(regexp_extract_all(text, '{_PRETOK_RE_SPARK}', 0), 0L, (acc, p) -> acc + length(p))"
+        ).alias("n_chars"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_alpha").cast("long").alias("n_alpha"),
+        F.col("n_num").cast("long").alias("n_num"),
+        (F.col("n_pieces") - F.col("n_alpha") - F.col("n_num"))
+        .cast("long")
+        .alias("n_punct"),
+        F.when(
+            F.col("n_pieces") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_pieces"), 4),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("fertility"),
+    )
+
+
+DOCS_PRETOKENIZE_SQL = rf"""
+WITH ps AS (
+    SELECT doc_id, regexp_extract_all(text, '{_PRETOK_RE}') AS ps FROM documents
+),
+staged AS (
+    SELECT doc_id,
+           len(ps) AS n_pieces,
+           len(list_filter(ps, p -> regexp_matches(p, '^[A-Za-z]'))) AS n_alpha,
+           len(list_filter(ps, p -> regexp_matches(p, '^[0-9]'))) AS n_num,
+           coalesce(list_sum(list_transform(ps, p -> length(p))), 0) AS n_chars
+    FROM ps
+)
+SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(n_alpha AS BIGINT) AS n_alpha, CAST(n_num AS BIGINT) AS n_num,
+       CAST(n_pieces - n_alpha - n_num AS BIGINT) AS n_punct,
+       CASE WHEN n_pieces > 0
+            THEN round(CAST(n_chars AS DOUBLE) / n_pieces, 4)
+            ELSE -1.0 END AS fertility
+FROM staged
+"""
+
+
 QUERIES = {
     "ngram_counts_topk": ngram_counts_topk,
     "docs_bigram_perplexity": docs_bigram_perplexity,
@@ -487,6 +790,9 @@ QUERIES = {
     "multimodal_video_frames": multimodal_video_frames,
     "minhash_containment": minhash_containment,
     "events_anomaly_mad": events_anomaly_mad,
+    "fusion_interp_topk": fusion_interp_topk,
+    "token_freq_countmin": token_freq_countmin,
+    "docs_pretokenize_stats": docs_pretokenize_stats,
 }
 
 ORACLES = {
@@ -496,4 +802,7 @@ ORACLES = {
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     "minhash_containment": MINHASH_CONTAINMENT_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
+    "fusion_interp_topk": _interp_sql(),
+    "token_freq_countmin": _cms_sql(),
+    "docs_pretokenize_stats": DOCS_PRETOKENIZE_SQL,
 }

@@ -88,6 +88,9 @@ AUDITED = [
     "multimodal_video_frames",
     "minhash_containment",
     "events_anomaly_mad",
+    "fusion_interp_topk",
+    "token_freq_countmin",
+    "docs_pretokenize_stats",
 ]
 
 JOIN_KINDS = (

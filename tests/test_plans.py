@@ -109,6 +109,8 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "dsir_resample_stratified",
         "bm25_retrieval_topk",
         "rrf_fusion_topk",
+        # inherits bm25_retrieval_topk's 1-row corpus-stats broadcast
+        "fusion_interp_topk",
         # same shape: the bigram LM's 1-row vocabulary-size broadcast
         # and the KL diagnostic's 1-row corpus-total broadcast
         "docs_bigram_perplexity",
