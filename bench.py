@@ -105,6 +105,8 @@ def main() -> None:
         "fusion_interp_topk",
         "token_freq_countmin",
         "docs_pretokenize_stats",
+        "contrastive_pairs",
+        "ann_pq_topk",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -625,6 +625,26 @@ _CMS_W = 1024  # buckets per row
 _CMS_TOPK = 20
 
 
+def cms_bucket_array():
+    """array<struct<row,bucket>> of a term's d CMS cells — the portable
+    affine family on hash32('term'); shared by the batch query and the
+    streaming maintainer (streaming.rainstorm.cms_stream)."""
+    h = T.hash32(F.col("term"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("row"),
+                (
+                    (F.lit(T.mh_params(k)[0]) * h + F.lit(T.mh_params(k)[1]))
+                    % F.lit(T.MINHASH_PRIME)
+                    % F.lit(_CMS_W)
+                ).alias("bucket"),
+            )
+            for k in range(_CMS_D)
+        ]
+    )
+
+
 def token_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency QA (Cormode & Muthukrishnan 2005):
     build a d×w CMS over corpus token frequencies, then report the
@@ -652,20 +672,7 @@ def token_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("w")).alias("term"))
     )
     ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    h = T.hash32(F.col("term"))
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("row"),
-                (
-                    (F.lit(T.mh_params(k)[0]) * h + F.lit(T.mh_params(k)[1]))
-                    % F.lit(T.MINHASH_PRIME)
-                    % F.lit(_CMS_W)
-                ).alias("bucket"),
-            )
-            for k in range(_CMS_D)
-        ]
-    )
+    buckets = cms_bucket_array()
     cms = (
         ct.select("cnt", F.explode(buckets).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
@@ -708,6 +715,132 @@ SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
        CAST(est_cnt - true_cnt AS BIGINT) AS overcount
 FROM probed
 """
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs
+
+_CP_RAND = 2  # easy (hash-random) negatives per query
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-training-set construction (the DPR recipe, Karpukhin
+    et al. 2020): per query, a POSITIVE (dense rank 1), HARD negatives
+    (dense ranks 4-5 — near the decision boundary, the in-batch-gold
+    substitute), and deterministic RANDOM negatives (hash-ranked base
+    ids excluded from the top-k) — the (anchor, pos, negs) tuples a
+    two-tower/contrastive trainer consumes.
+
+    Determinism: the "random" draw is the portable hash32 of
+    query_id|vec_id ranked ascending (the Gumbel-top-k trick's
+    fixed-seed analogue), so the oracle draws identically.
+
+    100 TB shape: positives/hards are the ANN backbone's toplist
+    (metadata). Random negatives fan the id-only base column ×|Q|
+    (narrow BNLJ with the 10-row query side broadcast — the documented
+    queries-broadcast shape), anti-join the broadcast toplist, then a
+    per-query hash-rank window bounded at _CP_RAND rows/reducer.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops as L
+
+    ann = L.ann_cosine_topk(spark, sf_dir)
+    pos = ann.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("item_id"),
+        F.lit("positive").alias("role"),
+        F.lit(1).cast("long").alias("role_rank"),
+    )
+    hard = ann.filter(F.col("rank").between(4, 5)).select(
+        "query_id",
+        F.col("neighbor_id").alias("item_id"),
+        F.lit("hard_neg").alias("role"),
+        (F.col("rank") - 3).cast("long").alias("role_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_ids = spread(emb.filter(F.col("vec_id") >= 10).select("vec_id"))
+    qids = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"))
+    top_pairs = ann.select("query_id", F.col("neighbor_id").alias("vec_id"))
+    h = T.hash32(F.concat_ws("|", F.col("query_id"), F.col("vec_id")))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("vec_id"))
+    rnd = (
+        base_ids.crossJoin(broadcast(qids))
+        .join(broadcast(top_pairs), ["query_id", "vec_id"], "left_anti")
+        .withColumn("h", h)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _CP_RAND)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            F.lit("rand_neg").alias("role"),
+            F.col("rn").cast("long").alias("role_rank"),
+        )
+    )
+    return pos.unionByName(hard).unionByName(rnd)
+
+
+def _contrastive_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import ANN_TOPK_SQL
+
+    a = ANN_TOPK_SQL.strip()
+    assert a.startswith("WITH ")
+    a_body, a_tail = a[len("WITH "):].rsplit("SELECT query_id, neighbor_id,", 1)
+    h32 = "('0x' || substr(md5(concat(query_id, '|', vec_id)), 1, 8))::BIGINT"
+    return (
+        "WITH "
+        + a_body.rstrip().rstrip(",")
+        + ",\nannr AS (SELECT query_id, neighbor_id, "
+        + a_tail.strip()
+        + f"""),
+pos AS (
+    SELECT query_id, neighbor_id AS item_id, 'positive' AS role,
+           CAST(1 AS BIGINT) AS role_rank
+    FROM annr WHERE rank = 1
+),
+hard AS (
+    SELECT query_id, neighbor_id AS item_id, 'hard_neg' AS role,
+           CAST(rank - 3 AS BIGINT) AS role_rank
+    FROM annr WHERE rank BETWEEN 4 AND 5
+),
+rnd0 AS (
+    SELECT q.query_id, b.vec_id, {h32} AS h
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10) b
+    CROSS JOIN (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM annr a
+        WHERE a.query_id = q.query_id AND a.neighbor_id = b.vec_id)
+),
+rnd AS (
+    SELECT query_id, vec_id AS item_id, 'rand_neg' AS role,
+           CAST(rn AS BIGINT) AS role_rank
+    FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, vec_id) AS rn
+        FROM rnd0)
+    WHERE rn <= {_CP_RAND}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM hard UNION ALL SELECT * FROM rnd
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_topk
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the 64×
+    compression member completing the family (brute / sign-LSH /
+    seeded-IVF / trained-IVF / int8-SQ / PQ): per-subspace trained
+    codebooks, 8-byte codes, metadata LUT asymmetric-distance coarse
+    pass, exact cosine re-rank. See operators/clustering.pq_topk for
+    the scale analysis (zero shuffles outside Lloyd's metadata sums).
+    Rows-only (recall 0.86 @ defaults pinned ≥0.8 in tests/test_ann.py
+    — the compressed paths' standard lot)."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    return C.pq_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -793,6 +926,8 @@ QUERIES = {
     "fusion_interp_topk": fusion_interp_topk,
     "token_freq_countmin": token_freq_countmin,
     "docs_pretokenize_stats": docs_pretokenize_stats,
+    "ann_pq_topk": ann_pq_topk,
+    "contrastive_pairs": contrastive_pairs,
 }
 
 ORACLES = {
@@ -805,4 +940,5 @@ ORACLES = {
     "fusion_interp_topk": _interp_sql(),
     "token_freq_countmin": _cms_sql(),
     "docs_pretokenize_stats": DOCS_PRETOKENIZE_SQL,
+    "contrastive_pairs": _contrastive_sql(),
 }

@@ -90,6 +90,7 @@ _FRONT = [
     "fusion_interp_topk",
     "token_freq_countmin",
     "docs_pretokenize_stats",
+    "contrastive_pairs",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
@@ -101,7 +102,6 @@ _FRONT = [
     "doc_repetition_score",
     "paragraph_dedup",
     "docs_seq_packing",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -117,8 +117,8 @@ _FRONT = [
     # for the 6 brand-new queries — docs_training_mix,
     # docs_weighted_sample, dedup_ngram_jaccard_exact, dedup_simhash,
     # text_redact_pii, docs_stratified_sample (all pass(r2)) — and for
-    # the next 3 — lang_id_heuristic, doc_fingerprint,
-    # dedup_keep_first (all pass(r1∪r2))
+    # the next 4 — lang_id_heuristic, doc_fingerprint,
+    # dedup_keep_first, dedup_exact (all pass(r1∪r2))
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

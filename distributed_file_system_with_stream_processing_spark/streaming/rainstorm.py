@@ -606,3 +606,53 @@ def bigram_ppl_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_stream(
+    doc_stream: DataFrame,
+    result_sink,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Incremental count-min-sketch maintenance — the streaming twin
+    of the batch CMS in plans.llm_ops4.token_freq_countmin: arriving
+    documents' tokens fold into the running d×w bucket counts, so the
+    persisted sketch always equals the batch CMS of everything
+    ingested (the sketch is linear — per-batch addition IS the merge).
+
+    State design: tokens explode STATELESSLY; the only stateful piece
+    is the (row, bucket) running-count aggregation, whose state is
+    BOUNDED at d·w rows (4096 here) no matter how many petabytes
+    stream through — the entire point of a sketch as the frequency
+    store. Update-mode emissions carry the new running totals; the
+    KeyedUpsertSink keyed on the (row, bucket) cell with the monotone
+    total as order_col makes replay idempotent (a re-emitted total
+    overwrites itself).
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        cms_bucket_array,
+    )
+
+    cells = (
+        doc_stream.select(F.explode_outer(T.words(F.col(text_col))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .select(F.explode(cms_bucket_array()).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .select(
+            F.concat_ws("|", F.col("row"), F.col("bucket")).alias("cell"),
+            "row",
+            "bucket",
+            "total",
+        )
+    )
+    return (
+        cells.writeStream.foreachBatch(result_sink.writer())
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

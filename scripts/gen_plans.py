@@ -91,6 +91,8 @@ AUDITED = [
     "fusion_interp_topk",
     "token_freq_countmin",
     "docs_pretokenize_stats",
+    "contrastive_pairs",
+    "ann_pq_topk",
 ]
 
 JOIN_KINDS = (

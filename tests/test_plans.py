@@ -88,6 +88,12 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "ann_ivf_bucketed",
         # int8 coarse pass is the same queries-broadcast brute-force shape
         "ann_quantized_topk",
+        # PQ coarse pass: per-query LUT table broadcast onto the code
+        # table — the same queries-broadcast shape with 8-byte rows
+        "ann_pq_topk",
+        # random-negative fan-out: id-only base column × the 10-row
+        # broadcast query table (+ the inherited ANN brute pass)
+        "contrastive_pairs",
         # tf-idf needs the global doc count N attached to every scored
         # term: a 1-row global-aggregate broadcast. With a broadcast
         # 1-row build side, BNLJ degenerates to "append a scalar

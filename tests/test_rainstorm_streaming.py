@@ -832,3 +832,51 @@ def test_bigram_ppl_stream_matches_batch(spark, tmp_path):
     )
     scored = M.bigram_score(novel, spark.read.parquet(model_dir)).collect()
     assert len(scored) == 1 and scored[0]["n_bigrams"] >= 1
+
+
+def test_cms_stream_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: after streaming the corpus in two
+    micro-batches, the persisted (row, bucket, total) state must equal
+    the batch-built sketch cell-for-cell (the sketch is linear, so
+    incremental addition IS the merge), with state bounded at d·w."""
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        cms_bucket_array,
+    )
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import KeyedUpsertSink
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import cms_stream
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expected = {
+        (r["row"], r["bucket"], r["n"])
+        for r in (
+            docs.select(F.explode(T.words(F.col("text"))).alias("w"))
+            .select(F.lower(F.col("w")).alias("term"))
+            .select(F.explode(cms_bucket_array()).alias("rb"))
+            .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert expected and len(expected) <= 4 * 1024
+
+    src = str(tmp_path / "docs")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(src)
+
+    sink = KeyedUpsertSink(str(tmp_path / "cms"), key="cell", order_col="total")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cms_stream(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"], r["total"])
+        for r in sink.snapshot(spark).select("row", "bucket", "total").collect()
+    }
+    assert got == expected
