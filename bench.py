@@ -107,6 +107,7 @@ def main() -> None:
         "docs_pretokenize_stats",
         "contrastive_pairs",
         "ann_pq_topk",
+        "dedup_exact_substring",
     ]
     headline = [q for q in headline if q in QUERIES]
 

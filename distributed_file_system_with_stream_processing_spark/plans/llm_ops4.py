@@ -718,6 +718,70 @@ FROM probed
 
 
 # ---------------------------------------------------------------------------
+# dedup_exact_substring
+
+_ES_K = 16  # tokens per window (Lee et al. used 50 on web-scale docs)
+_ES_DF_CAP = 50  # stop-window cap: drop boilerplate windows in >cap docs
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2021,
+    arXiv:2107.06499 — the suffix-array recipe re-expressed as a
+    shuffle-join): two documents share a verbatim run of ≥ ``_ES_K``
+    tokens iff they share a stride-1 ``_ES_K``-token window hash. The
+    suffix array's role (find repeated substrings corpus-wide)
+    becomes a distributed equi-join on window hashes — the
+    Spark-native plan for the same semantics.
+
+    Reports each colliding pair with its shared-window count
+    (n_shared ≈ shared-run length − K + 1 for one contiguous run, and
+    sums across runs) — the span evidence an excision pass consumes.
+
+    100 TB shape: stride-1 windows mean ~1 hash per token — the same
+    volume as the token explode every LM query does [shuffle 1 on the
+    window hash]. The ``_ES_DF_CAP`` stop-window cap bounds
+    per-hash fan-out at C(cap,2) (license boilerplate is the
+    classic exact-substring hot key); dedup within doc via DISTINCT
+    keeps within-doc repetition from multiplying pairs. Same
+    cap-discipline as dedup_ngram_jaccard.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = (
+        d.select("doc_id", T.words(F.col("text")).alias("ws"))
+        .select("doc_id", F.explode_outer(T.gram_hashes(F.col("ws"), _ES_K)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    dfc = g.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
+    gk = g.join(dfc.filter(F.col("dfh") <= _ES_DF_CAP), "h")
+    a = gk.select(F.col("doc_id").alias("doc_id_a"), "h")
+    b = gk.select(F.col("doc_id").alias("doc_id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+DEDUP_EXACT_SUBSTRING_SQL = rf"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - {_ES_K - 2}),
+               i -> ('0x' || substr(md5(array_to_string(ws[i:i+{_ES_K - 1}], ' ')), 1, 8))::BIGINT)) AS h
+    FROM t WHERE len(ws) >= {_ES_K}
+),
+dfc AS (SELECT h FROM g GROUP BY h HAVING count(*) <= {_ES_DF_CAP}),
+gk AS (SELECT g.* FROM g JOIN dfc USING (h))
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contrastive_pairs
 
 _CP_RAND = 2  # easy (hash-random) negatives per query
@@ -928,6 +992,7 @@ QUERIES = {
     "docs_pretokenize_stats": docs_pretokenize_stats,
     "ann_pq_topk": ann_pq_topk,
     "contrastive_pairs": contrastive_pairs,
+    "dedup_exact_substring": dedup_exact_substring,
 }
 
 ORACLES = {
@@ -941,4 +1006,5 @@ ORACLES = {
     "token_freq_countmin": _cms_sql(),
     "docs_pretokenize_stats": DOCS_PRETOKENIZE_SQL,
     "contrastive_pairs": _contrastive_sql(),
+    "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
 }

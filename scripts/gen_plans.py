@@ -93,6 +93,7 @@ AUDITED = [
     "docs_pretokenize_stats",
     "contrastive_pairs",
     "ann_pq_topk",
+    "dedup_exact_substring",
 ]
 
 JOIN_KINDS = (

@@ -166,3 +166,42 @@ def test_zorder_clustered_prunes_2d_box(spark, tmp_path):
     assert touched <= files_total // 2, (touched, files_total)
     # exactness preserved
     assert back.filter(box).count() == events.filter(box).count()
+
+
+def test_bigram_model_bucketed_static_side_no_shuffle(spark, tmp_path):
+    """The bigram stream scorer's 100 TB claim (streaming/rainstorm.py
+    bigram_ppl_stream): with the persisted LM bucketed on gram, the
+    score join reads the model WITHOUT an Exchange — only the arriving
+    micro-batch's grams shuffle. Proven here on the batch twin: the
+    model side of the join plan has no Exchange above its scan, scores
+    are unchanged vs the unbucketed model, and the join reads
+    'Bucketed: true'."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops4 as M
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = M.bigram_model(docs)
+    write_bucketed(model, "b_bigram_lm", str(tmp_path / "b_bigram_lm"), "gram", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        static = spark.table("b_bigram_lm")
+        scored = M.bigram_score(docs, static)
+        expected = {
+            (r["doc_id"], r["n_bigrams"], r["bigram_ppl"])
+            for r in M.bigram_score(docs, model).collect()
+        }
+        got = {(r["doc_id"], r["n_bigrams"], r["bigram_ppl"]) for r in scored.collect()}
+        assert got == expected and got
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # the static (model) side must not re-shuffle: a score join
+        # with both sides shuffling shows TWO gram Exchanges per
+        # SortMergeJoin; with the bucketed model only the docs side
+        # shuffles, so the counts are 1:1 (the plan string prints the
+        # final + initial AQE sections — the ratio holds in both)
+        n_smj = plan.count("SortMergeJoin")
+        n_gram_ex = plan.count("Exchange hashpartitioning(gram")
+        assert n_smj >= 1 and n_gram_ex == n_smj, (n_smj, n_gram_ex, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_bigram_lm")
