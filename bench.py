@@ -108,6 +108,7 @@ def main() -> None:
         "contrastive_pairs",
         "ann_pq_topk",
         "dedup_exact_substring",
+        "cross_source_leakage",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -9,16 +9,22 @@ per-item float contribution so per-group reductions are order-free
 integer sums) are documented in those modules.
 
 Ops here:
-- ``ngram_counts_topk`` — the corpus bigram-counts table (the LM
-  training-counts backbone), global top-k with deterministic ties.
-- ``docs_bigram_perplexity`` — per-document perplexity under an
-  add-k-smoothed corpus bigram LM (the CCNet-style quality signal one
-  order up from ``docs_unigram_perplexity``).
-- ``docs_kl_by_source`` — per-source unigram-distribution KL
-  divergence vs the corpus distribution (data-mixing diagnostic).
-- ``multimodal_video_frames`` — the VIDEO decode path as a
-  driver-checked query: frame sampling (row explosion) chained into
-  per-frame featurization, two Arrow ``mapInPandas`` stages.
+- ``ngram_counts_topk`` / ``docs_bigram_perplexity`` — the bigram LM
+  surface (counts table + add-k self-perplexity; ``bigram_model`` /
+  ``bigram_score`` split so the stream scorer joins the persisted
+  corpus-scale model).
+- ``docs_kl_by_source`` / ``cross_source_leakage`` — data-mixing
+  diagnostics (distribution drift; verbatim source×source overlap).
+- ``multimodal_video_frames`` — the VIDEO decode path, two chained
+  Arrow ``mapInPandas`` stages.
+- ``minhash_containment`` / ``dedup_exact_substring`` — asymmetric
+  overlap and Lee-et-al. exact-substring dedup.
+- ``events_anomaly_mad`` — Hampel-filter robust outliers.
+- ``fusion_interp_topk`` / ``contrastive_pairs`` — retrieval fusion
+  and DPR-style training-tuple construction.
+- ``token_freq_countmin`` — deterministic CMS frequency QA.
+- ``docs_pretokenize_stats`` — pre-BPE token-budget census.
+- ``ann_pq_topk`` — product-quantization ANN (rows-only).
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part of
@@ -781,6 +787,59 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source verbatim-overlap matrix: aggregate the
+    exact-substring pair evidence up to the source level — the "is
+    corpus A leaking into corpus B" dashboard a mixing pipeline checks
+    before weighting sources independently (ordered source pair,
+    colliding doc pairs, total shared 16-token windows).
+
+    100 TB shape: the pair table (candidate-scale) BROADCASTS twice
+    onto the (doc_id, source) projection — the corpus never
+    reshuffles; the matrix rollup key has #sources² cardinality. Same
+    discipline as docs_neardup_rate_by_source.
+    """
+    pairs = dedup_exact_substring(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
+    enriched = broadcast(sa.join(broadcast(pairs), "doc_id_a")).join(sb, "doc_id_b")
+    lo = F.least(F.col("sa"), F.col("sb"))
+    hi = F.greatest(F.col("sa"), F.col("sb"))
+    return (
+        enriched.select(lo.alias("source_a"), hi.alias("source_b"), "n_shared")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_shared").alias("n_shared_windows"),
+        )
+    )
+
+
+CROSS_SOURCE_LEAKAGE_SQL = (
+    DEDUP_EXACT_SUBSTRING_SQL.replace(
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,",
+        "SELECT * FROM (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,",
+        1,
+    ).replace(
+        "GROUP BY a.doc_id, b.doc_id",
+        "GROUP BY a.doc_id, b.doc_id) _pairs",
+        1,
+    )
+    .replace("WITH t AS", "WITH pairs AS (WITH t AS", 1)
+    + """),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(x.source, y.source) AS source_a,
+       greatest(x.source, y.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(p.n_shared) AS BIGINT) AS n_shared_windows
+FROM pairs p JOIN src x ON p.doc_id_a = x.doc_id
+             JOIN src y ON p.doc_id_b = y.doc_id
+GROUP BY least(x.source, y.source), greatest(x.source, y.source)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # contrastive_pairs
 
@@ -993,6 +1052,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "contrastive_pairs": contrastive_pairs,
     "dedup_exact_substring": dedup_exact_substring,
+    "cross_source_leakage": cross_source_leakage,
 }
 
 ORACLES = {
@@ -1007,4 +1067,5 @@ ORACLES = {
     "docs_pretokenize_stats": DOCS_PRETOKENIZE_SQL,
     "contrastive_pairs": _contrastive_sql(),
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
+    "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
 }

@@ -92,6 +92,7 @@ _FRONT = [
     "docs_pretokenize_stats",
     "contrastive_pairs",
     "dedup_exact_substring",
+    "cross_source_leakage",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
@@ -105,7 +106,6 @@ _FRONT = [
     "docs_seq_packing",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "multimodal_image_stats",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
@@ -117,8 +117,10 @@ _FRONT = [
     # for the 6 brand-new queries — docs_training_mix,
     # docs_weighted_sample, dedup_ngram_jaccard_exact, dedup_simhash,
     # text_redact_pii, docs_stratified_sample (all pass(r2)) — and for
-    # the next 5 — lang_id_heuristic, doc_fingerprint,
-    # dedup_keep_first, dedup_exact, dedup_clusters (all pass(r1∪r2))
+    # the next 6 — lang_id_heuristic, doc_fingerprint,
+    # dedup_keep_first, dedup_exact, dedup_clusters,
+    # multimodal_image_stats (all pass(r1∪r2); the audio/video rows
+    # keep the Arrow-UDF path driver-covered)
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

@@ -94,6 +94,7 @@ AUDITED = [
     "contrastive_pairs",
     "ann_pq_topk",
     "dedup_exact_substring",
+    "cross_source_leakage",
 ]
 
 JOIN_KINDS = (

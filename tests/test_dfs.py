@@ -297,3 +297,35 @@ def test_compact_appends_crash_recovery(store, spark):
     assert os.path.isdir(combined)
     assert not os.path.isdir(tmp)
     assert not os.path.isfile(os.path.join(combined, store._FOLDED_MARKER))
+
+
+def test_python_datasource_matches_tablestore_get(spark, tmp_path):
+    """The pluggable `tablestore` Python DataSource (sources/pyds.py)
+    must reproduce TableStore.get(with_seq=True) row-for-row: base +
+    every append batch with its _append_seq stamp, one input partition
+    per data file."""
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.create("t", base)
+    store.append("t", spark.createDataFrame([(3, "c")], "id long, v string"))
+    store.append("t", spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string"))
+
+    spark.dataSource.register(TableStoreDataSource)
+    via_ds = (
+        spark.read.format("tablestore")
+        .option("root", str(tmp_path / "store"))
+        .option("table", "t")
+        .load()
+    )
+    want = {
+        (r["id"], r["v"], r["_append_seq"])
+        for r in store.get("t", with_seq=True).collect()
+    }
+    got = {(r["id"], r["v"], r["_append_seq"]) for r in via_ds.collect()}
+    assert got == want and len(got) == 5
+    # parallelism contract: one split per data file (>= 3 batches here)
+    assert via_ds.rdd.getNumPartitions() >= 3
