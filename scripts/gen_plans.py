@@ -95,6 +95,7 @@ AUDITED = [
     "ann_pq_topk",
     "dedup_exact_substring",
     "cross_source_leakage",
+    "curation_funnel",
 ]
 
 JOIN_KINDS = (
