@@ -110,6 +110,8 @@ def main() -> None:
         "dedup_exact_substring",
         "cross_source_leakage",
         "curation_funnel",
+        "bpe_train_merges",
+        "docs_train_val_split",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1,0 +1,162 @@
+"""Distributed BPE merge-rule training (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-training step of an LLM data
+pipeline, run as iterative Spark jobs.
+
+Execution model (the same centroids-are-metadata stance as
+clustering.py): training operates on the DISTINCT-WORD table — each
+distinct word once, weighted by its corpus frequency — which is
+vocab-scale, not corpus-scale. Each merge iteration is ONE job:
+
+    symbol arrays → adjacent-pair explode (weighted by word count) →
+    groupBy pair, sum weights (map-side partials) → global top-1
+    (TakeOrderedAndProject) → 1 row to the driver.
+
+The winning pair merges into every word's symbol array via a pure
+column FOLD (F.aggregate carrying (out, pending) — non-overlapping
+left-to-right, the canonical BPE merge order), so the table never
+leaves the executors; the merge RULES are the only driver state
+(n_merges tuples — the model artifact, like k-means centroids).
+
+Determinism: ties on pair count break lexicographically on (left,
+right), so the rule sequence is a pure function of the corpus. The
+test pins the whole rule list against an independent pure-Python BPE
+on the same tokens, exact match.
+
+100 TB: the word table is heavy-tailed vocab-scale (bounded by
+distinct words, not tokens); each iteration re-persists the updated
+symbols and unpersists the old so lineage stays shallow and every
+pass reads executor-local batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
+
+
+def chars_of(word: Column) -> Column:
+    """Symbol array of a word: its characters (no end-of-word marker —
+    the in-word merge dynamics are identical; the marker only matters
+    for detokenization, out of scope here)."""
+    return F.filter(F.split(word, ""), lambda c: c != "")
+
+
+def adjacent_pairs(syms: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty below 2)."""
+    return F.filter(
+        F.transform(
+            syms,
+            lambda x, i: F.struct(F.get(syms, i - 1).alias("a"), x.alias("b")),
+        ),
+        lambda p: p["a"].isNotNull(),
+    )
+
+
+def merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Fold merging every non-overlapping adjacent (a, b) left-to-right
+    into the single symbol a+b — the canonical BPE apply step, as a
+    pure column expression (no UDF)."""
+    out0 = F.array().cast("array<string>")
+    pend0 = F.lit(None).cast("string")
+    init = F.struct(out0.alias("out"), pend0.alias("pend"))
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.array_append(acc["out"], F.lit(a + b)).alias("out"),
+                    pend0.alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): distinct lowercased whitespace words with corpus
+    frequencies — the vocab-scale table BPE trains on."""
+    return (
+        _spread(docs)
+        .select(F.explode_outer(T.words(F.col(text_col))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> list[dict]:
+    """Train ``n_merges`` BPE merge rules; returns
+    [{rank, left, right, merged, pair_count}, ...] — the metadata-scale
+    model artifact (embeddable as literals / persistable, like the
+    k-means centroids and BM25 idf tables)."""
+    wt = word_table(docs, text_col).withColumn("syms", chars_of(F.col("word")))
+    wt = wt.persist()
+    prev = None
+    rules: list[dict] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                wt.select("n", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            # this job also materializes wt's cache (built from prev's
+            # still-live cache — prev unpersists only AFTER this, so no
+            # iteration ever recomputes from the raw scan and no extra
+            # count() materialization job is needed)
+            top = (
+                pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            rules.append(
+                {
+                    "rank": rank,
+                    "left": a,
+                    "right": b,
+                    "merged": a + b,
+                    "pair_count": int(cnt),
+                }
+            )
+            prev, wt = wt, wt.withColumn("syms", merge_pair(F.col("syms"), a, b)).persist()
+    finally:
+        wt.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return rules
+
+
+def bpe_apply(docs: DataFrame, rules: list[dict], text_col: str = "text") -> DataFrame:
+    """Tokenize with trained rules: (word, n, tokens) — the apply side,
+    composing the merge folds in rank order over the word table (rules
+    are literals; zero joins, zero extra shuffles beyond the word
+    count)."""
+    wt = word_table(docs, text_col).withColumn("syms", chars_of(F.col("word")))
+    col = F.col("syms")
+    for r in sorted(rules, key=lambda r: r["rank"]):
+        col = merge_pair(col, r["left"], r["right"])
+    return wt.select("word", "n", col.alias("tokens"))

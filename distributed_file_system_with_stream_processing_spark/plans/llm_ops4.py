@@ -1042,6 +1042,96 @@ SELECT * FROM pos UNION ALL SELECT * FROM hard UNION ALL SELECT * FROM rnd
 
 
 # ---------------------------------------------------------------------------
+# bpe_train_merges
+
+_BPE_MERGES = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) —
+    ``_BPE_MERGES`` merge rules learned over the corpus word table.
+    See operators/bpe.py for the execution model (one weighted
+    pair-count job + a pure-column fold merge per iteration; rules are
+    the only driver state). Rows-only for the driver (the iterative
+    rule sequence has no SQL oracle); the HARD check is
+    tests/test_bpe.py: the full rule list matches an independent
+    pure-Python BPE exactly, and applied tokens reconstruct every
+    word."""
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    rules = B.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rules],
+        "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
+_SPLIT_TRAIN = 900  # per-mille thresholds: <900 train, <950 val, rest test
+_SPLIT_VAL = 950
+
+
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split on the portable
+    hash of 'split|doc_id' per-mille — stable under text edits and
+    re-runs (hash the KEY, not the content), stratification-free by
+    construction since the hash is independent of source/length (the
+    per-source balance is what docs_kl_by_source / curation_funnel
+    audit). Zero shuffles — a pure scan→project; the split column is
+    what every downstream trainer filters on, and the filter pushes
+    to the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mille = T.hash32(F.concat(F.lit("split|"), F.col("doc_id"))) % 1000
+    split = (
+        F.when(mille < _SPLIT_TRAIN, F.lit("train"))
+        .when(mille < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "source", mille.alias("mille"), split.alias("split"))
+
+
+DOCS_TRAIN_VAL_SPLIT_SQL = f"""
+WITH m AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 1000 AS mille
+    FROM documents
+)
+SELECT doc_id, source, mille,
+       CASE WHEN mille < {_SPLIT_TRAIN} THEN 'train'
+            WHEN mille < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM m
+"""
+
+
+_BPE_TOPK = 50
+
+
+def bpe_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE: tokenize the corpus word table with the
+    trained merge rules (operators/bpe.bpe_apply — the rule folds
+    composed in rank order, rules as literals, zero joins) and report
+    the top-``_BPE_TOPK`` subword tokens by corpus frequency — the
+    vocabulary head a tokenizer build inspects. Rows-only (inherits
+    the trained rules); tests/test_bpe.py pins apply-side correctness
+    (tokens reconstruct words; sequences equal the Python reference).
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = B.bpe_train(docs, n_merges=_BPE_MERGES)
+    applied = B.bpe_apply(docs, rules)
+    return (
+        applied.select("n", F.explode_outer("tokens").alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BPE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # ann_pq_topk
 
 
@@ -1149,6 +1239,9 @@ QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "cross_source_leakage": cross_source_leakage,
     "curation_funnel": curation_funnel,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_tokenize_topk": bpe_tokenize_topk,
+    "docs_train_val_split": docs_train_val_split,
 }
 
 ORACLES = {
@@ -1165,4 +1258,5 @@ ORACLES = {
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
     "curation_funnel": _curation_funnel_sql(),
+    "docs_train_val_split": DOCS_TRAIN_VAL_SPLIT_SQL,
 }

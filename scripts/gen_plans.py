@@ -96,6 +96,7 @@ AUDITED = [
     "dedup_exact_substring",
     "cross_source_leakage",
     "curation_funnel",
+    "docs_train_val_split",
 ]
 
 JOIN_KINDS = (
