@@ -25,6 +25,11 @@ Ops here:
 - ``token_freq_countmin`` — deterministic CMS frequency QA.
 - ``docs_pretokenize_stats`` — pre-BPE token-budget census.
 - ``ann_pq_topk`` — product-quantization ANN (rows-only).
+- ``curation_funnel`` — clean-pack per-stage yield dashboard.
+- ``bpe_train_merges`` / ``bpe_tokenize_topk`` — distributed BPE
+  tokenizer training + application (rows-only, Python-reference
+  exact in tests/test_bpe.py).
+- ``docs_train_val_split`` — deterministic hash split.
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part of
