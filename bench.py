@@ -112,6 +112,8 @@ def main() -> None:
         "curation_funnel",
         "bpe_train_merges",
         "docs_train_val_split",
+        "docs_interp_perplexity",
+        "docs_substring_novelty",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -232,6 +232,103 @@ FROM agg
 """
 
 
+_INTERP_LAMBDA = 0.7  # bigram weight in the mixture
+
+
+def docs_interp_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer INTERPOLATED LM
+    (λ·p_bigram + (1−λ)·p_unigram — the classical smoothing one step
+    past add-k; Chen & Goodman 1999's baseline mixture): completes the
+    LM-scoring family (unigram → bigram → interpolated).
+
+    Determinism: p_b = (c(uv)+k)/(c(u)+k·V) and p_u = c(v)/N are each
+    a single division of exact-representable inputs; the mixture
+    λ·p_b + (1−λ)·p_u is a fixed multiply-multiply-add sequence; its
+    log micro-quantizes ONCE per gram and per-doc reductions are
+    exact integer sums (the established LM convention).
+
+    100 TB shape: the bigram backbone's shuffles + one extra
+    gram→second-token join against the unigram table (vocab-scale,
+    term key); the (V, N) pair rides ONE 1-row BuildRight broadcast.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("vsz"), F.sum("cnt").alias("n_corpus")
+    )
+    enriched = (
+        cbg.withColumn("u", F.substring_index("gram", " ", 1))
+        .withColumn("v", F.substring_index("gram", " ", -1))
+        .join(uni.select(F.col("term").alias("u"), F.col("cnt").alias("cu")), "u")
+        .join(uni.select(F.col("term").alias("v"), F.col("cnt").alias("cv")), "v")
+        .crossJoin(broadcast(stats))
+    )
+    p_b = (F.col("cbg") + F.lit(_BG_K)) / (
+        F.col("cu") + F.lit(_BG_K) * F.col("vsz")
+    )
+    p_u = F.col("cv").cast("double") / F.col("n_corpus")
+    l_mu = F.round(
+        F.log(F.lit(_INTERP_LAMBDA) * p_b + F.lit(1.0 - _INTERP_LAMBDA) * p_u)
+        * _BG_MICRO
+    ).cast("long")
+    model = enriched.select("gram", l_mu.alias("l_mu"))
+    scored = (
+        bg.join(model, "gram")
+        .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(-(F.col("_s").cast("double") / _BG_MICRO) / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id", "n_bigrams", F.round(ppl, 4).alias("interp_ppl")
+    )
+
+
+DOCS_INTERP_PPL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS cbg FROM bg GROUP BY gram),
+uni AS (
+    SELECT term, count(*) AS cnt FROM (SELECT unnest(ws) AS term FROM toks)
+    GROUP BY term
+),
+stats AS (SELECT count(*) AS vsz, sum(cnt) AS n_corpus FROM uni),
+model AS (
+    SELECT c.gram,
+           CAST(round(ln({_INTERP_LAMBDA}
+                         * ((c.cbg + {_BG_K}) / (uu.cnt + {_BG_K} * s.vsz))
+                         + {1.0 - _INTERP_LAMBDA}
+                         * (CAST(uv.cnt AS DOUBLE) / s.n_corpus))
+                      * {_BG_MICRO}) AS BIGINT) AS l_mu
+    FROM cbg c
+    JOIN uni uu ON split_part(c.gram, ' ', 1) = uu.term
+    JOIN uni uv ON split_part(c.gram, ' ', 2) = uv.term
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT b.doc_id, b.tf, b.tf * m.l_mu AS tl
+    FROM bg b JOIN model m USING (gram)
+),
+agg AS (
+    SELECT doc_id, sum(tf) AS n_bigrams, sum(tl) AS s
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS interp_ppl
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # docs_kl_by_source
 
@@ -851,13 +948,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps within-doc repetition from multiplying pairs. Same
     cap-discipline as dedup_ngram_jaccard.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
-    g = (
-        d.select("doc_id", T.words(F.col("text")).alias("ws"))
-        .select("doc_id", F.explode_outer(T.gram_hashes(F.col("ws"), _ES_K)).alias("h"))
-        .filter(F.col("h").isNotNull())
-        .distinct()
-    )
+    g = _window_hashes(spread(load_table(spark, sf_dir, "documents")))
     dfc = g.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
     gk = g.join(dfc.filter(F.col("dfh") <= _ES_DF_CAP), "h")
     a = gk.select(F.col("doc_id").alias("doc_id_a"), "h")
@@ -884,6 +975,70 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def _window_hashes(d: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, h) stride-1 ``_ES_K``-token window hashes —
+    the shared backbone of dedup_exact_substring, the novelty query,
+    and the streaming substring index."""
+    return (
+        d.select("doc_id", T.words(F.col("text")).alias("ws"))
+        .select("doc_id", F.explode_outer(T.gram_hashes(F.col("ws"), _ES_K)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+
+
+def docs_substring_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-novelty flags: how many of a doc's
+    16-token windows already appear in any LOWER-id document — the
+    keep/drop signal exact-substring dedup actually acts on (the pair
+    table is evidence; this is the verdict). UNCAPPED and still
+    linear: ownership is min(doc_id) per window hash — one vocab-ish
+    aggregation, no pairwise join, so no boilerplate hot-key blowup
+    (the df cap exists only for the C(df,2) pair expansion).
+
+    Docs with < 16 tokens have no windows and don't appear (nothing
+    to judge). 100 TB shape: window explode [shuffle 1 on h for the
+    distinct+min], join windows→first-owner on h [same key], per-doc
+    count [shuffle 2 on doc_id].
+    """
+    g = _window_hashes(spread(load_table(spark, sf_dir, "documents")))
+    mh = g.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        g.join(mh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") == 0).alias("is_novel"),
+        )
+    )
+
+
+DOCS_SUBSTRING_NOVELTY_SQL = rf"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - {_ES_K - 2}),
+               i -> ('0x' || substr(md5(array_to_string(ws[i:i+{_ES_K - 1}], ' ')), 1, 8))::BIGINT) ) AS h
+    FROM t WHERE len(ws) >= {_ES_K}
+),
+mh AS (SELECT h, min(doc_id) AS first_id FROM g GROUP BY h)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN mh.first_id < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
+       sum(CASE WHEN mh.first_id < g.doc_id THEN 1 ELSE 0 END) = 0 AS is_novel
+FROM g JOIN mh USING (h)
+GROUP BY g.doc_id
 """
 
 
@@ -1233,6 +1388,7 @@ QUERIES = {
     "ngram_counts_topk": ngram_counts_topk,
     "docs_bigram_perplexity": docs_bigram_perplexity,
     "docs_kl_by_source": docs_kl_by_source,
+    "docs_interp_perplexity": docs_interp_perplexity,
     "multimodal_video_frames": multimodal_video_frames,
     "minhash_containment": minhash_containment,
     "events_anomaly_mad": events_anomaly_mad,
@@ -1242,6 +1398,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "contrastive_pairs": contrastive_pairs,
     "dedup_exact_substring": dedup_exact_substring,
+    "docs_substring_novelty": docs_substring_novelty,
     "cross_source_leakage": cross_source_leakage,
     "curation_funnel": curation_funnel,
     "bpe_train_merges": bpe_train_merges,
@@ -1253,6 +1410,7 @@ ORACLES = {
     "ngram_counts_topk": NGRAM_COUNTS_SQL,
     "docs_bigram_perplexity": DOCS_BIGRAM_PPL_SQL,
     "docs_kl_by_source": DOCS_KL_BY_SOURCE_SQL,
+    "docs_interp_perplexity": DOCS_INTERP_PPL_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     "minhash_containment": MINHASH_CONTAINMENT_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
@@ -1261,6 +1419,7 @@ ORACLES = {
     "docs_pretokenize_stats": DOCS_PRETOKENIZE_SQL,
     "contrastive_pairs": _contrastive_sql(),
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
+    "docs_substring_novelty": DOCS_SUBSTRING_NOVELTY_SQL,
     "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
     "curation_funnel": _curation_funnel_sql(),
     "docs_train_val_split": DOCS_TRAIN_VAL_SPLIT_SQL,

@@ -95,6 +95,8 @@ _FRONT = [
     "cross_source_leakage",
     "curation_funnel",
     "docs_train_val_split",
+    "docs_interp_perplexity",
+    "docs_substring_novelty",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
@@ -104,8 +106,6 @@ _FRONT = [
     "lang_id_confusion",
     "decontaminate_ngram",
     "doc_repetition_score",
-    "paragraph_dedup",
-    "docs_seq_packing",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
@@ -119,9 +119,9 @@ _FRONT = [
     # text_redact_pii, docs_stratified_sample (all pass(r2)) — and for
     # the next 6 — lang_id_heuristic, doc_fingerprint,
     # dedup_keep_first, dedup_exact, dedup_clusters,
-    # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh
-    # (all pass(r1∪r2); the audio/video rows keep the Arrow-UDF path
-    # driver-covered)
+    # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh,
+    # paragraph_dedup, docs_seq_packing (all pass(r1∪r2); the
+    # audio/video rows keep the Arrow-UDF path driver-covered)
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

@@ -656,3 +656,80 @@ def cms_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def substring_indexed_stream(
+    doc_stream: DataFrame,
+    index_sink,
+    result_sink,
+    checkpoint_dir: str,
+):
+    """Streaming exact-substring novelty with INCREMENTAL index
+    maintenance — the text twin of ``semdedup_indexed_stream``: each
+    arriving document's 16-token window hashes probe the persisted
+    (window → first-owner) index AND fold back into it, so later
+    arrivals are judged against everything already streamed.
+
+    Per micro-batch (foreachBatch):
+      1. distinct (doc_id, h) window hashes (the batch query's
+         backbone, plans.llm_ops4._window_hashes);
+      2. probe = index snapshot ∪ the batch itself — within-batch
+         duplicates resolve through the same min(doc_id) ownership
+         rule as cross-batch ones;
+      3. verdicts (doc_id, n_windows, n_dup_windows, is_novel) upsert
+         into ``result_sink``; the batch's (h, doc_id) pairs upsert
+         into ``index_sink`` with order_col = −doc_id so the retained
+         owner per window is always the MINIMUM doc id (idempotent —
+         replaying a batch can't move a min).
+
+    Parity: with ids non-decreasing across batches the final result
+    state equals the batch ``docs_substring_novelty`` row-for-row.
+
+    100 TB shape: the index is hash-bucketed parquet keyed on the
+    window hash; a batch rewrites only the buckets its windows hash
+    into, and the probe is an equi-join on h.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _window_hashes,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = _window_hashes(batch_df)
+        w.persist()
+        try:
+            try:
+                idx = index_sink.snapshot(spark).select("h", "doc_id")
+                probe = idx.unionByName(w.select("h", "doc_id"))
+            except FileNotFoundError:
+                probe = w.select("h", "doc_id")
+            mh = probe.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+            verdicts = (
+                w.join(mh, "h")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_windows"),
+                    F.sum(
+                        F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)
+                    ).alias("n_dup_windows"),
+                )
+                .select(
+                    "doc_id",
+                    "n_windows",
+                    "n_dup_windows",
+                    (F.col("n_dup_windows") == 0).alias("is_novel"),
+                )
+            )
+            result_sink.apply_batch(verdicts, batch_id)
+            index_sink.apply_batch(
+                w.select("h", "doc_id", (-F.col("doc_id")).alias("neg")), batch_id
+            )
+        finally:
+            w.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -97,6 +97,8 @@ AUDITED = [
     "cross_source_leakage",
     "curation_funnel",
     "docs_train_val_split",
+    "docs_interp_perplexity",
+    "docs_substring_novelty",
 ]
 
 JOIN_KINDS = (

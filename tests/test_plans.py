@@ -118,9 +118,11 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # inherits bm25_retrieval_topk's 1-row corpus-stats broadcast
         "fusion_interp_topk",
         # same shape: the bigram LM's 1-row vocabulary-size broadcast
-        # and the KL diagnostic's 1-row corpus-total broadcast
+        # and the KL diagnostic's 1-row corpus-total broadcast (the
+        # interpolated LM carries the same (V, N) 1-row broadcast)
         "docs_bigram_perplexity",
         "docs_kl_by_source",
+        "docs_interp_perplexity",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))

@@ -880,3 +880,61 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
         for r in sink.snapshot(spark).select("row", "bucket", "total").collect()
     }
     assert got == expected
+
+
+def test_substring_indexed_stream_matches_batch_novelty(spark, tmp_path):
+    """Incremental exact-substring index: stream the corpus in three
+    id-ordered batches; the final result state must equal the batch
+    docs_substring_novelty output exactly, and a full replay with a
+    fresh checkpoint must leave both sinks unchanged (min-ownership
+    upserts are idempotent)."""
+    import time as _t
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        docs_substring_novelty,
+    )
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import KeyedUpsertSink
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        substring_indexed_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expected = {
+        (r["doc_id"], r["n_windows"], r["n_dup_windows"], r["is_novel"])
+        for r in docs_substring_novelty(spark, SF_SMOKE).collect()
+    }
+    assert expected and any(not nv for (_, _, _, nv) in expected)
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = str(tmp_path / "docs")
+    for lo, hi in [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]:
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    index_sink = KeyedUpsertSink(str(tmp_path / "idx"), key="h", order_col="neg")
+    result_sink = KeyedUpsertSink(str(tmp_path / "res"), key="doc_id", order_col="doc_id")
+    for ckpt in ("ckpt", "ckpt2"):  # second pass = full replay
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = substring_indexed_stream(
+            stream, index_sink, result_sink, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["doc_id"], r["n_windows"], r["n_dup_windows"], r["is_novel"])
+            for r in result_sink.snapshot(spark)
+            .select("doc_id", "n_windows", "n_dup_windows", "is_novel")
+            .collect()
+        }
+        assert got == expected, ckpt
