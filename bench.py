@@ -114,6 +114,9 @@ def main() -> None:
         "docs_train_val_split",
         "docs_interp_perplexity",
         "docs_substring_novelty",
+        "tfidf_retrieval_topk",
+        "events_transition_matrix",
+        "source_temperature_mix",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -160,3 +160,116 @@ def bpe_apply(docs: DataFrame, rules: list[dict], text_col: str = "text") -> Dat
     for r in sorted(rules, key=lambda r: r["rank"]):
         col = merge_pair(col, r["left"], r["right"])
     return wt.select("word", "n", col.alias("tokens"))
+
+
+def tokenize_words(word: Column, rules: list[dict]) -> Column:
+    """Pure column expression tokenizing one lowercased word with the
+    trained rule sequence — the STATELESS apply kernel shared by the
+    batch word-table apply and the streaming per-document tokenizer
+    (streaming/rainstorm.py bpe_tokenize_stream). Rules are literals
+    baked into the expression tree: no join, no state."""
+    col = chars_of(word)
+    for r in sorted(rules, key=lambda r: r["rank"]):
+        col = merge_pair(col, r["left"], r["right"])
+    return col
+
+
+# ---------------------------------------------------------------------------
+# per-language vocabularies — one FUSED pair-count job per iteration
+# trains every language's tokenizer at once (the same explode-fused
+# multi-model stance as the PQ codebook trainer in clustering.py:
+# k independent trainings share each corpus-scale job instead of
+# multiplying driver-synchronized jobs by n_languages).
+
+
+def word_table_by_lang(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """(lang, word, n): distinct lowercased words per language with
+    frequencies — vocab-scale × n_languages, the fused training
+    table."""
+    return (
+        _spread(docs)
+        .select(F.col(lang_col).alias("lang"), F.explode_outer(T.words(F.col(text_col))).alias("w"))
+        .filter(F.col("w").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.lower(F.col("w")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train_per_lang(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict[str, list[dict]]:
+    """Train ``n_merges`` BPE rules PER LANGUAGE in one fused pass:
+    each iteration runs ONE pair-count job over the (lang, word) table
+    with map-side partials on (lang, a, b), takes the per-language
+    argmax via a low-cardinality grouped top-1 (n_languages rows to
+    the driver — metadata, like centroids), and applies every
+    language's winning merge in one projection (a lang-dispatched
+    ``when`` chain over the shared fold kernel). Languages whose pair
+    supply dries up simply stop accruing rules.
+
+    Determinism matches ``bpe_train``: ties break on (a, b), so each
+    language's rule sequence is a pure function of its sub-corpus —
+    pinned rule-for-rule against the single-language trainer run on
+    each lang slice (tests/test_bpe.py)."""
+    wt = word_table_by_lang(docs, text_col, lang_col).withColumn(
+        "syms", chars_of(F.col("word"))
+    )
+    wt = wt.persist()
+    prev = None
+    rules: dict[str, list[dict]] = {}
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                wt.select("lang", "n", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
+                .groupBy("lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            # grouped top-1: max_by over a struct ordered (cnt desc, a, b)
+            # — one low-cardinality shuffle (n_languages groups), no
+            # window over the full pair table
+            winners = (
+                pairs.groupBy("lang")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("_negcnt"),
+                            F.col("a"),
+                            F.col("b"),
+                            F.col("cnt"),
+                        )
+                    ).alias("w")
+                )
+                .select("lang", "w.a", "w.b", "w.cnt")
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            if not winners:
+                break
+            merged_col = F.col("syms")
+            for r in sorted(winners, key=lambda r: r["lang"]):
+                rules.setdefault(r["lang"], []).append(
+                    {
+                        "rank": len(rules.get(r["lang"], ())) + 1,
+                        "left": r["a"],
+                        "right": r["b"],
+                        "merged": r["a"] + r["b"],
+                        "pair_count": int(r["cnt"]),
+                    }
+                )
+                merged_col = F.when(
+                    F.col("lang") == r["lang"],
+                    merge_pair(F.col("syms"), r["a"], r["b"]),
+                ).otherwise(merged_col)
+            prev, wt = wt, wt.withColumn("syms", merged_col).persist()
+    finally:
+        wt.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return rules

@@ -19,6 +19,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops2,
     llm_ops3,
     llm_ops4,
+    llm_ops5,
     rainstorm_queries,
 )
 
@@ -34,6 +35,7 @@ _MODULES = (
     llm_ops2,
     llm_ops3,
     llm_ops4,
+    llm_ops5,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -97,15 +99,18 @@ _FRONT = [
     "docs_train_val_split",
     "docs_interp_perplexity",
     "docs_substring_novelty",
+    # new this continuation (llm_ops5 — oracled; the rows-only
+    # bpe_per_lang_rules stays off the front per the rows-only policy
+    # below)
+    "tfidf_retrieval_topk",
+    "events_transition_matrix",
+    "source_temperature_mix",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
     "q20_volume_suppliers",
     "docs_clean_pack",
     "embedding_label_centroids",
-    "lang_id_confusion",
-    "decontaminate_ngram",
-    "doc_repetition_score",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
@@ -121,7 +126,9 @@ _FRONT = [
     # dedup_keep_first, dedup_exact, dedup_clusters,
     # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh,
     # paragraph_dedup, docs_seq_packing (all pass(r1∪r2); the
-    # audio/video rows keep the Arrow-UDF path driver-covered)
+    # audio/video rows keep the Arrow-UDF path driver-covered) — and
+    # for the 3 llm_ops5 queries — lang_id_confusion,
+    # decontaminate_ngram, doc_repetition_score (all pass(r2))
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

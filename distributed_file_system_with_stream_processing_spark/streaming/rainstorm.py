@@ -499,6 +499,40 @@ def winnow_stream(
     )
 
 
+def bpe_tokenize_stream(
+    docs: DataFrame,
+    rules: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming BPE application: tokenize arriving documents with a
+    batch-trained rule sequence — the train-offline/apply-online shape
+    (same stance as bm25_score_stream / dsir_score_stream: the model
+    is metadata-scale driver state baked in as literals, so scoring is
+    a stateless per-row expression — append mode, no state store, no
+    join). Output is one row per word position:
+    (doc_id, pos, word, tokens array) — the token stream a downstream
+    packer / counter consumes.
+
+    Parity: the fold kernel is operators/bpe.py tokenize_words — the
+    IDENTICAL expression tree the batch word-table apply composes — so
+    for any bounded input the per-word token arrays equal
+    ``bpe_apply``'s, proven at availableNow boundaries in
+    tests/test_bpe.py."""
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    ws = F.transform(T.words(F.col(text_col)), lambda w: F.lower(w))
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode_outer(ws))
+        .filter(F.col("col").isNotNull())
+        .select("doc_id", F.col("pos").alias("pos"), F.col("col").alias("word"))
+    )
+    return ex.select(
+        "doc_id", "pos", "word", B.tokenize_words(F.col("word"), rules).alias("tokens")
+    )
+
+
 def semdedup_indexed_stream(
     vec_stream: DataFrame,
     cents: list[list[float]],

@@ -113,3 +113,75 @@ def test_bpe_tokenize_topk_counts_match_reference(spark):
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got = [(r["token"], r["cnt"]) for r in bpe_tokenize_topk(spark, SF_SMOKE).collect()]
     assert got == want
+
+
+def test_bpe_per_lang_equals_single_lang_trainer_per_slice(spark):
+    """The FUSED per-language trainer (one pair-count job per
+    iteration across all languages) must produce, for EVERY language,
+    exactly the rule sequence the single-language trainer learns on
+    that language's slice alone — fusion is an execution detail, not a
+    semantics change. (bpe_train itself is pinned against pure-Python
+    BPE above, so transitively each language matches the reference.)"""
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fused = B.bpe_train_per_lang(docs, n_merges=4)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert set(fused) == set(langs)
+    for lang in langs:
+        solo = B.bpe_train(docs.filter(F.col("lang") == lang), n_merges=4)
+        assert fused[lang] == solo, lang
+
+
+def test_bpe_tokenize_stream_matches_batch(spark, tmp_path):
+    """Streaming BPE application (train-offline/apply-online): rules
+    trained batch-side and baked in as literals must tokenize a
+    document stream identically to the batch word-table apply — for
+    every (doc, word position), the streamed token array equals
+    bpe_apply's array for that word, across micro-batch arrivals."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        bpe_tokenize_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    rows1 = [(1, "the lower newest lowest"), (2, "wider widest low lower")]
+    rows2 = [(3, "newer the newest low")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    all_docs = spark.read.schema(schema).parquet(src)
+    rules = B.bpe_train(all_docs, n_merges=5)
+
+    batch = {
+        (r["doc_id"], r["pos"]): (r["word"], tuple(r["tokens"]))
+        for r in bpe_tokenize_stream(all_docs, rules).collect()
+    }
+    assert batch
+    # per-word parity with the batch word-table apply
+    by_word = {r["word"]: tuple(r["tokens"]) for r in B.bpe_apply(all_docs, rules).collect()}
+    for (doc_id, pos), (word, toks) in batch.items():
+        assert toks == by_word[word], (doc_id, pos, word)
+    # token concatenation reconstructs each word
+    assert all("".join(t) == w for (_, _), (w, t) in batch.items())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        bpe_tokenize_stream(stream, rules)
+        .writeStream.format("memory")
+        .queryName("bpe_tok_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["pos"]): (r["word"], tuple(r["tokens"]))
+        for r in spark.sql("SELECT * FROM bpe_tok_stream").collect()
+    }
+    assert streamed == batch

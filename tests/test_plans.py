@@ -123,6 +123,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "docs_bigram_perplexity",
         "docs_kl_by_source",
         "docs_interp_perplexity",
+        # same shape: TF-IDF retrieval's 1-row doc-count broadcast
+        # onto the vocab-scale df table
+        "tfidf_retrieval_topk",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
