@@ -342,8 +342,31 @@ FROM scaled
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_opq_topk
+
+
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZED product quantization (Ge et al. 2014): PCA-rotate the
+    embeddings into an eigenvalue-balanced basis (rotation trained by
+    a shuffle-free distributed second-moment pass — one dim×dim Gram
+    partial per partition), then the identical PQ pipeline on the
+    rotated coordinates. The rotation is orthonormal so cosine / L2
+    are exactly preserved — only quantization error changes, which
+    the balanced subspaces reduce. See operators/clustering.opq_topk.
+    Rows-only (recall pinned ≥ the plain-PQ floor and vs brute force
+    in tests/test_ann.py; the rotation itself is unit-tested for
+    orthonormality and distance preservation)."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    return C.opq_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5
+    )
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
+    "ann_opq_topk": ann_opq_topk,
     "tfidf_retrieval_topk": tfidf_retrieval_topk,
     "events_transition_matrix": events_transition_matrix,
     "source_temperature_mix": source_temperature_mix,

@@ -99,6 +99,7 @@ AUDITED = [
     "docs_train_val_split",
     "docs_interp_perplexity",
     "docs_substring_novelty",
+    "ann_opq_topk",
     "tfidf_retrieval_topk",
     "events_transition_matrix",
     "source_temperature_mix",

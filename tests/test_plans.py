@@ -91,6 +91,8 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # PQ coarse pass: per-query LUT table broadcast onto the code
         # table — the same queries-broadcast shape with 8-byte rows
         "ann_pq_topk",
+        # OPQ = rotation map + the identical PQ coarse pass
+        "ann_opq_topk",
         # random-negative fan-out: id-only base column × the 10-row
         # broadcast query table (+ the inherited ANN brute pass)
         "contrastive_pairs",
