@@ -118,6 +118,7 @@ def main() -> None:
         "tfidf_retrieval_topk",
         "events_transition_matrix",
         "source_temperature_mix",
+        "embedding_logreg_score",
     ]
     headline = [q for q in headline if q in QUERIES]
 

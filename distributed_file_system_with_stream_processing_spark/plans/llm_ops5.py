@@ -364,15 +364,110 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# embedding_logreg_score
+
+_LR_ITERS = 2
+_LR_RATE = 0.5
+_LR_DIM = 64
+_LR_POS = 5  # labels < 5 are the positive class (~50/50 split)
+_LR_MICRO = 1_000_000
+
+
+def embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (full-batch GD, ``_LR_ITERS``
+    steps from w = 0) trained on the embeddings table and scored back
+    over it — the quality-classifier recipe of an LLM pipeline run as
+    one Spark job per iteration with the weight vector as driver
+    metadata (operators/logreg.py; the kmeans centroids-are-literals
+    execution model applied to gradient descent).
+
+    ORACLED, bit-for-bit: the DuckDB oracle unrolls both GD steps
+    into CTEs — per-row contributions micro-quantized once so the
+    gradient is an order-free integer sum, sequential-association dot
+    products, and the driver's exact update arithmetic mirrored as
+    SQL — the embedding_kmeans_assign stance applied to a second
+    iterative trainer.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import logreg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w, b = L.logreg_fit(
+        emb,
+        positive_below=_LR_POS,
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        dim=_LR_DIM,
+    )
+    return L.logreg_score(emb, w, b, positive_below=_LR_POS)
+
+
+def _logreg_oracle() -> str:
+    """Unroll ``_LR_ITERS`` GD steps into CTEs, lockstep with
+    operators/logreg.py arithmetic."""
+    d, lr, mu = _LR_DIM, repr(_LR_RATE), _LR_MICRO
+    parts = [
+        f"""WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           CASE WHEN label < {_LR_POS} THEN 1.0 ELSE 0.0 END AS y
+    FROM embeddings
+),
+cnt AS (SELECT count(*) AS n FROM e),
+w0 AS (SELECT list_transform(range(1, {d + 1}), i -> 0.0) AS w, 0.0 AS b)"""
+    ]
+    for k in range(1, _LR_ITERS + 1):
+        parts.append(
+            f""",
+p{k} AS (
+    SELECT e.v, e.y,
+           1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, {d + 1}),
+                 i -> e.v[i] * w{k - 1}.w[i])) + w{k - 1}.b))) AS p
+    FROM e, w{k - 1}
+),
+g{k} AS (
+    SELECT t.i AS idx,
+           sum(CAST(round((p - y) * v[t.i] * {mu}) AS BIGINT)) AS g
+    FROM p{k}, range(1, {d + 1}) t(i) GROUP BY t.i
+),
+gb{k} AS (SELECT sum(CAST(round((p - y) * {mu}) AS BIGINT)) AS gb FROM p{k}),
+w{k} AS (
+    SELECT (SELECT list(w{k - 1}.w[g{k}.idx]
+                        - {lr} * ((CAST(g{k}.g AS DOUBLE) / 1000000.0) / cnt.n)
+                        ORDER BY g{k}.idx)
+            FROM g{k}, w{k - 1}, cnt) AS w,
+           (SELECT w{k - 1}.b
+                   - {lr} * ((CAST(gb{k}.gb AS DOUBLE) / 1000000.0) / cnt.n)
+            FROM gb{k}, w{k - 1}, cnt) AS b
+)"""
+        )
+    kf = _LR_ITERS
+    parts.append(
+        f"""
+SELECT e.vec_id,
+       CAST(CASE WHEN e.y = 1.0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+       round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, {d + 1}),
+             i -> e.v[i] * w{kf}.w[i])) + w{kf}.b))), 6) AS p,
+       CAST((1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, {d + 1}),
+             i -> e.v[i] * w{kf}.w[i])) + w{kf}.b))) >= 0.5) AS BIGINT) AS pred
+FROM e, w{kf}"""
+    )
+    return "".join(parts)
+
+
+EMBEDDING_LOGREG_SQL = _logreg_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "ann_opq_topk": ann_opq_topk,
+    "embedding_logreg_score": embedding_logreg_score,
     "tfidf_retrieval_topk": tfidf_retrieval_topk,
     "events_transition_matrix": events_transition_matrix,
     "source_temperature_mix": source_temperature_mix,
 }
 
 ORACLES = {
+    "embedding_logreg_score": EMBEDDING_LOGREG_SQL,
     "tfidf_retrieval_topk": TFIDF_RETRIEVAL_SQL,
     "events_transition_matrix": TRANSITION_SQL,
     "source_temperature_mix": TEMPERATURE_MIX_SQL,

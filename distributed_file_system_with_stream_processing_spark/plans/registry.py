@@ -105,12 +105,12 @@ _FRONT = [
     "tfidf_retrieval_topk",
     "events_transition_matrix",
     "source_temperature_mix",
+    "embedding_logreg_score",
     # previously green rows, re-confirmed under any driver cap
     "q9_nation_profit",
     "q16_supplier_part_breadth",
     "q20_volume_suppliers",
     "docs_clean_pack",
-    "embedding_label_centroids",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
@@ -127,8 +127,9 @@ _FRONT = [
     # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh,
     # paragraph_dedup, docs_seq_packing (all pass(r1∪r2); the
     # audio/video rows keep the Arrow-UDF path driver-covered) — and
-    # for the 3 llm_ops5 queries — lang_id_confusion,
-    # decontaminate_ngram, doc_repetition_score (all pass(r2))
+    # for the 4 llm_ops5 queries — lang_id_confusion,
+    # decontaminate_ngram, doc_repetition_score,
+    # embedding_label_centroids (all pass(r2))
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

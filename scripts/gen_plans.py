@@ -103,6 +103,7 @@ AUDITED = [
     "tfidf_retrieval_topk",
     "events_transition_matrix",
     "source_temperature_mix",
+    "embedding_logreg_score",
 ]
 
 JOIN_KINDS = (
