@@ -119,6 +119,8 @@ def main() -> None:
         "events_transition_matrix",
         "source_temperature_mix",
         "embedding_logreg_score",
+        "corpus_zipf_fit",
+        "embedding_random_projection",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -436,11 +436,16 @@ def _pq_search(
     query_ids_below: int,
     k: int,
     rerank_factor: int,
+    e_rerank: DataFrame | None = None,
 ) -> DataFrame:
     """The PQ pipeline on a prepared (id, v) frame — shared by the
     plain path (pq_topk) and the rotated path (opq_topk, which hands
-    in PCA-rotated vectors; rotation preserves inner products and
-    norms, so the exact cosine re-rank is unchanged)."""
+    in PCA-rotated vectors for train/encode/coarse but re-ranks on
+    ``e_rerank`` = the ORIGINAL vectors: rotation preserves cosine
+    exactly, so the re-rank is semantically identical and skips a
+    full rotated-table recomputation)."""
+    if e_rerank is None:
+        e_rerank = e
     books = _pq_fit_codebooks(_spread(e), m, sub, codes, iters)
     code_exprs = [
         f"CAST({_argmin_expr(f'slice(v, {j * sub + 1}, {sub})', books[j])} AS INT) AS c{j}"
@@ -477,8 +482,8 @@ def _pq_search(
         .filter(F.col("_qr") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    base_full = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("bv"))
-    q_full = e.filter(F.col("id") < query_ids_below).select(
+    base_full = e_rerank.select(F.col("id").alias("neighbor_id"), F.col("v").alias("bv"))
+    q_full = e_rerank.filter(F.col("id") < query_ids_below).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
     sim = V.cosine(F.col("qv"), F.col("bv"))
@@ -625,5 +630,12 @@ def opq_topk(
     pass, candidate-broadcast re-rank)."""
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     rot = opq_rotation(_spread(e), dim, m)
-    re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v")
-    return _pq_search(re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor)
+    # persist the rotated table: codebook training (iters+1 passes) and
+    # the encode pass all read it, and each recomputation would redo
+    # the d² interpreted matmul per row (measured 7.7 s → the PQ-family
+    # baseline at sf0.1 without it). Released by the ContextCleaner
+    # once the query's references drop — the kmeans cache stance.
+    re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
+    return _pq_search(
+        re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor, e_rerank=e
+    )

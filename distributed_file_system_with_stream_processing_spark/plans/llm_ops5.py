@@ -19,6 +19,16 @@ Ops here:
 - ``source_temperature_mix`` — temperature-scaled (n_i^alpha)
   multinomial sampling weights per source, the data-mixing knob
   (Raffel et al. 2020 §3.4.3 examples-proportional mixing).
+- ``embedding_logreg_score`` — distributed logistic regression
+  (full-batch GD, unrolled-CTE oracle, bit-exact).
+- ``ann_opq_topk`` — OPQ: PCA rotation + balanced subspaces ahead of
+  the shared PQ pipeline (rows-only).
+- ``embedding_random_projection`` — JL sketch 64→16 with portable
+  uniform planes, scale √(3/k) (oracled).
+- ``embedding_pca_spectrum`` — eigenvalue spectrum off the
+  distributed second moment (rows-only, numpy parity).
+- ``corpus_zipf_fit`` — least-squares Zipf slope over the term
+  frequency table, exact integer regression moments (oracled).
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part
@@ -26,6 +36,8 @@ of the beyond-reference LLM-data-pipeline surface (SURVEY.md §2).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -457,17 +469,237 @@ FROM e, w{kf}"""
 EMBEDDING_LOGREG_SQL = _logreg_oracle()
 
 
+# ---------------------------------------------------------------------------
+# embedding_random_projection
+
+_RP_K = 16  # target dimensionality (64 → 16)
+_RP_DIM = 64
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → ``_RP_K`` dims:
+    y_p = (1/√k)·⟨v, plane_p⟩ with the SAME md5-derived portable
+    hyperplanes the LSH family uses (operators/similarity.
+    hyperplane_matrix — Python-float literals both engines embed
+    verbatim). The cheap distance-sketch that feeds clustering /
+    dedup when 64 floats per row is still too wide at 100 TB.
+
+    Zero shuffles — scan → fold-dot per component → posexplode to
+    (vec_id, comp, val) rows (exploded output keeps the value hash
+    scalar-typed). Dots are sequential folds, scaled once, rounded
+    once — lockstep with DuckDB list_sum. The scale is √(3/k), not
+    the Gaussian 1/√k: the md5-derived plane entries are uniform on
+    [-1, 1] with variance 1/3, and the JL estimator is unbiased only
+    when scaled by 1/√(k·Var) — property-tested (mean projected/
+    original squared-distance ratio ≈ 1, tests/test_ann.py).
+    """
+    from distributed_file_system_with_stream_processing_spark.operators.clustering import _lit_arr
+    from distributed_file_system_with_stream_processing_spark.operators.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(_RP_DIM, _RP_K)
+    scale = math.sqrt(3.0 / _RP_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = spread(emb).selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    comps = ",".join(
+        f"round(aggregate(zip_with(v, {_lit_arr(p)}, (a, b) -> a * b), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x) * {scale!r}, 6)"
+        for p in planes
+    )
+    return (
+        e.selectExpr("vec_id", f"posexplode(array({comps})) AS (comp, val)")
+        .select("vec_id", F.col("comp").cast("long").alias("comp"), "val")
+    )
+
+
+def _rp_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.operators.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(_RP_DIM, _RP_K)
+    scale = math.sqrt(3.0 / _RP_K)
+    comps = ",".join(
+        "round(list_sum(list_transform(range(1, %d), i -> v[i] * (%s)[i])) * %r, 6)"
+        % (
+            _RP_DIM + 1,
+            "LIST_VALUE(" + ",".join(repr(c) for c in p) + ")",
+            scale,
+        )
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+proj AS (SELECT vec_id, LIST_VALUE({comps}) AS ys FROM e)
+SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS comp, ys[t.i] AS val
+FROM proj, range(1, {_RP_K + 1}) t(i)
+"""
+
+
+EMBEDDING_RP_SQL = _rp_oracle()
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_spectrum
+
+_PCA_TOPK = 16
+
+
+def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigenvalue spectrum of the embedding table — the
+    dimensionality-budget dashboard (how many directions carry the
+    energy, is the 64-dim table really 64-dimensional): top
+    ``_PCA_TOPK`` eigenvalues of the uncentered second moment with
+    cumulative energy share. Reuses the OPQ trainer's distributed
+    second-moment pass (ONE dim×dim Gram partial per partition, zero
+    shuffles; eigh driver-side on the dim×dim metadata matrix).
+    Rows-only (LAPACK eigenvalues have no SQL oracle); numpy parity
+    on the collected table is pinned in tests/test_ann.py."""
+    import numpy as np
+
+    from distributed_file_system_with_stream_processing_spark.operators.clustering import (
+        _second_moment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = spread(emb).selectExpr("vec_id AS id", "CAST(embedding AS array<double>) AS v")
+    g, n = _second_moment(e, _RP_DIM)
+    vals = np.linalg.eigvalsh(g / max(n, 1))[::-1]  # descending
+    tot = float(vals.sum())
+    rows, cum = [], 0.0
+    for i in range(_PCA_TOPK):
+        cum += float(vals[i])
+        rows.append((i + 1, round(float(vals[i]), 6), round(100.0 * cum / tot, 4)))
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, cum_energy_pct double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_zipf_fit
+
+_ZF_MICRO = 1_000_000
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency table: least-squares
+    slope/intercept of ln(freq) on ln(rank) — the one-row
+    distribution-shape diagnostic (natural text ≈ −1; a corpus that
+    drifts far off is boilerplate- or spam-heavy).
+
+    Exactness: each term contributes (ln rank, ln freq) quantized ONCE
+    to integer micro-units; all five regression moments are exact
+    integer sums (DECIMAL(38,0) for the product moments — x·y products
+    reach 1e14 per term), and the closed-form slope/intercept is a
+    fixed sequence of correctly-rounded double ops on identical
+    inputs, so both engines agree bitwise.
+
+    100 TB shape: term counts are the one corpus-scale shuffle
+    (map-side partials); ranking is a VOCAB-scale global sort (a
+    single-partition row_number window — the standard diagnostic
+    shape: the vocabulary is orders of magnitude smaller than the
+    corpus; if even that is too wide, pre-aggregate to (cnt, n_terms)
+    frequency-of-frequencies first); the moment aggregate returns ONE
+    row.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * _ZF_MICRO)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * _ZF_MICRO)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    mu = F.lit(float(_ZF_MICRO))
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(((sy / mu) - slope * (sx / mu)) / nd, 6).alias("ln_intercept"),
+    )
+
+
+CORPUS_ZIPF_SQL = rf"""
+WITH counts AS (
+    SELECT term, count(*) AS cnt FROM (
+        SELECT lower(unnest({_WS})) AS term FROM documents)
+    GROUP BY term
+),
+ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+    FROM counts
+),
+pts AS (
+    SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS x,
+           CAST(round(ln(CAST(cnt AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS y
+    FROM ranked
+),
+m AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round(((CAST(sy AS DOUBLE) / {float(_ZF_MICRO)!r})
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sx AS DOUBLE) / {float(_ZF_MICRO)!r}))
+             / CAST(n AS DOUBLE), 6) AS ln_intercept
+FROM m
+"""
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
+    "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,
+    "embedding_random_projection": embedding_random_projection,
+    "embedding_pca_spectrum": embedding_pca_spectrum,
     "tfidf_retrieval_topk": tfidf_retrieval_topk,
     "events_transition_matrix": events_transition_matrix,
     "source_temperature_mix": source_temperature_mix,
 }
 
 ORACLES = {
+    "corpus_zipf_fit": CORPUS_ZIPF_SQL,
     "embedding_logreg_score": EMBEDDING_LOGREG_SQL,
+    "embedding_random_projection": EMBEDDING_RP_SQL,
     "tfidf_retrieval_topk": TFIDF_RETRIEVAL_SQL,
     "events_transition_matrix": TRANSITION_SQL,
     "source_temperature_mix": TEMPERATURE_MIX_SQL,

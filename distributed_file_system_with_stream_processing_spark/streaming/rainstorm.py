@@ -499,6 +499,34 @@ def winnow_stream(
     )
 
 
+def logreg_score_stream(
+    emb: DataFrame,
+    w: list[float],
+    b: float,
+    label_col: str = "label",
+    positive_below: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stateless stream scorer for the train-offline/score-online
+    logistic-regression split: weights trained batch-side
+    (operators/logreg.logreg_fit) embed as literals, so scoring each
+    arriving vector is a pure per-row column expression — append
+    mode, no state store, no join (the bm25/dsir score-stream
+    stance). Delegates to the BATCH scorer's own builder, so parity
+    with ``embedding_logreg_score`` is by construction — pinned at
+    micro-batch boundaries in tests/test_logreg.py."""
+    from distributed_file_system_with_stream_processing_spark.operators import logreg as L
+
+    return L.logreg_score(
+        emb, w, b,
+        label_col=label_col,
+        positive_below=positive_below,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def bpe_tokenize_stream(
     docs: DataFrame,
     rules: list[dict],

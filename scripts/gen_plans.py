@@ -104,6 +104,8 @@ AUDITED = [
     "events_transition_matrix",
     "source_temperature_mix",
     "embedding_logreg_score",
+    "corpus_zipf_fit",
+    "embedding_random_projection",
 ]
 
 JOIN_KINDS = (

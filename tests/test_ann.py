@@ -433,3 +433,64 @@ def test_opq_planted_copy_is_rank_one(emb):
         nid, sim = top1[q]
         assert nid == 10 + q
         assert sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_random_projection_preserves_distances_on_average(spark):
+    """JL sketch quality: over sampled pairs, the mean ratio of
+    projected to original squared distance is near 1 (the JL
+    expectation), and no projected distance collapses to zero for
+    well-separated originals."""
+    import numpy as np
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        embedding_random_projection,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    proj = {}
+    for r in embedding_random_projection(spark, "/root/testdata/sf0.001").collect():
+        proj.setdefault(r["vec_id"], [0.0] * 16)[r["comp"]] = r["val"]
+    orig = {
+        r["vec_id"]: np.array(list(r["embedding"]), dtype=float)
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()
+    }
+    ids = sorted(orig)[:40]
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+        d1 = float(np.sum((np.array(proj[a]) - np.array(proj[b])) ** 2))
+        if d0 > 1e-9:
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean
+    assert min(ratios) > 0.05, min(ratios)
+
+
+def test_pca_spectrum_matches_numpy(spark):
+    """The distributed second-moment spectrum must equal numpy's eigh
+    of the same matrix computed from the collected table."""
+    import numpy as np
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        embedding_pca_spectrum,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    got = {
+        r["component"]: (r["eigenvalue"], r["cum_energy_pct"])
+        for r in embedding_pca_spectrum(spark, "/root/testdata/sf0.001").collect()
+    }
+    X = np.array(
+        [list(r["embedding"]) for r in
+         load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()],
+        dtype=np.float64,
+    )
+    vals = np.linalg.eigvalsh(X.T @ X / len(X))[::-1]
+    tot = vals.sum()
+    cum = 0.0
+    for i in range(16):
+        cum += vals[i]
+        ev, pct = got[i + 1]
+        assert abs(ev - vals[i]) < 1e-6, (i, ev, vals[i])
+        assert abs(pct - 100.0 * cum / tot) < 1e-3

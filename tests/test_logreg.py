@@ -95,3 +95,45 @@ def test_logreg_score_is_pure_map(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_logreg_score_stream_matches_batch(spark, tmp_path):
+    """Streaming scorer (weights as literals, append mode, no state):
+    all micro-batches together must equal the batch scorer row-for-row
+    on the same data."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        logreg_score_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    w, b = L.logreg_fit(emb, iters=2)
+
+    src = str(tmp_path / "emb")
+    os.makedirs(src)
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    half1.coalesce(1).write.mode("append").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    batch = {
+        r["vec_id"]: (r["y"], r["p"], r["pred"])
+        for r in L.logreg_score(spark.read.schema(schema).parquet(src), w, b).collect()
+    }
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        logreg_score_stream(stream, w, b)
+        .writeStream.format("memory")
+        .queryName("logreg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["vec_id"]: (r["y"], r["p"], r["pred"])
+        for r in spark.sql("SELECT * FROM logreg_stream").collect()
+    }
+    assert streamed == batch and len(batch) == emb.count()
