@@ -121,6 +121,8 @@ def main() -> None:
         "embedding_logreg_score",
         "corpus_zipf_fit",
         "embedding_random_projection",
+        "docs_kn_perplexity",
+        "decontaminate_bloom",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -29,6 +29,11 @@ Ops here:
   distributed second moment (rows-only, numpy parity).
 - ``corpus_zipf_fit`` — least-squares Zipf slope over the term
   frequency table, exact integer regression moments (oracled).
+- ``docs_kn_perplexity`` — interpolated Kneser-Ney bigram LM
+  (continuation counts, estimated discount; oracled bit-for-bit).
+- ``decontaminate_bloom`` — Bloom-filter decontamination on the
+  portable affine hash family (fully oracled; one-sided, metadata
+  filter size at any eval scale).
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part
@@ -684,8 +689,266 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_kn_perplexity — interpolated Kneser-Ney bigram LM
+
+_KN_MICRO = 1_000_000
+
+
+def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY bigram
+    LM (Kneser & Ney 1995; Chen & Goodman 1999's strongest classical
+    smoother — completes the family add-k → Jelinek-Mercer → KN):
+
+        p(v|u) = max(c(uv) − D, 0)/c(u·)
+                 + (D·N1+(u·)/c(u·)) · N1+(·v)/N1+(··)
+
+    with the standard estimated discount D = n1/(n1 + 2·n2) (n1, n2 =
+    bigram types seen once / twice). The continuation probability
+    N1+(·v)/N1+(··) is what distinguishes KN: how many CONTEXTS a word
+    completes, not how often it occurs.
+
+    Float-determinism: every model input is an exact integer count; D
+    is one division of exact ints; each gram's p is a fixed
+    multiply-divide-add sequence on those; ln(p) micro-quantizes ONCE
+    per gram and per-doc reductions are exact integer sums — the
+    established LM convention.
+
+    100 TB shape: the bigram backbone's shuffles + three
+    gram-count-table-scale (NOT corpus-scale) aggregations — c(u·)
+    and N1+(u·) fold in ONE groupBy on the first token, N1+(·v) in
+    one on the second; (D, N1+(··)) ride a single 1-row BuildRight
+    broadcast; per-doc integer sum ends the chain. Map-side partials
+    everywhere; nothing quadratic.
+    """
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import _bigram_tf
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c"))
+    u_tbl = (
+        cbg.select(F.substring_index("gram", " ", 1).alias("u"), "c")
+        .groupBy("u")
+        .agg(F.sum("c").alias("cu"), F.count(F.lit(1)).alias("n1u"))
+    )
+    v_tbl = (
+        cbg.select(F.substring_index("gram", " ", -1).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    consts = cbg.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    model = (
+        cbg.withColumn("u", F.substring_index("gram", " ", 1))
+        .withColumn("v", F.substring_index("gram", " ", -1))
+        .join(u_tbl, "u")
+        .join(v_tbl, "v")
+        .crossJoin(broadcast(consts))
+    )
+    disc = F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2"))
+    p = (
+        F.greatest(F.col("c") - disc, F.lit(0.0)) / F.col("cu")
+        + (disc * F.col("n1u") / F.col("cu"))
+        * (F.col("nv").cast("double") / F.col("nb"))
+    )
+    model = model.select(
+        "gram", F.round(F.log(p) * _KN_MICRO).cast("long").alias("l_mu")
+    )
+    scored = (
+        bg.join(model, "gram")
+        .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(-(F.col("_s").cast("double") / _KN_MICRO) / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(ppl, 4).alias("kn_ppl"),
+    )
+
+
+def _kn_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _BIGRAMS,
+        _TOKS_L,
+    )
+
+    return rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS c FROM bg GROUP BY gram),
+u_tbl AS (
+    SELECT split_part(gram, ' ', 1) AS u, sum(c) AS cu, count(*) AS n1u
+    FROM cbg GROUP BY 1
+),
+v_tbl AS (
+    SELECT split_part(gram, ' ', -1) AS v, count(*) AS nv
+    FROM cbg GROUP BY 1
+),
+consts AS (
+    SELECT count(*) AS nb,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+    FROM cbg
+),
+model AS (
+    SELECT g.gram,
+           CAST(round(ln(
+               greatest(g.c - (CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2)), 0.0)
+                   / u.cu
+               + ((CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2)) * u.n1u / u.cu)
+                 * (CAST(v.nv AS DOUBLE) / k.nb)
+           ) * {_KN_MICRO}) AS BIGINT) AS l_mu
+    FROM cbg g
+    JOIN u_tbl u ON split_part(g.gram, ' ', 1) = u.u
+    JOIN v_tbl v ON split_part(g.gram, ' ', -1) = v.v
+    CROSS JOIN consts k
+),
+scored AS (
+    SELECT b.doc_id, b.tf, b.tf * m.l_mu AS tl
+    FROM bg b JOIN model m USING (gram)
+),
+agg AS (
+    SELECT doc_id, sum(tf) AS n_bigrams, sum(tl) AS s
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(exp(-(CAST(s AS DOUBLE) / {_KN_MICRO}) / n_bigrams), 4) AS kn_ppl
+FROM agg
+"""
+
+
+DOCS_KN_PPL_SQL = _kn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom
+
+_BLOOM_K = 3  # hash functions
+_BLOOM_M = 1 << 16  # bit positions per hash row
+
+
+def _bloom_positions(col):
+    """array<struct<row,pos>> of the ``_BLOOM_K`` Bloom positions of a
+    shingle — the portable minhash affine family on hash32(s), the
+    same engine-portable construction the CMS uses (one partitioned
+    position space per hash keeps the family independent without bit
+    arithmetic)."""
+    parts = []
+    for k in range(_BLOOM_K):
+        a, b = T.mh_params(100 + k)
+        parts.append(
+            F.struct(
+                F.lit(k).alias("row"),
+                (
+                    (F.lit(a) * T.hash32(col) + F.lit(b))
+                    % F.lit(T.MINHASH_PRIME)
+                    % F.lit(_BLOOM_M)
+                ).alias("pos"),
+            )
+        )
+    return F.array(*parts)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a BLOOM FILTER of the eval-set
+    shingles — the probabilistic twin of ``decontaminate_ngram``'s
+    exact broadcast semi-join, for when the eval set outgrows a
+    broadcast hash set: the filter is at most K·M set-bit rows
+    REGARDLESS of eval size, and one-sided — it can only OVER-flag
+    (a false positive excises an extra doc, harmless), never let a
+    contaminated doc through. Flagging rule: a train shingle counts
+    as a hit iff ALL ``_BLOOM_K`` of its bit positions are set.
+
+    Built from first principles on the portable affine hash family
+    (Spark's internal bloom_filter_agg is not SQL-registered), which
+    makes the sketch FULLY ORACLED — DuckDB constructs the
+    bit-identical position set and the value hash matches exactly,
+    a stronger check than any opaque-binary sketch could give.
+
+    100 TB shape: eval shingles fold into the distinct (row, pos) set
+    [metadata-scale agg — ≤ K·M rows at ANY eval size]; the set
+    BROADCASTS onto the ×K-exploded train shingle stream (the CMS
+    probe shape — the corpus never shuffles for the probe); the
+    all-K AND is a count-per-(doc, shingle) == K filter, then one
+    per-doc rollup. Superset-of-exact + bounded-overflag properties
+    pinned in tests/test_curation_ops.py.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    bloom = (
+        D._exploded_shingles(ev, "doc_id", "text", 3)
+        .select(F.explode(_bloom_positions(F.col("s"))).alias("rp"))
+        .select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .distinct()
+    )
+    tr_sh = (
+        D._exploded_shingles(tr, "doc_id", "text", 3)
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    probed = (
+        tr_sh.select("doc_id", "s", "tf", F.explode(_bloom_positions(F.col("s"))).alias("rp"))
+        .select("doc_id", "s", "tf", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .join(broadcast(bloom), ["row", "pos"])
+        .groupBy("doc_id", "s", "tf")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+    )
+    return probed.groupBy("doc_id").agg(F.sum("tf").alias("n_hit_ngrams"))
+
+
+def _bloom_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _duck_shingles,
+    )
+
+    h = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+    pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, s, tf, {k} AS row, "
+        f"(({T.mh_params(100 + k)[0]} * {h} + {T.mh_params(100 + k)[1]})"
+        f" % {T.MINHASH_PRIME}) % {_BLOOM_M} AS pos FROM tr_sh"
+        for k in range(_BLOOM_K)
+    )
+    ev_union = " UNION ALL ".join(
+        f"SELECT {k} AS row, "
+        f"(({T.mh_params(100 + k)[0]} * {h} + {T.mh_params(100 + k)[1]})"
+        f" % {T.MINHASH_PRIME}) % {_BLOOM_M} AS pos FROM ev_sh"
+        for k in range(_BLOOM_K)
+    )
+    return rf"""
+WITH sh AS ({_duck_shingles(3)}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ev_sh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+bloom AS (SELECT DISTINCT row, pos FROM ({ev_union})),
+tr_sh AS (SELECT doc_id, s, count(*) AS tf FROM ex
+          WHERE doc_id % 97 <> 0 GROUP BY doc_id, s),
+probes AS ({pos_union}),
+hits AS (
+    SELECT p.doc_id, p.s, p.tf, count(*) AS n_set
+    FROM probes p JOIN bloom b USING (row, pos)
+    GROUP BY p.doc_id, p.s, p.tf
+    HAVING count(*) = {_BLOOM_K}
+)
+SELECT doc_id, sum(tf) AS n_hit_ngrams FROM hits GROUP BY doc_id
+"""
+
+
+DECONTAMINATE_BLOOM_SQL = _bloom_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
+    "docs_kn_perplexity": docs_kn_perplexity,
+    "decontaminate_bloom": decontaminate_bloom,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,
@@ -697,6 +960,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_kn_perplexity": DOCS_KN_PPL_SQL,
+    "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_SQL,
     "embedding_logreg_score": EMBEDDING_LOGREG_SQL,
     "embedding_random_projection": EMBEDDING_RP_SQL,

@@ -108,9 +108,8 @@ _FRONT = [
     "embedding_logreg_score",
     "corpus_zipf_fit",
     "embedding_random_projection",
-    # previously green rows, re-confirmed under any driver cap
-    "q9_nation_profit",
-    "q16_supplier_part_breadth",
+    "docs_kn_perplexity",
+    "decontaminate_bloom",
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by
@@ -127,10 +126,13 @@ _FRONT = [
     # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh,
     # paragraph_dedup, docs_seq_packing (all pass(r1∪r2); the
     # audio/video rows keep the Arrow-UDF path driver-covered) — and
-    # for the 6 llm_ops5 queries — lang_id_confusion,
+    # for the 8 llm_ops5 queries — lang_id_confusion,
     # decontaminate_ngram, doc_repetition_score,
     # embedding_label_centroids, q20_volume_suppliers,
-    # docs_clean_pack (all pass(r2))
+    # docs_clean_pack, and finally the last two previously-green
+    # re-confirmation slots q9_nation_profit /
+    # q16_supplier_part_breadth (all pass(r2)) — the front is now
+    # 100% queries still lacking a driver row
 ]
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:

@@ -106,6 +106,8 @@ AUDITED = [
     "embedding_logreg_score",
     "corpus_zipf_fit",
     "embedding_random_projection",
+    "docs_kn_perplexity",
+    "decontaminate_bloom",
 ]
 
 JOIN_KINDS = (

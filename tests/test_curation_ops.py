@@ -98,3 +98,55 @@ def test_dsir_covers_all_nonempty_docs(spark):
         F.length(F.trim(F.col("text"))) > 0
     ).count()
     assert w.count() == n_docs
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """One-sided guarantee: every doc the exact shingle semi-join
+    flags must be Bloom-flagged with AT LEAST the exact hit count
+    (no false negatives, ever); and the over-flagging must be bounded
+    (false-positive shingles are rare at 16-bit positions × 3
+    hashes)."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        decontaminate_ngram,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        decontaminate_bloom,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate_ngram(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact decontamination found nothing at sf0.001"
+    for doc_id, n in exact.items():
+        assert doc_id in bloom and bloom[doc_id] >= n, (doc_id, n, bloom.get(doc_id))
+    # bounded over-flagging: the flagged-doc overshoot stays small
+    assert len(bloom) <= max(2 * len(exact), len(exact) + 5), (len(exact), len(bloom))
+
+
+def test_kn_perplexity_sane_and_discount_active(spark):
+    """KN must score every multi-token doc, produce finite positive
+    perplexities, and DIFFER from the add-k bigram LM (the
+    continuation term is real, not a re-labelled copy)."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        docs_bigram_perplexity,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        docs_kn_perplexity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    kn = {r["doc_id"]: r["kn_ppl"] for r in docs_kn_perplexity(spark, SF_SMOKE).collect()}
+    addk = {
+        r["doc_id"]: r["bigram_ppl"]
+        for r in docs_bigram_perplexity(spark, SF_SMOKE).collect()
+    }
+    assert set(kn) == set(addk)
+    assert all(p > 0 and p < 1e9 for p in kn.values())
+    n_diff = sum(1 for d in kn if abs(kn[d] - addk[d]) > 1e-6)
+    assert n_diff > len(kn) * 0.9, n_diff

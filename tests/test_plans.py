@@ -125,6 +125,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "docs_bigram_perplexity",
         "docs_kl_by_source",
         "docs_interp_perplexity",
+        # same shape: KN's (D, N1+(··)) constants ride one 1-row
+        # BuildRight broadcast onto the gram-count table
+        "docs_kn_perplexity",
         # same shape: TF-IDF retrieval's 1-row doc-count broadcast
         # onto the vocab-scale df table
         "tfidf_retrieval_topk",
