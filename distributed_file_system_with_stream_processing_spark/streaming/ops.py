@@ -99,6 +99,79 @@ class StatefulCountOp:
         )
 
 
+@dataclass
+class TransitionCountOp:
+    """Per-key event-sequence CHAINING state — the streaming twin of
+    the batch Markov transition matrix (plans/llm_ops5.
+    events_transition_matrix): per-user state holds the LAST event
+    type, each trigger sorts its arrivals by (ts, event_id), chains
+    them onto the remembered tail, and emits the trigger's transition
+    deltas (user_id, prev_type, next_type, delta). Unlike the
+    running-counts op (state = one total) this is the
+    sequence-continuation shape: O(1) state per key, yet the emitted
+    deltas SUM to exactly the batch lead()-window pair counts when
+    arrival order respects per-user event time (the id-ordered
+    contract the incremental substring index documents).
+
+    Batch twin (``__call__`` on a bounded df) runs the lead() window
+    directly — the plan the streaming deltas converge to.
+    """
+
+    name: str
+    user_col: str = "user_id"
+    type_col: str = "event_type"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.user_col).orderBy(self.ts_col, self.id_col)
+        return (
+            df.select(
+                F.col(self.user_col).alias("user_id"),
+                F.col(self.type_col).alias("prev_type"),
+                F.lead(self.type_col).over(w).alias("next_type"),
+            )
+            .filter(F.col("next_type").isNotNull())
+            .groupBy("user_id", "prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("delta"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        ucol, tcol, tscol, idcol = self.user_col, self.type_col, self.ts_col, self.id_col
+        out_schema = "user_id long, prev_type string, next_type string, delta long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame(
+                    [], columns=["user_id", "prev_type", "next_type", "delta"]
+                )
+                return
+            pdf = pd.concat(parts).sort_values([tscol, idcol])
+            seq = list(pdf[tcol])
+            prev = state.get[0] if state.exists else None
+            chain = ([prev] if prev is not None else []) + seq
+            counts: dict[tuple[str, str], int] = {}
+            for a, b in zip(chain, chain[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            state.update((seq[-1],))
+            yield pd.DataFrame(
+                [(key[0], a, b, n) for (a, b), n in sorted(counts.items())],
+                columns=["user_id", "prev_type", "next_type", "delta"],
+            )
+
+        return df.groupBy(ucol).applyInPandasWithState(
+            update, out_schema, "last string", "update", GroupStateTimeout.NoTimeout
+        )
+
+
 def dedup_by(keys: list[str], ts_col: str | None = None, watermark: str = "1 hour") -> TransformOp:
     """Ingest dedup on key columns — the op-level twin of the
     reference's UploadedBatchLineNumbers set (reference
@@ -142,7 +215,7 @@ class WindowedCountOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

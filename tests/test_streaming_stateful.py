@@ -323,3 +323,54 @@ def test_running_topk_transform_with_state(spark, dirs, tmp_path):
     # top-1 must come from the SECOND file (values 100+) — proves state
     # merged across triggers rather than restarting per batch
     assert max(v for (k, _), v in final.items()) >= 100.0
+
+
+def test_transition_state_chains_across_triggers(spark, dirs):
+    """Per-user last-event state: two ts-ordered micro-batches must
+    yield transition deltas that SUM to the batch lead()-window pair
+    counts — including the cross-batch transition the chaining state
+    exists to capture."""
+    import datetime as dt
+
+    rows1 = [
+        (0, "click", dt.datetime(2024, 1, 1, 0, 0), 1),
+        (1, "view", dt.datetime(2024, 1, 1, 0, 1), 1),
+        (2, "click", dt.datetime(2024, 1, 1, 0, 0, 30), 2),
+    ]
+    rows2 = [
+        (3, "purchase", dt.datetime(2024, 1, 1, 0, 2), 1),
+        (4, "view", dt.datetime(2024, 1, 1, 0, 3), 2),
+        (5, "view", dt.datetime(2024, 1, 1, 0, 4), 2),
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.TransitionCountOp("trans")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from trans_stream").collect():
+            k = (r["user_id"], r["prev_type"], r["next_type"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+
+    batch = {
+        (r["user_id"], r["prev_type"], r["next_type"]): r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # cross-batch chains: user 1 view→purchase, user 2 click→view
+    assert got[(1, "view", "purchase")] == 1
+    assert got[(2, "click", "view")] == 1
+    assert got == batch
