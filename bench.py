@@ -123,6 +123,7 @@ def main() -> None:
         "embedding_random_projection",
         "docs_kn_perplexity",
         "decontaminate_bloom",
+        "neardup_pagerank",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -34,6 +34,8 @@ Ops here:
 - ``decontaminate_bloom`` — Bloom-filter decontamination on the
   portable affine hash family (fully oracled; one-sided, metadata
   filter size at any eval scale).
+- ``neardup_pagerank`` — PageRank over the near-dup graph as ONE
+  unrolled declarative plan (no driver sync; oracled bit-for-bit).
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part
@@ -945,10 +947,127 @@ SELECT doc_id, sum(tf) AS n_hit_ngrams FROM hits GROUP BY doc_id
 DECONTAMINATE_BLOOM_SQL = _bloom_oracle()
 
 
+# ---------------------------------------------------------------------------
+# neardup_pagerank
+
+_PR_DAMP = 0.85
+_PR_ITERS = 2
+_PR_NANO = 1_000_000_000
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-duplicate graph — node
+    centrality identifies the HUB documents of a duplication cluster
+    (the canonical/most-copied text a curator keeps or investigates).
+    ``_PR_ITERS`` power-iteration rounds at damping ``_PR_DAMP`` over
+    the undirected pair graph, restricted to pair members.
+
+    Unlike the driver-synchronized trainers (kmeans, logreg, BPE),
+    the whole iteration unrolls into ONE declarative plan — the
+    rank table is corpus-adjacent (one row per dup-graph node), so it
+    stays distributed and each round is an edges⋈ranks join + rollup,
+    the canonical edge-partitioned PageRank shape (Catalyst sees all
+    rounds and pipelines the shuffles).
+
+    Exactness: each edge contribution p(src)/deg(src) quantizes ONCE
+    to nano-units, so per-node inflow is an order-free integer sum;
+    the update (1−d)/N + d·(S/1e9) is a fixed op sequence on exact
+    inputs; both engines agree bitwise (d and 1−d parse to identical
+    doubles from the same decimal literals).
+
+    100 TB shape: the pair graph is candidate-scale (LSH-bounded, not
+    quadratic); per round ONE shuffle joins ranks onto edges by src
+    [graph-partitioned] and one rollup by dst; degrees computed once.
+    No collect anywhere — ranks never leave the executors.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    pairs = (
+        D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    p = deg.crossJoin(broadcast(nn)).select(
+        "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(p, edges.src == p.node).select(
+            F.col("dst"),
+            F.round(F.col("p") / F.col("deg") * _PR_NANO).cast("long").alias("c"),
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        p = (
+            p.join(inflow, p.node == inflow.dst, "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP)
+                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / _PR_NANO)
+                ).alias("p"),
+            )
+        )
+    return p.select(
+        F.col("node").alias("doc_id"), F.round(F.col("p") * 1000, 6).alias("pagerank_milli")
+    )
+
+
+def _pagerank_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _MINHASH_PAIRS_BODY,
+    )
+
+    it = []
+    prev = "p0"
+    for k in range(1, _PR_ITERS + 1):
+        it.append(f""",
+c{k} AS (
+    SELECT e.dst, CAST(round(p.p / p.deg * {_PR_NANO}) AS BIGINT) AS c
+    FROM edges e JOIN {prev} p ON e.src = p.node
+),
+s{k} AS (SELECT dst, sum(c) AS s FROM c{k} GROUP BY dst),
+p{k} AS (
+    SELECT p.node, p.deg, p.n,
+           {1.0 - _PR_DAMP!r} / p.n
+           + {_PR_DAMP!r} * (CAST(coalesce(s.s, 0) AS DOUBLE) / {_PR_NANO}) AS p
+    FROM {prev} p LEFT JOIN s{k} s ON p.node = s.dst
+)""")
+        prev = f"p{k}"
+    return (
+        _MINHASH_PAIRS_BODY
+        + f""",
+pairs AS (SELECT DISTINCT da, db FROM cand),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+p0 AS (SELECT node, deg, n, 1.0 / n AS p FROM deg CROSS JOIN nn)"""
+        + "".join(it)
+        + f"""
+SELECT node AS doc_id, round(p * 1000, 6) AS pagerank_milli FROM {prev}
+"""
+    )
+
+
+NEARDUP_PAGERANK_SQL = _pagerank_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
     "decontaminate_bloom": decontaminate_bloom,
+    "neardup_pagerank": neardup_pagerank,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,
@@ -961,6 +1080,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
+    "neardup_pagerank": NEARDUP_PAGERANK_SQL,
     "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_SQL,
     "embedding_logreg_score": EMBEDDING_LOGREG_SQL,

@@ -95,7 +95,6 @@ _FRONT = [
     "contrastive_pairs",
     "dedup_exact_substring",
     "cross_source_leakage",
-    "curation_funnel",
     "docs_train_val_split",
     "docs_interp_perplexity",
     "docs_substring_novelty",
@@ -110,6 +109,11 @@ _FRONT = [
     "embedding_random_projection",
     "docs_kn_perplexity",
     "decontaminate_bloom",
+    "neardup_pagerank",
+    # curation_funnel ceded its slot to neardup_pagerank: its stage
+    # predicates are by construction identical to docs_clean_pack
+    # (pass(r2)), so its driver row carries the least independent
+    # signal of the never-checked set.
     # Rotated out at the 50-entry cap (safest slots to cede to
     # never-checked queries): events_json_extract (two green driver
     # rows), embedding_neardup_exact (semantics co-confirmed by

@@ -108,6 +108,7 @@ AUDITED = [
     "embedding_random_projection",
     "docs_kn_perplexity",
     "decontaminate_bloom",
+    "neardup_pagerank",
 ]
 
 JOIN_KINDS = (

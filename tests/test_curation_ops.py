@@ -5,6 +5,8 @@ target-tilt direction."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.plans import llm_ops3 as M
@@ -150,3 +152,51 @@ def test_kn_perplexity_sane_and_discount_active(spark):
     assert all(p > 0 and p < 1e9 for p in kn.values())
     n_diff = sum(1 for d in kn if abs(kn[d] - addk[d]) > 1e-6)
     assert n_diff > len(kn) * 0.9, n_diff
+
+
+def test_neardup_pagerank_matches_python_reference(spark):
+    """The unrolled-plan PageRank must equal a pure-Python power
+    iteration with identical nano-quantized arithmetic on the same
+    pair set — and ranks must form a probability-like vector (sum ≈ 1
+    up to quantization, all positive)."""
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        _PR_DAMP,
+        _PR_ITERS,
+        _PR_NANO,
+        neardup_pagerank,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.minhash_lsh_pairs(
+            load_table(spark, SF_SMOKE, "documents")
+        ).select("doc_id_a", "doc_id_b").distinct().collect()
+    }
+    assert pairs, "no near-dup pairs at sf0.001"
+    edges = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    nodes = sorted(edges)
+    n = len(nodes)
+    p = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for src in nodes:
+            c = p[src] / len(edges[src]) * _PR_NANO
+            q = int(math.floor(c + 0.5)) if c >= 0 else -int(math.floor(-c + 0.5))
+            for dst in edges[src]:
+                inflow[dst] += q
+        p = {
+            v: (1.0 - _PR_DAMP) / n + _PR_DAMP * (float(inflow[v]) / _PR_NANO)
+            for v in nodes
+        }
+    want = {v: round(p[v] * 1000, 6) for v in nodes}
+    got = {r["doc_id"]: r["pagerank_milli"] for r in neardup_pagerank(spark, SF_SMOKE).collect()}
+    assert got == want
+    total = sum(got.values()) / 1000
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(v > 0 for v in got.values())
