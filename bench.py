@@ -124,6 +124,7 @@ def main() -> None:
         "docs_kn_perplexity",
         "decontaminate_bloom",
         "neardup_pagerank",
+        "events_asof_forward",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -320,8 +320,98 @@ WHERE bal_cume >= 0.99
 """
 
 
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click matched to the
+    user's NEXT purchase at-or-after it, but only within 1 hour — the
+    attribution-window operator (did the click convert, and how
+    fast). Complements events_asof_join (backward, unbounded) with
+    the direction and the bounded-gap semantics real attribution
+    uses.
+
+    Same union+window trick, mirrored: tag both streams, sort by
+    (ts, tag) within user (click before purchase at equal ts, so a
+    same-instant purchase matches), carry the FIRST purchase BACKWARD
+    via first(ignorenulls) over [currentRow, unboundedFollowing] —
+    ONE shuffle on user_id, no (click × later-purchase) range
+    explosion. The tolerance is applied after the match: a purchase
+    further than 1 h out reports the sentinel, exactly like a missing
+    one. wait_s is an exact integer second diff — float-free.
+    Oracle: DuckDB native forward ASOF (p.ts >= c.ts) + the same
+    tolerance CASE."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_event_id"))
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            "purchase_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("tag") == 1, F.col("ts"))
+    p_id = F.when(F.col("tag") == 1, F.col("purchase_event_id"))
+    within = F.col("next_p_ts").isNotNull() & (
+        F.col("next_p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        tagged.withColumn("next_p_ts", F.first(p_ts, ignorenulls=True).over(w))
+        .withColumn("next_p_id", F.first(p_id, ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.when(
+                within, F.date_format("next_p_ts", "yyyy-MM-dd HH:mm:ss")
+            ).otherwise("(none)").alias("purchase_ts"),
+            F.when(within, F.col("next_p_id")).otherwise(-1).alias("purchase_event_id"),
+            F.when(
+                within,
+                F.unix_timestamp("next_p_ts") - F.unix_timestamp("ts"),
+            ).otherwise(-1).cast("long").alias("wait_s"),
+        )
+    )
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, min(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts <= c.ts + INTERVAL 1 HOUR
+            THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S') ELSE '(none)' END AS purchase_ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts <= c.ts + INTERVAL 1 HOUR
+            THEN p.purchase_event_id ELSE -1 END AS purchase_event_id,
+       CASE WHEN p.ts IS NOT NULL AND p.ts <= c.ts + INTERVAL 1 HOUR
+            THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT) ELSE -1 END AS wait_s
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
+    "events_asof_forward": events_asof_forward,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
     "lineitem_price_stats": lineitem_price_stats,
@@ -333,6 +423,7 @@ QUERIES = {
 
 ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "lineitem_price_stats": LINEITEM_PRICE_STATS_SQL,

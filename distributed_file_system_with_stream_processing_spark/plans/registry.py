@@ -95,7 +95,6 @@ _FRONT = [
     "contrastive_pairs",
     "dedup_exact_substring",
     "cross_source_leakage",
-    "docs_train_val_split",
     "docs_interp_perplexity",
     "docs_substring_novelty",
     # new this continuation (llm_ops5 — oracled; the rows-only
@@ -110,6 +109,10 @@ _FRONT = [
     "docs_kn_perplexity",
     "decontaminate_bloom",
     "neardup_pagerank",
+    "events_asof_forward",
+    # docs_train_val_split ceded its slot to events_asof_forward: the
+    # split is a single portable-hash projection whose oracle is the
+    # least likely of the never-checked set to diverge by engine.
     # curation_funnel ceded its slot to neardup_pagerank: its stage
     # predicates are by construction identical to docs_clean_pack
     # (pass(r2)), so its driver row carries the least independent

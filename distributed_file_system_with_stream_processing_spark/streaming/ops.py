@@ -172,6 +172,67 @@ class TransitionCountOp:
         )
 
 
+@dataclass
+class QuotaSampleOp:
+    """Per-key INGESTION QUOTA — stateful admission control: admit at
+    most ``quota`` rows per key across the whole stream (the
+    first-N-per-source cap a mixing pipeline applies at ingest, e.g.
+    'at most 1M docs from any single crawl host'). State per key is
+    one running count; each trigger sorts its arrivals by ``order_col``
+    so admission is deterministic, admits until the key's quota is
+    exhausted, and drops the rest — a stateful FILTER, the third
+    state shape next to running totals and sequence chaining.
+
+    Batch twin (``__call__``): row_number window per key over the same
+    order ≤ quota. For id-ordered arrival the streamed admissions
+    equal the batch window exactly (pinned in
+    tests/test_streaming_stateful.py).
+    """
+
+    name: str
+    key_col: str
+    order_col: str
+    quota: int
+    key_type: str = "string"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.key_col).orderBy(self.order_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.quota)
+            .select(self.key_col, self.order_col)
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        kcol, ocol, quota = self.key_col, self.order_col, self.quota
+        out_schema = f"{kcol} {self.key_type}, {ocol} long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            taken = state.get[0] if state.exists else 0
+            room = max(quota - taken, 0)
+            if not parts or room == 0:
+                if parts:
+                    state.update((taken + 0,))
+                yield pd.DataFrame([], columns=[kcol, ocol])
+                return
+            pdf = pd.concat(parts).sort_values(ocol)
+            admitted = pdf.head(room)
+            state.update((taken + len(admitted),))
+            yield admitted[[kcol, ocol]]
+
+        return df.groupBy(kcol).applyInPandasWithState(
+            update, out_schema, "taken long", "update", GroupStateTimeout.NoTimeout
+        )
+
+
 def dedup_by(keys: list[str], ts_col: str | None = None, watermark: str = "1 hour") -> TransformOp:
     """Ingest dedup on key columns — the op-level twin of the
     reference's UploadedBatchLineNumbers set (reference
@@ -215,7 +276,7 @@ class WindowedCountOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -109,6 +109,7 @@ AUDITED = [
     "docs_kn_perplexity",
     "decontaminate_bloom",
     "neardup_pagerank",
+    "events_asof_forward",
 ]
 
 JOIN_KINDS = (

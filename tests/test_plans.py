@@ -128,6 +128,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # same shape: KN's (D, N1+(··)) constants ride one 1-row
         # BuildRight broadcast onto the gram-count table
         "docs_kn_perplexity",
+        # same shape: PageRank's 1-row node-count broadcast seeds the
+        # initial rank column on the degree table
+        "neardup_pagerank",
         # same shape: TF-IDF retrieval's 1-row doc-count broadcast
         # onto the vocab-scale df table
         "tfidf_retrieval_topk",

@@ -374,3 +374,41 @@ def test_transition_state_chains_across_triggers(spark, dirs):
     assert got[(1, "view", "purchase")] == 1
     assert got[(2, "click", "view")] == 1
     assert got == batch
+
+
+def test_quota_sample_caps_per_key_across_triggers(spark, dirs):
+    """Stateful admission: quota=3 per key; trigger 1 admits 2, so
+    trigger 2 may admit only 1 more — and the admitted set equals the
+    batch row_number()<=quota window for id-ordered arrival."""
+    schema = "source string, doc_id long"
+    rows1 = [("a", 1), ("a", 2), ("b", 1)]
+    rows2 = [("a", 3), ("a", 4), ("a", 5), ("b", 2)]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.QuotaSampleOp("quota", key_col="source", order_col="doc_id", quota=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("quota_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        streamed = {
+            (r["source"], r["doc_id"])
+            for r in spark.sql("select * from quota_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r["source"], r["doc_id"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert streamed == batch
+    assert streamed == {("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2)}
