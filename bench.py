@@ -125,6 +125,7 @@ def main() -> None:
         "decontaminate_bloom",
         "neardup_pagerank",
         "events_asof_forward",
+        "dedup_agreement_matrix",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -750,7 +750,14 @@ def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v_tbl, "v")
         .crossJoin(broadcast(consts))
     )
-    disc = F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2"))
+    # guard: a corpus with no singleton/doubleton bigrams (possible on
+    # repetitive synthetic text at larger SF) has n1+2n2 = 0 — the
+    # estimated discount degenerates to 0 (pure MLE, no continuation
+    # mass), the standard fallback, instead of a divide-by-zero
+    _kn_den = F.col("n1") + 2 * F.col("n2")
+    disc = F.when(
+        _kn_den > 0, F.col("n1").cast("double") / _kn_den
+    ).otherwise(F.lit(0.0))
     p = (
         F.greatest(F.col("c") - disc, F.lit(0.0)) / F.col("cu")
         + (disc * F.col("n1u") / F.col("cu"))
@@ -801,9 +808,9 @@ consts AS (
 model AS (
     SELECT g.gram,
            CAST(round(ln(
-               greatest(g.c - (CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2)), 0.0)
+               greatest(g.c - (CASE WHEN (k.n1 + 2 * k.n2) > 0 THEN CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2) ELSE 0.0 END), 0.0)
                    / u.cu
-               + ((CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2)) * u.n1u / u.cu)
+               + ((CASE WHEN (k.n1 + 2 * k.n2) > 0 THEN CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2) ELSE 0.0 END) * u.n1u / u.cu)
                  * (CAST(v.nv AS DOUBLE) / k.nb)
            ) * {_KN_MICRO}) AS BIGINT) AS l_mu
     FROM cbg g
@@ -1063,11 +1070,80 @@ SELECT node AS doc_id, round(p * 1000, 6) AS pagerank_milli FROM {prev}
 NEARDUP_PAGERANK_SQL = _pagerank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# dedup_agreement_matrix
+
+
+def dedup_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-METHOD dedup agreement: how much do the four duplicate
+    detectors (exact-hash, MinHash-LSH, SimHash, exact-substring)
+    agree on WHICH documents are implicated? The QA dashboard a
+    curator reads before choosing the production recipe — a method
+    pair with low overlap means they catch different duplication
+    modes (verbatim vs near-dup vs quoted spans), high overlap means
+    one is redundant.
+
+    flagged(method) = docs participating in ≥1 dup relation under
+    that method (group members for exact; pair endpoints for the
+    rest). Output: (method_a, method_b, n_both) for every ordered
+    pair incl. the diagonal (= n_flagged).
+
+    100 TB shape: each method's pair/group backbone is its own
+    documented bounded plan (LSH-banded, never quadratic); the
+    flagged-doc union is dup-scale, the self-join key is doc_id over
+    that reduced table, and the matrix rollup key has 4² cardinality.
+    One corpus read feeds all four detectors (shared scan via the
+    repeated documents load — Catalyst reuses the exchange where the
+    backbones align).
+
+    Rows-only for the driver (a four-way chained oracle would be a
+    renaming exercise, not a semantics check); the HARD check is
+    tests/test_curation_ops.py: the matrix equals the set algebra
+    computed independently from each registered method's own
+    (driver-hash-checked) output.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        dedup_exact_substring,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # exact_dedup exposes (hash, canonical, n_copies) groups; the
+    # member list comes from the SAME normalization (functions.text)
+    norm = F.md5(T.norm_text(F.col("text")))
+    eh = docs.select("doc_id", norm.alias("h"))
+    dup_h = eh.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    exact = eh.join(dup_h.select("h"), "h").select("doc_id")
+
+    def endpoints(pairs: DataFrame, a: str, b: str) -> DataFrame:
+        return pairs.select(F.col(a).alias("doc_id")).union(
+            pairs.select(F.col(b).alias("doc_id"))
+        )
+
+    mh = endpoints(D.minhash_lsh_pairs(docs), "doc_id_a", "doc_id_b")
+    sh = endpoints(D.simhash_pairs(docs, n=3, max_hamming=3), "doc_id_a", "doc_id_b")
+    ss = endpoints(dedup_exact_substring(spark, sf_dir), "doc_id_a", "doc_id_b")
+
+    tagged = None
+    for method, df in (("exact", exact), ("minhash", mh), ("simhash", sh), ("substring", ss)):
+        t = df.distinct().select(F.lit(method).alias("method"), "doc_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    a = tagged.select(F.col("method").alias("method_a"), "doc_id")
+    b = tagged.select(F.col("method").alias("method_b"), "doc_id")
+    return (
+        a.join(b, "doc_id")
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
     "decontaminate_bloom": decontaminate_bloom,
     "neardup_pagerank": neardup_pagerank,
+    "dedup_agreement_matrix": dedup_agreement_matrix,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,

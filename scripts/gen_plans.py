@@ -110,6 +110,7 @@ AUDITED = [
     "decontaminate_bloom",
     "neardup_pagerank",
     "events_asof_forward",
+    "dedup_agreement_matrix",
 ]
 
 JOIN_KINDS = (

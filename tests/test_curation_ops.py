@@ -200,3 +200,91 @@ def test_neardup_pagerank_matches_python_reference(spark):
     total = sum(got.values()) / 1000
     assert abs(total - 1.0) < 1e-3, total
     assert all(v > 0 for v in got.values())
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """P(next|prev) must sum to 1 per prev_type (within rounding) and
+    every count must be consistent with its row total."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        events_transition_matrix,
+    )
+
+    rows = events_transition_matrix(spark, SF_SMOKE).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+        assert r["n"] > 0 and 0 < r["p"] <= 1
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-4, (prev, tot)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """Weights must sum to 1, and alpha<1 must UP-weight small sources
+    relative to proportional sampling: every below-average source gets
+    weight > its token share, every above-average source gets less."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        source_temperature_mix,
+    )
+
+    rows = source_temperature_mix(spark, SF_SMOKE).collect()
+    assert rows
+    total_w = sum(r["weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4, total_w
+    total_tok = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        share = r["n_tokens"] / total_tok
+        if share < 1.0 / len(rows) * 0.95:
+            assert r["weight"] > share, (r["source"], r["weight"], share)
+        elif share > 1.0 / len(rows) * 1.05:
+            assert r["weight"] < share, (r["source"], r["weight"], share)
+
+
+def test_dedup_agreement_matrix_equals_set_algebra(spark):
+    """The matrix must equal the set algebra computed independently
+    from each method's own registered output (exact recomputed with
+    the same normalization in pure Python)."""
+    import re
+
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        dedup_exact_substring,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        dedup_agreement_matrix,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    norm: dict[str, list[int]] = {}
+    for r in docs.select("doc_id", "text").collect():
+        key = re.sub(r"\s+", " ", r["text"]).strip().lower()
+        norm.setdefault(key, []).append(r["doc_id"])
+    sets = {"exact": {i for ids in norm.values() if len(ids) > 1 for i in ids}}
+
+    def eps(rows):
+        out = set()
+        for r in rows:
+            out.add(r["doc_id_a"])
+            out.add(r["doc_id_b"])
+        return out
+
+    sets["minhash"] = eps(D.minhash_lsh_pairs(docs).collect())
+    sets["simhash"] = eps(D.simhash_pairs(docs, n=3, max_hamming=3).collect())
+    sets["substring"] = eps(dedup_exact_substring(spark, SF_SMOKE).collect())
+
+    want = {
+        (a, b): len(sets[a] & sets[b])
+        for a in sets
+        for b in sets
+        if sets[a] and sets[b]
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    got = {
+        (r["method_a"], r["method_b"]): r["n_both"]
+        for r in dedup_agreement_matrix(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # methods disagree somewhere, or the dashboard would be pointless
+    diag = {m: got.get((m, m), 0) for m in sets}
+    offdiag = [v for (a, b), v in got.items() if a != b]
+    assert any(v < max(diag.values()) for v in offdiag), got
