@@ -1138,12 +1138,65 @@ def dedup_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# bpe_compression_curve
+
+_BC_MERGES = 8
+
+
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: corpus-weighted average tokens-per-word
+    and total token count after EVERY merge depth 0..``_BC_MERGES`` —
+    the diagnostic that tells you where additional BPE merges stop
+    paying (the knee of the compression curve).
+
+    One fused evaluation pass: train once (operators/bpe.bpe_train),
+    then ONE scan of the word table computes a token-count column per
+    prefix depth (the k-rule fold compositions live side by side in a
+    single projection) and ONE aggregate folds all depths' weighted
+    sums — instead of _BC_MERGES+1 separate apply jobs. Monotonicity
+    (each merge can only shrink token counts) is pinned in
+    tests/test_bpe.py along with exactness vs the pure-Python
+    reference at every depth. Rows-only for the driver (iterative
+    training has no SQL oracle).
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = B.bpe_train(docs, n_merges=_BC_MERGES)
+    wt = B.word_table(docs).withColumn("syms", B.chars_of(F.col("word")))
+    cols = []
+    col = F.col("syms")
+    cols.append(F.size(col).alias("k0"))
+    for r in sorted(rules, key=lambda r: r["rank"]):
+        col = B.merge_pair(col, r["left"], r["right"])
+        cols.append(F.size(col).alias(f"k{r['rank']}"))
+    staged = wt.select("n", *cols)
+    agg = staged.agg(
+        F.sum("n").alias("n_words"),
+        *[F.sum(F.col(f"k{k}") * F.col("n")).alias(f"t{k}") for k in range(len(cols))],
+    ).collect()[0]
+    n_words = agg["n_words"]
+    rows = [
+        (
+            k,
+            int(agg[f"t{k}"]),
+            round(agg[f"t{k}"] / n_words, 6),
+        )
+        for k in range(len(cols))
+    ]
+    return spark.createDataFrame(
+        rows, "n_merges long, total_tokens long, tokens_per_word double"
+    )
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
     "decontaminate_bloom": decontaminate_bloom,
     "neardup_pagerank": neardup_pagerank,
     "dedup_agreement_matrix": dedup_agreement_matrix,
+    "bpe_compression_curve": bpe_compression_curve,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,

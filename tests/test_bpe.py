@@ -185,3 +185,27 @@ def test_bpe_tokenize_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bpe_tok_stream").collect()
     }
     assert streamed == batch
+
+
+def test_bpe_compression_curve_exact_and_monotone(spark):
+    """The fused one-scan curve must equal the Python reference's
+    weighted token totals at EVERY merge depth, and be monotone
+    non-increasing (a merge can only shrink token counts)."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        bpe_compression_curve,
+    )
+
+    wc = _word_counts(spark)
+    got = {
+        r["n_merges"]: (r["total_tokens"], r["tokens_per_word"])
+        for r in bpe_compression_curve(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(range(9))
+    n_words = sum(wc.values())
+    for k in range(9):
+        _, syms = _py_bpe(wc, k)
+        total = sum(len(s) * n for w, n in wc.items() for s in [syms[w]])
+        assert got[k][0] == total, (k, got[k][0], total)
+        assert got[k][1] == round(total / n_words, 6)
+    totals = [got[k][0] for k in range(9)]
+    assert all(a >= b for a, b in zip(totals, totals[1:]))
