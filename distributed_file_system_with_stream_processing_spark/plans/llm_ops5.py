@@ -915,6 +915,27 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("doc_id").agg(F.sum("tf").alias("n_hit_ngrams"))
 
 
+def bloom_bits(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """Collect the eval set's Bloom set-bit positions per hash row —
+    the metadata-scale model artifact (≤ K·M ints at any eval size)
+    the streaming gate bakes in as literals
+    (streaming/rainstorm.bloom_gate_stream)."""
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    ev = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    rows = (
+        D._exploded_shingles(ev, "doc_id", "text", 3)
+        .select(F.explode(_bloom_positions(F.col("s"))).alias("rp"))
+        .select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .distinct()
+        .collect()
+    )
+    out: dict[int, list[int]] = {}
+    for r in rows:
+        out.setdefault(r["row"], []).append(r["pos"])
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _bloom_oracle() -> str:
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
         _duck_shingles,

@@ -499,6 +499,62 @@ def winnow_stream(
     )
 
 
+def bloom_gate_stream(
+    docs: DataFrame,
+    bloom_bits: dict[int, list[int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming BLOOM decontamination gate — the stateless-probe twin
+    of ``plans.llm_ops5.decontaminate_bloom``: the eval set's Bloom
+    bit positions (built batch-side, metadata at ANY eval size) bake
+    in as per-hash-row ARRAY LITERALS, so each arriving doc's
+    contaminated-shingle count is a pure column expression — a
+    size(filter(shingles, all-k-bits-set)) fold with the portable
+    affine hash family inline. Append mode, no state store, no join
+    (the bm25/dsir/logreg score-stream stance; at production bit
+    counts the literal array probe becomes a broadcast join or a
+    bitmap UDF — the semantics are identical).
+
+    Emits (doc_id, n_hit_ngrams) for docs with ≥1 hit — row-for-row
+    equal to the batch query on bounded input (same hash family, same
+    distinct-shingle counting), pinned at availableNow boundaries in
+    tests/test_rainstorm_streaming.py."""
+    from functools import reduce as _reduce
+
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    lits = {k: F.lit(sorted(bloom_bits.get(k, []))) for k in range(_BLOOM_K)}
+
+    def hit(s):
+        conds = []
+        for k in range(_BLOOM_K):
+            a, b = T.mh_params(100 + k)
+            pos = (
+                (F.lit(a) * T.hash32(s) + F.lit(b))
+                % F.lit(T.MINHASH_PRIME)
+                % F.lit(_BLOOM_M)
+            )
+            conds.append(F.array_contains(lits[k], pos))
+        return _reduce(lambda x, y: x & y, conds)
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), n).alias("sh")
+    )
+    return (
+        staged.select(
+            "doc_id",
+            F.size(F.filter(F.col("sh"), hit)).cast("long").alias("n_hit_ngrams"),
+        )
+        .filter(F.col("n_hit_ngrams") > 0)
+    )
+
+
 def logreg_score_stream(
     emb: DataFrame,
     w: list[float],

@@ -938,3 +938,50 @@ def test_substring_indexed_stream_matches_batch_novelty(spark, tmp_path):
             .collect()
         }
         assert got == expected, ckpt
+
+
+def test_bloom_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming Bloom decontamination gate (eval bits as literals,
+    append mode, no state): the streamed (doc_id, n_hit_ngrams) rows
+    across micro-batches must equal the batch decontaminate_bloom
+    query on the same corpus."""
+    import os
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        bloom_bits,
+        decontaminate_bloom,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        bloom_gate_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    bits = bloom_bits(spark, SF_SMOKE)
+    batch = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    assert batch
+
+    tr = load_table(spark, SF_SMOKE, "documents").filter("doc_id % 97 != 0")
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    tr.filter("doc_id % 2 = 0").select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    tr.filter("doc_id % 2 = 1").select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        bloom_gate_stream(stream, bits)
+        .writeStream.format("memory")
+        .queryName("bloom_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in spark.sql("SELECT * FROM bloom_gate").collect()
+    }
+    assert streamed == batch
