@@ -340,6 +340,66 @@ class TableStore:
                 df = df.unionByName(part.select(cols))
         return df
 
+    def diff(self, name: str, seq_from: str, seq_to: str) -> DataFrame:
+        """Change-data capture between two snapshot points: exactly the
+        rows appended with ``seq_from < _append_seq <= seq_to`` — the
+        incremental feed a downstream consumer reads instead of
+        re-scanning the table (``get_as_of(seq_to)`` minus
+        ``get_as_of(seq_from)`` for an append-only log, computed by
+        batch/row pruning, never an anti-join). ``seq_from = ''``
+        means "since the base" (every append up to ``seq_to``).
+
+        Same folded-history contract as ``get_as_of``: a merge
+        materializes the log, so a window that starts before
+        ``merged_thru()`` raises instead of silently under-reporting.
+        """
+        if not self.exists(name):
+            raise TableStoreError(f"table doesn't exist ({name})")
+        if seq_to < seq_from:
+            raise TableStoreError(f"empty diff window ({seq_from!r} > {seq_to!r})")
+        floor = self.merged_thru(name)
+        if seq_from < floor and seq_from != "" and floor != "":
+            raise TableStoreError(
+                f"diff start {seq_from!r} predates last merge point {floor!r} "
+                f"({name}); pre-merge history is folded into the base"
+            )
+        if seq_from == "" and floor != "":
+            raise TableStoreError(
+                f"diff since base unavailable: appends up to {floor!r} are "
+                f"folded into the base ({name})"
+            )
+        cols = None
+        out = None
+        for batch in self._append_batches(name):
+            part = None
+            if seq_from < batch <= seq_to:
+                part = self.spark.read.parquet(
+                    os.path.join(self._appends_dir(name), batch)
+                )
+            elif batch <= seq_from:
+                # a compacted batch is named by its EARLIEST folded
+                # stamp; rows later than seq_from may live inside it
+                maybe = self.spark.read.parquet(
+                    os.path.join(self._appends_dir(name), batch)
+                )
+                if "_append_seq" in maybe.columns:
+                    part = maybe
+            if part is None:
+                continue
+            if "_append_seq" in part.columns:
+                part = part.filter(
+                    (F.col("_append_seq") > seq_from)
+                    & (F.col("_append_seq") <= seq_to)
+                ).drop("_append_seq")
+            if cols is None:
+                cols = part.columns
+            part = part.select(cols)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            base = self.spark.read.parquet(self._base_dir(name))
+            return base.limit(0)
+        return out
+
     def _invalidate(self, name: str) -> None:
         """Drop cached reads of ``name`` (write-invalidate, as the
         reference client cache does on create/append)."""

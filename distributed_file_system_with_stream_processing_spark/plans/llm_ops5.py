@@ -1211,6 +1211,62 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_lang
+
+_FL_MERGES = 4
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility: weighted tokens-per-word under
+    (a) each language's OWN BPE rules (the fused per-lang trainer) vs
+    (b) one GLOBAL vocabulary at the same merge budget — the dashboard
+    that quantifies what per-language vocabularies buy each language
+    (multilingual models pay fertility tax exactly where this gap is
+    widest).
+
+    One evaluation scan: the (lang, word, n) table gets TWO token-count
+    columns side by side — the own-rules count via a lang-dispatched
+    fold chain, the global count via the shared chain — and one
+    grouped aggregate folds both weighted sums per language. Rows-only
+    (iterative training); exactness at every (lang, depth) is pinned
+    against the pure-Python reference in tests/test_bpe.py.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = B.bpe_train_per_lang(docs, n_merges=_FL_MERGES)
+    glob = B.bpe_train(docs, n_merges=_FL_MERGES)
+    wt = B.word_table_by_lang(docs).withColumn("syms", B.chars_of(F.col("word")))
+
+    def chain(rules):
+        col = F.col("syms")
+        for r in sorted(rules, key=lambda r: r["rank"]):
+            col = B.merge_pair(col, r["left"], r["right"])
+        return col
+
+    # lang-dispatched own-rules token count; a lang with no trained
+    # rules (unseen) falls back to its raw character count
+    own = F.size(F.col("syms"))
+    for lang in sorted(per):
+        own = F.when(F.col("lang") == lang, F.size(chain(per[lang]))).otherwise(own)
+    agg = (
+        wt.select("lang", "n", own.alias("k_own"), F.size(chain(glob)).alias("k_glob"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("k_own") * F.col("n")).alias("t_own"),
+            F.sum(F.col("k_glob") * F.col("n")).alias("t_glob"),
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("t_own") / F.col("n_words"), 6).alias("tpw_own_vocab"),
+        F.round(F.col("t_glob") / F.col("n_words"), 6).alias("tpw_global_vocab"),
+    )
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1218,6 +1274,7 @@ QUERIES = {
     "neardup_pagerank": neardup_pagerank,
     "dedup_agreement_matrix": dedup_agreement_matrix,
     "bpe_compression_curve": bpe_compression_curve,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,

@@ -209,3 +209,37 @@ def test_bpe_compression_curve_exact_and_monotone(spark):
         assert got[k][1] == round(total / n_words, 6)
     totals = [got[k][0] for k in range(9)]
     assert all(a >= b for a, b in zip(totals, totals[1:]))
+
+
+def test_bpe_fertility_by_lang_exact(spark):
+    """Per-language fertility dashboard: both columns must equal the
+    Python reference — own = per-lang BPE on the lang's word counts,
+    global = corpus BPE applied to the same words."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        bpe_fertility_by_lang,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc_by_lang: dict[str, collections.Counter] = {}
+    wc_all = collections.Counter()
+    for r in docs.select("lang", "text").collect():
+        for w in r["text"].split():
+            wc_by_lang.setdefault(r["lang"], collections.Counter())[w.lower()] += 1
+            wc_all[w.lower()] += 1
+
+    _, glob_syms = _py_bpe(wc_all, 4)
+    got = {
+        r["lang"]: (r["n_words"], r["tpw_own_vocab"], r["tpw_global_vocab"])
+        for r in bpe_fertility_by_lang(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(wc_by_lang)
+    for lang, wc in wc_by_lang.items():
+        n_words = sum(wc.values())
+        _, own_syms = _py_bpe(wc, 4)
+        t_own = sum(len(own_syms[w]) * n for w, n in wc.items())
+        t_glob = sum(len(glob_syms[w]) * n for w, n in wc.items())
+        assert got[lang] == (
+            n_words,
+            round(t_own / n_words, 6),
+            round(t_glob / n_words, 6),
+        ), lang

@@ -329,3 +329,40 @@ def test_python_datasource_matches_tablestore_get(spark, tmp_path):
     assert got == want and len(got) == 5
     # parallelism contract: one split per data file (>= 3 batches here)
     assert via_ds.rdd.getNumPartitions() >= 3
+
+
+def test_diff_cdc_windows(store, spark):
+    """diff(a, b) = exactly the rows appended in (a, b] — the CDC feed;
+    windows compose (diff('',s1) ∪ diff(s1,s2) == all appends), survive
+    compaction (per-row _append_seq pruning), and refuse windows folded
+    away by merge."""
+    store.create("t", _df(spark, [(1, "base")]))
+    s1 = store.append("t", _df(spark, [(2, "a1")]))
+    s2 = store.append("t", _df(spark, [(3, "a2"), (4, "a2")]))
+    s3 = store.append("t", _df(spark, [(5, "a3")]))
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(store.diff("t", "", s1)) == [2]
+    assert ids(store.diff("t", s1, s2)) == [3, 4]
+    assert ids(store.diff("t", s1, s3)) == [3, 4, 5]
+    assert ids(store.diff("t", s3, s3)) == []
+    # windows compose to the full append log (base excluded)
+    assert ids(store.diff("t", "", s1)) + ids(store.diff("t", s1, s3)) == [2, 3, 4, 5]
+
+    # compaction folds batches but keeps per-row stamps -> same diffs
+    store.compact_appends("t")
+    assert ids(store.diff("t", s1, s2)) == [3, 4]
+    assert ids(store.diff("t", s2, s3)) == [5]
+
+    # merge folds history into the base: pre-merge windows refuse
+    store.merge("t")
+    with pytest.raises(TableStoreError, match="folded|predates"):
+        store.diff("t", "", s3)
+    with pytest.raises(TableStoreError, match="predates"):
+        store.diff("t", s1, s3)
+    # post-merge appends diff normally from the merge point
+    s4 = store.append("t", _df(spark, [(6, "a4")]))
+    assert ids(store.diff("t", s3, s4)) == [6]
+
+    with pytest.raises(TableStoreError, match="empty diff window"):
+        store.diff("t", s4, s3)
