@@ -437,16 +437,19 @@ def _pq_search(
     k: int,
     rerank_factor: int,
     e_rerank: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The PQ pipeline on a prepared (id, v) frame — shared by the
     plain path (pq_topk) and the rotated path (opq_topk, which hands
     in PCA-rotated vectors for train/encode/coarse but re-ranks on
     ``e_rerank`` = the ORIGINAL vectors: rotation preserves cosine
     exactly, so the re-rank is semantically identical and skips a
-    full rotated-table recomputation)."""
+    full rotated-table recomputation). Pre-trained ``books`` skip the
+    Lloyd passes (the alternating-OPQ path trains its own)."""
     if e_rerank is None:
         e_rerank = e
-    books = _pq_fit_codebooks(_spread(e), m, sub, codes, iters)
+    if books is None:
+        books = _pq_fit_codebooks(_spread(e), m, sub, codes, iters)
     code_exprs = [
         f"CAST({_argmin_expr(f'slice(v, {j * sub + 1}, {sub})', books[j])} AS INT) AS c{j}"
         for j in range(m)
@@ -612,6 +615,7 @@ def opq_topk(
     k: int = 5,
     rerank_factor: int = 12,
     dim: int = 64,
+    opt_iters: int = 0,
 ) -> DataFrame:
     """ANN via OPTIMIZED product quantization: PCA-rotate every vector
     into an eigenvalue-balanced basis, then run the identical PQ
@@ -619,7 +623,12 @@ def opq_topk(
     orthonormal, so L2 / inner products / cosine are exactly preserved
     — recall can only change through QUANTIZATION error, which the
     balanced subspaces reduce (the OPQ claim; the sweep test pins
-    recall ≥ the plain-PQ floor on the fixture).
+    recall ≥ the plain-PQ floor on the fixture). ``opt_iters`` > 0
+    adds full Ge-et-al. alternations (Procrustes rotation ↔ codebook
+    retrain, opq_train) — quantization error is then monotone
+    non-increasing per alternation (pinned in tests/test_ann.py); the
+    registered query keeps the init-only default for bench-cost
+    parity with plain PQ.
 
     100 TB shape: rotation TRAINING is one shuffle-free scan emitting
     dim² partials per partition; rotation APPLY is a pure map (matrix
@@ -629,7 +638,13 @@ def opq_topk(
     documented PQ census (zero-shuffle encode, broadcast LUT coarse
     pass, candidate-broadcast re-rank)."""
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    rot = opq_rotation(_spread(e), dim, m)
+    if opt_iters > 0:
+        rot, books, _trace = opq_train(
+            _spread(e), dim, m, codes, iters, opt_iters=opt_iters
+        )
+    else:
+        rot = opq_rotation(_spread(e), dim, m)
+        books = None
     # persist the rotated table: codebook training (iters+1 passes) and
     # the encode pass all read it, and each recomputation would redo
     # the d² interpreted matmul per row (measured 7.7 s → the PQ-family
@@ -637,5 +652,86 @@ def opq_topk(
     # once the query's references drop — the kmeans cache stance.
     re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
     return _pq_search(
-        re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor, e_rerank=e
+        re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor,
+        e_rerank=e, books=books,
     )
+
+
+def _procrustes_pass(e: DataFrame, rot, books, dim: int, m: int, sub: int):
+    """One OPQ ALTERNATION (Ge et al. 2014 §3.2, the non-parametric
+    solver): with codebooks fixed, the optimal orthonormal rotation
+    minimizing Σ‖R·x − x̂‖² is the orthogonal-Procrustes solution
+    R = U·Vᵀ from SVD(Σ x̂ xᵀ). The correlation matrix accumulates
+    DISTRIBUTED: one Arrow ``mapInPandas`` pass encodes each
+    partition's vectors under the current (R, codebooks) in numpy and
+    emits a dim×dim partial (plus the partition's quantization-error
+    sum) — the same shuffle-free reduction as the second-moment pass.
+    Returns (R_new, total_sq_err, n)."""
+    import numpy as np
+    import pandas as pd
+
+    R = np.array(rot)
+    B = [np.array(b) for b in books]
+
+    def part(it):
+        c = np.zeros((dim, dim), dtype=np.float64)
+        err = 0.0
+        n = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Y = X @ R.T  # rotated
+            Yhat = np.empty_like(Y)
+            for j in range(m):
+                S = Y[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                Yhat[:, j * sub : (j + 1) * sub] = B[j][d2.argmin(axis=1)]
+            c += Yhat.T @ X  # Σ x̂ xᵀ in original coordinates
+            err += float(((Y - Yhat) ** 2).sum())
+            n += X.shape[0]
+        yield pd.DataFrame({"c": [c.reshape(-1).tolist()], "e": [err], "n": [n]})
+
+    rows = e.select("v").mapInPandas(part, "c array<double>, e double, n long").collect()
+    C = np.zeros((dim, dim), dtype=np.float64)
+    err = 0.0
+    n = 0
+    for r in rows:
+        C += np.array(r["c"], dtype=np.float64).reshape(dim, dim)
+        err += r["e"]
+        n += r["n"]
+    U, _, Vt = np.linalg.svd(C)
+    return (U @ Vt).tolist(), err, n
+
+
+def opq_train(
+    e: DataFrame,
+    dim: int,
+    m: int,
+    codes: int,
+    iters: int,
+    opt_iters: int = 0,
+):
+    """Full OPQ training: eigenvalue-allocation PCA init (opq_rotation)
+    + ``opt_iters`` alternations of [Procrustes rotation update ↔
+    codebook retrain on the re-rotated vectors]. Each half-step
+    minimizes the SHARED objective Σ‖R·x − x̂‖² with the other half
+    fixed, so the quantization error is monotone non-increasing — the
+    paper's convergence argument, pinned as a test. Returns
+    (rotation, codebooks, error_trace); error_trace[i] is the total
+    squared quantization error entering alternation i (length
+    opt_iters, measured before each rotation update)."""
+    sub = dim // m
+    rot = opq_rotation(e, dim, m)
+    re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
+    books = _pq_fit_codebooks(re_, m, sub, codes, iters)
+    trace = []
+    for _ in range(opt_iters):
+        rot_new, err, _n = _procrustes_pass(e, rot, books, dim, m, sub)
+        trace.append(err)
+        rot = rot_new
+        re_.unpersist()
+        re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
+        books = _pq_fit_codebooks(re_, m, sub, codes, iters)
+    re_.unpersist()
+    return rot, books, trace

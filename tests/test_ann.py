@@ -494,3 +494,51 @@ def test_pca_spectrum_matches_numpy(spark):
         ev, pct = got[i + 1]
         assert abs(ev - vals[i]) < 1e-6, (i, ev, vals[i])
         assert abs(pct - 100.0 * cum / tot) < 1e-3
+
+
+def test_opq_alternations_monotonically_reduce_quantization_error(spark):
+    """The OPQ convergence argument (Ge et al. §3.2): each alternation
+    [Procrustes rotation ↔ codebook retrain] minimizes the shared
+    objective Σ‖R·x − x̂‖² with the other half fixed, so the error
+    entering successive alternations must be non-increasing — and the
+    final rotation must still be orthonormal."""
+    import numpy as np
+
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    rot, books, trace = C.opq_train(e, dim=64, m=8, codes=16, iters=2, opt_iters=3)
+    assert len(trace) == 3
+    assert all(a >= b - 1e-6 for a, b in zip(trace, trace[1:])), trace
+    R = np.array(rot)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-8
+    # and the final (R, codebooks) pair measures an error no worse
+    # than the one entering the last alternation
+    _, final_err, n = C._procrustes_pass(e, rot, books, 64, 8, 8)
+    assert n == e.count()
+    assert final_err <= trace[-1] + 1e-6, (final_err, trace)
+
+
+def test_opq_alternating_recall_holds_floor(spark):
+    """The full alternating path (opt_iters=1) must keep the family
+    recall floor and the planted-copy property end to end."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, query_ids_below=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in C.opq_topk(emb, query_ids_below=10, k=5, opt_iters=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, recall
