@@ -36,6 +36,12 @@ Ops here:
   filter size at any eval scale).
 - ``neardup_pagerank`` — PageRank over the near-dup graph as ONE
   unrolled declarative plan (no driver sync; oracled bit-for-bit).
+- ``dedup_agreement_matrix`` — cross-method dedup overlap dashboard
+  (rows-only; set-algebra hard check).
+- ``bpe_compression_curve`` — all-merge-depth tokenizer budget in one
+  fused scan (rows-only, reference-exact).
+- ``bpe_fertility_by_lang`` — per-language own-vs-global vocabulary
+  fertility (rows-only, reference-exact).
 
 The reference engine streams text lines through RainStorm operators
 (reference rainstorm/rainstorm.go:307-355); everything here is part

@@ -237,3 +237,70 @@ def test_exact_substring_detects_any_verbatim_duplicate(spark, words):
             for r in dedup_exact_substring(spark, d).collect()
         }
     assert pairs.get((0, 1)) == n_windows and n_windows >= 1
+
+
+ev_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.sampled_from(["click", "view", "buy"]),
+        st.integers(0, 1_000),  # ts offset seconds
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(data=ev_rows, split=st.integers(0, 1_000))
+@settings(**SETTINGS)
+def test_transition_counts_decompose_at_any_split(spark, data, split):
+    """For ANY event set and ANY time split: the batch lead()-window
+    transition counts equal a pure-Python chain, AND the split-stream
+    decomposition (segment deltas + the remembered per-user tail, the
+    TransitionCountOp state contract) sums to exactly the same counts
+    — the invariant that makes the streaming op correct for every
+    ts-ordered arrival pattern, not just the fixture."""
+    import datetime as dt
+
+    from distributed_file_system_with_stream_processing_spark.streaming import ops as O
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t, base + dt.timedelta(seconds=s), u)
+        for i, (u, t, s) in enumerate(data)
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    op = O.TransitionCountOp("t")
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"]): r["delta"]
+        for r in op(spark.createDataFrame(rows, schema)).collect()
+    }
+
+    # pure-Python reference over (ts, event_id)-ordered per-user seqs
+    per_user: dict[int, list[tuple]] = {}
+    for i, (u, t, s) in enumerate(data):
+        per_user.setdefault(u, []).append((s, i, t))
+    want: dict[tuple, int] = {}
+    for u, evs in per_user.items():
+        seq = [t for _, _, t in sorted(evs)]
+        for a, b in zip(seq, seq[1:]):
+            want[(u, a, b)] = want.get((u, a, b), 0) + 1
+    assert got == want
+
+    # split-stream decomposition with carried per-user tails
+    cut = base + dt.timedelta(seconds=split)
+    carried: dict[int, str] = {}
+    summed: dict[tuple, int] = {}
+    for segment in (
+        [r for r in rows if r[2] <= cut],
+        [r for r in rows if r[2] > cut],
+    ):
+        per: dict[int, list[tuple]] = {}
+        for i, t, ts, u in segment:
+            per.setdefault(u, []).append((ts, i, t))
+        for u, evs in per.items():
+            seq = [t for _, _, t in sorted(evs)]
+            chain = ([carried[u]] if u in carried else []) + seq
+            for a, b in zip(chain, chain[1:]):
+                summed[(u, a, b)] = summed.get((u, a, b), 0) + 1
+            carried[u] = seq[-1]
+    assert summed == want
