@@ -126,6 +126,8 @@ def main() -> None:
         "neardup_pagerank",
         "events_asof_forward",
         "dedup_agreement_matrix",
+        "part_pair_lift",
+        "dedup_cluster_sizes",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1273,6 +1273,145 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# part_pair_lift
+
+_PL_MIN_SUPPORT = 2
+_PL_TOPK = 20
+
+
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over orders: for part pairs
+    co-occurring in ≥ ``_PL_MIN_SUPPORT`` orders, lift =
+    P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the co-purchase
+    affinity backbone (recommender candidates / assortment analysis),
+    top ``_PL_TOPK`` by lift.
+
+    100 TB shape: basket pairs come from a SELF-JOIN ON THE ORDER KEY
+    with a < b — fan-out is C(order_size, 2), bounded by the basket
+    (max 17 items here), never corpus-quadratic; part supports are one
+    vocab-scale agg; the pair-support agg shuffles on the (a, b) key;
+    the total-order count rides a 1-row broadcast; final top-k is
+    TakeOrderedAndProject. Lift is exact: three BIGINT counts,
+    products exact in double far below 2^53, one correctly-rounded
+    division — identical in both engines, no tolerance.
+    """
+    li = (
+        spread(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PL_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"), F.col("n_part").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"), F.col("n_part").alias("n_b"))
+    scored = (
+        pairs.join(broadcast(sa), "pa")
+        .join(broadcast(sb), "pb")
+        .crossJoin(broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(
+        _PL_TOPK
+    )
+
+
+PART_PAIR_LIFT_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+supp AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_PL_MIN_SUPPORT}
+)
+SELECT p.pa AS part_a, p.pb AS part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       round((CAST(p.n_ab AS DOUBLE) * o.n)
+             / (CAST(sa.n_part AS DOUBLE) * sb.n_part), 6) AS lift
+FROM pairs p
+JOIN supp sa ON p.pa = sa.l_partkey
+JOIN supp sb ON p.pb = sb.l_partkey
+CROSS JOIN n_orders o
+ORDER BY lift DESC, part_a, part_b LIMIT {_PL_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_sizes
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-SIZE histogram of the near-dup connected components:
+    how many dup clusters of 2, of 3, … exist — the dedup-savings
+    estimator (docs removable = Σ (size−1)·count). Rolls up the
+    registered dedup_clusters output; oracle wraps the same
+    recursive-CTE closure. The histogram key is cluster-size (tiny);
+    everything upstream is the documented LSH + large-star/small-star
+    census."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        dedup_clusters,
+    )
+
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.filter(F.col("sz") > 1)
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("long")
+            .alias("removable_docs"),
+        )
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        DEDUP_CLUSTERS_SQL,
+    )
+
+    closing = "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
+    assert closing in DEDUP_CLUSTERS_SQL
+    return DEDUP_CLUSTERS_SQL.replace(
+        closing,
+        ", cc AS (" + closing + """),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sz * count(*) - count(*) AS BIGINT) AS removable_docs
+FROM sizes WHERE sz > 1 GROUP BY sz""",
+        1,
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = _cluster_sizes_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1281,6 +1420,8 @@ QUERIES = {
     "dedup_agreement_matrix": dedup_agreement_matrix,
     "bpe_compression_curve": bpe_compression_curve,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
+    "part_pair_lift": part_pair_lift,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
     "embedding_logreg_score": embedding_logreg_score,
@@ -1292,6 +1433,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_pair_lift": PART_PAIR_LIFT_SQL,
+    "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,
     "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,

@@ -89,7 +89,6 @@ _FRONT = [
     "multimodal_video_frames",
     "minhash_containment",
     "events_anomaly_mad",
-    "fusion_interp_topk",
     "token_freq_countmin",
     "docs_pretokenize_stats",
     "contrastive_pairs",
@@ -110,6 +109,12 @@ _FRONT = [
     "decontaminate_bloom",
     "neardup_pagerank",
     "events_asof_forward",
+    "part_pair_lift",
+    # fusion_interp_topk ceded its slot to part_pair_lift: it chains
+    # the bm25_retrieval_topk + dense backbones that are themselves
+    # front-loaded, so its driver row is the most redundant of the
+    # never-checked set; dedup_cluster_sizes (wraps dedup_clusters,
+    # pass(r2)) waits for round 4 with it.
     # docs_train_val_split ceded its slot to events_asof_forward: the
     # split is a single portable-hash projection whose oracle is the
     # least likely of the never-checked set to diverge by engine.

@@ -111,6 +111,8 @@ AUDITED = [
     "neardup_pagerank",
     "events_asof_forward",
     "dedup_agreement_matrix",
+    "part_pair_lift",
+    "dedup_cluster_sizes",
 ]
 
 JOIN_KINDS = (

@@ -131,6 +131,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # same shape: PageRank's 1-row node-count broadcast seeds the
         # initial rank column on the degree table
         "neardup_pagerank",
+        # same shape: the basket miner's 1-row total-order-count
+        # broadcast onto the pair-support table
+        "part_pair_lift",
         # same shape: TF-IDF retrieval's 1-row doc-count broadcast
         # onto the vocab-scale df table
         "tfidf_retrieval_topk",
