@@ -128,6 +128,8 @@ def main() -> None:
         "dedup_agreement_matrix",
         "part_pair_lift",
         "dedup_cluster_sizes",
+        "events_interarrival_stats",
+        "discount_quantity_slope",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1412,6 +1412,142 @@ FROM sizes WHERE sz > 1 GROUP BY sz""",
 DEDUP_CLUSTER_SIZES_SQL = _cluster_sizes_oracle()
 
 
+# ---------------------------------------------------------------------------
+# events_interarrival_stats
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time statistics: for each event type,
+    the gap (seconds) between consecutive events of that type for the
+    SAME user — median / p95 / mean — the traffic-model and
+    anomaly-baseline table (alert when arrivals drift off their
+    historical cadence).
+
+    ONE fact shuffle (the per-(user, type) lag window shares the
+    sessionize backbone's key), gaps as EXACT integer seconds
+    (floor-per-side epoch truncation — the events_asof_forward
+    convention), then a |types|-cardinality sort-based exact
+    percentile agg (at 100 TB: percentile_approx, the
+    order_value_percentiles stance). Mean is exact-sum/count with one
+    rounding.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 2).alias("p95_s"),
+        F.round(F.sum("gap_s") / F.count(F.lit(1)), 2).alias("mean_s"),
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id))) AS BIGINT)
+           AS gap_s
+    FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+       round(quantile_cont(gap_s, 0.95), 2) AS p95_s,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(*), 2) AS mean_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# discount_quantity_slope
+
+_DQ_CENTI = 100
+
+
+def discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED least-squares regression: per return flag, the slope of
+    quantity on discount — does discounting move volume, and does the
+    answer differ by flag? (The pricing-elasticity screen; the global
+    single-series variant is corpus_zipf_fit — this is the grouped
+    shape a segment analysis needs.)
+
+    Same exactness ledger as the Zipf fit: both variables quantize
+    ONCE to centi-units (discount and quantity carry ≤2 decimals, so
+    this is lossless), all five moments per group are exact
+    integer/DECIMAL(38,0) sums with map-side partials, and the
+    closed-form slope divides exact-input doubles in a fixed
+    sequence. Equal scaling of x and y cancels in the slope, so the
+    output is in natural units. ONE shuffle on the 3-value group key.
+    """
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    pts = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * _DQ_CENTI).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * _DQ_CENTI).cast("long").alias("y"),
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    c = F.lit(float(_DQ_CENTI))
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("qty_per_discount_unit"),
+        F.round(((sy / c) - slope * (sx / c)) / nd, 6).alias("intercept_qty"),
+    )
+
+
+DISCOUNT_SLOPE_SQL = f"""
+WITH pts AS (
+    SELECT l_returnflag,
+           CAST(round(l_discount * {_DQ_CENTI}) AS BIGINT) AS x,
+           CAST(round(l_quantity * {_DQ_CENTI}) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+    FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS qty_per_discount_unit,
+       round(((CAST(sy AS DOUBLE) / {float(_DQ_CENTI)!r})
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sx AS DOUBLE) / {float(_DQ_CENTI)!r}))
+             / CAST(n AS DOUBLE), 6) AS intercept_qty
+FROM m
+"""
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1421,6 +1557,8 @@ QUERIES = {
     "bpe_compression_curve": bpe_compression_curve,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "part_pair_lift": part_pair_lift,
+    "events_interarrival_stats": events_interarrival_stats,
+    "discount_quantity_slope": discount_quantity_slope,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
@@ -1434,6 +1572,8 @@ QUERIES = {
 
 ORACLES = {
     "part_pair_lift": PART_PAIR_LIFT_SQL,
+    "events_interarrival_stats": EVENTS_INTERARRIVAL_SQL,
+    "discount_quantity_slope": DISCOUNT_SLOPE_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,

@@ -113,6 +113,8 @@ AUDITED = [
     "dedup_agreement_matrix",
     "part_pair_lift",
     "dedup_cluster_sizes",
+    "events_interarrival_stats",
+    "discount_quantity_slope",
 ]
 
 JOIN_KINDS = (
