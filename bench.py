@@ -130,6 +130,7 @@ def main() -> None:
         "dedup_cluster_sizes",
         "events_interarrival_stats",
         "discount_quantity_slope",
+        "events_markov_stationary",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1548,6 +1548,112 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# events_markov_stationary
+
+_MS_ITERS = 3
+_MS_NANO = 1_000_000_000
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary behavior mix of the event-transition chain:
+    ``_MS_ITERS`` power-iteration steps π ← πᵀP from uniform over the
+    transition matrix — where user behavior settles if the observed
+    dynamics persist (the long-run traffic mix the transition matrix
+    only describes one step of).
+
+    Like neardup_pagerank, the iteration unrolls into ONE declarative
+    plan over the |types|²-row transition table (the only
+    corpus-scale work is the shared one-shuffle lead() backbone);
+    each step is a tiny join + rollup. Exactness: P(v|u) is a
+    correctly-rounded ratio of exact counts; each contribution
+    π(u)·P(v|u) quantizes ONCE to nano-units so the per-state inflow
+    is an order-free integer sum; both engines agree bitwise.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("u"),
+            F.lead("event_type").over(w).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("u")
+    P = pairs.select(
+        "u", "v", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")
+    )
+    states = P.select(F.col("u").alias("s")).union(P.select("v")).distinct()
+    nn = states.agg(F.count(F.lit(1)).alias("t"))
+    pi = states.crossJoin(broadcast(nn)).select(
+        "s", (F.lit(1.0) / F.col("t")).alias("pi")
+    )
+    for _ in range(_MS_ITERS):
+        contrib = P.join(pi, P.u == pi.s).select(
+            F.col("v"),
+            F.round(F.col("pi") * F.col("p") * _MS_NANO).cast("long").alias("c"),
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").alias("m"))
+        pi = (
+            states.join(inflow, states.s == inflow.v, "left")
+            .select(
+                "s",
+                (F.coalesce(F.col("m"), F.lit(0)).cast("double") / _MS_NANO).alias(
+                    "pi"
+                ),
+            )
+        )
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.round(F.col("pi"), 6).alias("stationary_p"),
+    )
+
+
+def _stationary_oracle() -> str:
+    it = []
+    prev = "pi0"
+    for k in range(1, _MS_ITERS + 1):
+        it.append(f""",
+c{k} AS (
+    SELECT P.v, CAST(round(pi.pi * P.p * {_MS_NANO}) AS BIGINT) AS c
+    FROM P JOIN {prev} pi ON P.u = pi.s
+),
+m{k} AS (SELECT v, sum(c) AS m FROM c{k} GROUP BY v),
+pi{k} AS (
+    SELECT s.s, CAST(coalesce(m.m, 0) AS DOUBLE) / {_MS_NANO} AS pi
+    FROM states s LEFT JOIN m{k} m ON s.s = m.v
+)""")
+        prev = f"pi{k}"
+    return (
+        f"""
+WITH seq AS (
+    SELECT event_type AS u,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS v
+    FROM events
+),
+pairs AS (
+    SELECT u, v, count(*) AS n FROM seq WHERE v IS NOT NULL GROUP BY u, v
+),
+P AS (
+    SELECT u, v, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY u) AS p
+    FROM pairs
+),
+states AS (SELECT u AS s FROM P UNION SELECT v FROM P),
+nn AS (SELECT count(*) AS t FROM states),
+pi0 AS (SELECT s, 1.0 / t AS pi FROM states CROSS JOIN nn)"""
+        + "".join(it)
+        + f"""
+SELECT s AS event_type, round(pi, 6) AS stationary_p FROM {prev}
+"""
+    )
+
+
+EVENTS_STATIONARY_SQL = _stationary_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1559,6 +1665,7 @@ QUERIES = {
     "part_pair_lift": part_pair_lift,
     "events_interarrival_stats": events_interarrival_stats,
     "discount_quantity_slope": discount_quantity_slope,
+    "events_markov_stationary": events_markov_stationary,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
@@ -1574,6 +1681,7 @@ ORACLES = {
     "part_pair_lift": PART_PAIR_LIFT_SQL,
     "events_interarrival_stats": EVENTS_INTERARRIVAL_SQL,
     "discount_quantity_slope": DISCOUNT_SLOPE_SQL,
+    "events_markov_stationary": EVENTS_STATIONARY_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,

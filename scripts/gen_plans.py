@@ -115,6 +115,7 @@ AUDITED = [
     "dedup_cluster_sizes",
     "events_interarrival_stats",
     "discount_quantity_slope",
+    "events_markov_stationary",
 ]
 
 JOIN_KINDS = (

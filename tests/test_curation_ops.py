@@ -288,3 +288,38 @@ def test_dedup_agreement_matrix_equals_set_algebra(spark):
     diag = {m: got.get((m, m), 0) for m in sets}
     offdiag = [v for (a, b), v in got.items() if a != b]
     assert any(v < max(diag.values()) for v in offdiag), got
+
+
+def test_markov_stationary_matches_python_reference(spark):
+    """The unrolled stationary-distribution plan must equal a
+    pure-Python power iteration with identical nano-quantized
+    arithmetic, and the result must be a probability vector."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops5 import (
+        _MS_ITERS,
+        _MS_NANO,
+        events_markov_stationary,
+        events_transition_matrix,
+    )
+
+    rows = events_transition_matrix(spark, SF_SMOKE).collect()
+    n_prev: dict[str, int] = {}
+    for r in rows:
+        n_prev[r["prev_type"]] = n_prev.get(r["prev_type"], 0) + r["n"]
+    P = {(r["prev_type"], r["next_type"]): r["n"] / n_prev[r["prev_type"]] for r in rows}
+    states = sorted({u for u, _ in P} | {v for _, v in P})
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MS_ITERS):
+        inflow = {s: 0 for s in states}
+        for (u, v), p in P.items():
+            c = pi[u] * p * _MS_NANO
+            q = int(math.floor(c + 0.5)) if c >= 0 else -int(math.floor(-c + 0.5))
+            inflow[v] += q
+        pi = {s: float(inflow[s]) / _MS_NANO for s in states}
+    want = {s: round(pi[s], 6) for s in states}
+    got = {
+        r["event_type"]: r["stationary_p"]
+        for r in events_markov_stationary(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(v >= 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-3

@@ -134,6 +134,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # same shape: the basket miner's 1-row total-order-count
         # broadcast onto the pair-support table
         "part_pair_lift",
+        # same shape: the stationary chain's 1-row state-count
+        # broadcast seeds the uniform π₀ on the states table
+        "events_markov_stationary",
         # same shape: TF-IDF retrieval's 1-row doc-count broadcast
         # onto the vocab-scale df table
         "tfidf_retrieval_topk",
