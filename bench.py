@@ -131,6 +131,8 @@ def main() -> None:
         "events_interarrival_stats",
         "discount_quantity_slope",
         "events_markov_stationary",
+        "session_transition_matrix",
+        "zipf_by_source",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1654,6 +1654,173 @@ SELECT s AS event_type, round(pi, 6) AS stationary_p FROM {prev}
 EVENTS_STATIONARY_SQL = _stationary_oracle()
 
 
+# ---------------------------------------------------------------------------
+# session_transition_matrix
+
+_ST_GAP_S = 30 * 60
+
+
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZED Markov transitions with an absorbing end state:
+    P(next | prev) computed within 30-min-gap sessions, where a
+    session's last event transitions to '(end)' — unlike the global
+    chain (events_transition_matrix), overnight gaps don't fabricate
+    transitions, and the end-state column gives per-type exit rates
+    (which event types END sessions — the funnel-leak diagnostic).
+
+    Shares the sessionize backbone exactly (lag + running-sum session
+    ids, ONE shuffle on user_id); the within-session lead() rides the
+    same sorted partition, so no extra shuffle for the chaining; the
+    rollup key is (|types|+1)² with map-side partials. Probabilities
+    are exact-integer ratios.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > _ST_GAP_S), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("prev_type"),
+        F.coalesce(F.lead("event_type").over(ws), F.lit("(end)")).alias("next_type"),
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 6).alias("p"),
+    )
+
+
+SESSION_TRANSITION_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_ST_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+pairs AS (
+    SELECT event_type AS prev_type,
+           coalesce(lead(event_type) OVER (PARTITION BY user_id, session_id
+                                           ORDER BY ts, event_id),
+                    '(end)') AS next_type
+    FROM sess
+),
+cnt AS (
+    SELECT prev_type, next_type, count(*) AS n FROM pairs
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_by_source
+
+
+def zipf_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE Zipf slopes — the grouped twin of corpus_zipf_fit:
+    a source whose slope sits far off the corpus' is distributionally
+    anomalous (template/boilerplate-heavy or spam), the same signal
+    docs_kl_by_source reads from a different angle. Rank windows
+    partition BY SOURCE (so the sort is per-source vocab-scale, not a
+    single global partition), and the five regression moments fold
+    per source with map-side partials — exact integer/DECIMAL sums,
+    bit-stable closed-form slope (the corpus_zipf_fit ledger).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("source", F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("source", F.lower(F.col("w")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+        ),
+    )
+    pts = ranked.select(
+        "source",
+        F.round(F.log(F.col("rank").cast("double")) * _ZF_MICRO)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * _ZF_MICRO)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+ZIPF_BY_SOURCE_SQL = rf"""
+WITH counts AS (
+    SELECT source, term, count(*) AS cnt FROM (
+        SELECT source, lower(unnest({_WS})) AS term FROM documents)
+    GROUP BY source, term
+),
+ranked AS (
+    SELECT source, cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, term) AS rank
+    FROM counts
+),
+pts AS (
+    SELECT source,
+           CAST(round(ln(CAST(rank AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS x,
+           CAST(round(ln(CAST(cnt AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS y
+    FROM ranked
+),
+m AS (
+    SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+    FROM pts GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+FROM m
+"""
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1666,6 +1833,8 @@ QUERIES = {
     "events_interarrival_stats": events_interarrival_stats,
     "discount_quantity_slope": discount_quantity_slope,
     "events_markov_stationary": events_markov_stationary,
+    "session_transition_matrix": session_transition_matrix,
+    "zipf_by_source": zipf_by_source,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
@@ -1682,6 +1851,8 @@ ORACLES = {
     "events_interarrival_stats": EVENTS_INTERARRIVAL_SQL,
     "discount_quantity_slope": DISCOUNT_SLOPE_SQL,
     "events_markov_stationary": EVENTS_STATIONARY_SQL,
+    "session_transition_matrix": SESSION_TRANSITION_SQL,
+    "zipf_by_source": ZIPF_BY_SOURCE_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,

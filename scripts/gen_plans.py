@@ -116,6 +116,8 @@ AUDITED = [
     "events_interarrival_stats",
     "discount_quantity_slope",
     "events_markov_stationary",
+    "session_transition_matrix",
+    "zipf_by_source",
 ]
 
 JOIN_KINDS = (
