@@ -133,6 +133,7 @@ def main() -> None:
         "events_markov_stationary",
         "session_transition_matrix",
         "zipf_by_source",
+        "session_expected_length",
     ]
     headline = [q for q in headline if q in QUERIES]
 

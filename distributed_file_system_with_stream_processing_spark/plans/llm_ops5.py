@@ -1821,6 +1821,123 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# session_expected_length
+
+_SE_HORIZON = 3
+_SE_NANO = 1_000_000_000
+
+
+def session_expected_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected FURTHER session events within a ``_SE_HORIZON``-step
+    lookahead, per current event type — the truncated absorbing-chain
+    expectation E_k(u) = Σ_{v≠end} P(v|u)·(1 + E_{k−1}(v)) over the
+    sessionized transition matrix (session_transition_matrix's
+    '(end)' state absorbs): "given the user just did u, how much
+    session is left" — the engagement-forecast column a session UI
+    ranks interventions by.
+
+    Same unrolled-iteration discipline as the stationary mix: the
+    recursion unrolls into one declarative plan over the
+    (|types|+1)²-row matrix; every P is an exact-integer ratio and
+    every contribution quantizes ONCE to nano-units so the per-state
+    sums are order-free integers — oracled bit-for-bit.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > _ST_GAP_S), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("u"),
+        F.coalesce(F.lead("event_type").over(ws), F.lit("(end)")).alias("v"),
+    )
+    cnt = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("u")
+    P = cnt.select(
+        "u", "v", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")
+    ).filter(F.col("v") != "(end)")
+    states = cnt.select(F.col("u").alias("s")).distinct()
+    e = states.select("s", F.lit(0.0).alias("ev"))
+    for _ in range(_SE_HORIZON):
+        contrib = P.join(e, P.v == e.s).select(
+            F.col("u"),
+            F.round(F.col("p") * (F.lit(1.0) + F.col("ev")) * _SE_NANO)
+            .cast("long")
+            .alias("c"),
+        )
+        inflow = contrib.groupBy("u").agg(F.sum("c").alias("m"))
+        e = states.join(inflow, states.s == inflow.u, "left").select(
+            "s",
+            (F.coalesce(F.col("m"), F.lit(0)).cast("double") / _SE_NANO).alias("ev"),
+        )
+    return e.select(
+        F.col("s").alias("event_type"),
+        F.round(F.col("ev"), 6).alias("expected_next_events"),
+    )
+
+
+def _expected_length_oracle() -> str:
+    it = []
+    prev = "e0"
+    for k in range(1, _SE_HORIZON + 1):
+        it.append(f""",
+c{k} AS (
+    SELECT P.u, CAST(round(P.p * (1.0 + e.ev) * {_SE_NANO}) AS BIGINT) AS c
+    FROM P JOIN {prev} e ON P.v = e.s
+),
+m{k} AS (SELECT u, sum(c) AS m FROM c{k} GROUP BY u),
+e{k} AS (
+    SELECT s.s, CAST(coalesce(m.m, 0) AS DOUBLE) / {_SE_NANO} AS ev
+    FROM states s LEFT JOIN m{k} m ON s.s = m.u
+)""")
+        prev = f"e{k}"
+    return (
+        f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_ST_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+pairs AS (
+    SELECT event_type AS u,
+           coalesce(lead(event_type) OVER (PARTITION BY user_id, session_id
+                                           ORDER BY ts, event_id),
+                    '(end)') AS v
+    FROM sess
+),
+cnt AS (SELECT u, v, count(*) AS n FROM pairs GROUP BY u, v),
+P AS (
+    SELECT u, v, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY u) AS p
+    FROM cnt
+    QUALIFY v <> '(end)'
+),
+states AS (SELECT DISTINCT u AS s FROM cnt),
+e0 AS (SELECT s, 0.0 AS ev FROM states)"""
+        + "".join(it)
+        + f"""
+SELECT s AS event_type, round(ev, 6) AS expected_next_events FROM {prev}
+"""
+    )
+
+
+SESSION_EXPECTED_SQL = _expected_length_oracle()
+
+
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
@@ -1835,6 +1952,7 @@ QUERIES = {
     "events_markov_stationary": events_markov_stationary,
     "session_transition_matrix": session_transition_matrix,
     "zipf_by_source": zipf_by_source,
+    "session_expected_length": session_expected_length,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_zipf_fit": corpus_zipf_fit,
     "ann_opq_topk": ann_opq_topk,
@@ -1853,6 +1971,7 @@ ORACLES = {
     "events_markov_stationary": EVENTS_STATIONARY_SQL,
     "session_transition_matrix": SESSION_TRANSITION_SQL,
     "zipf_by_source": ZIPF_BY_SOURCE_SQL,
+    "session_expected_length": SESSION_EXPECTED_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,

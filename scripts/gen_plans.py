@@ -118,6 +118,7 @@ AUDITED = [
     "events_markov_stationary",
     "session_transition_matrix",
     "zipf_by_source",
+    "session_expected_length",
 ]
 
 JOIN_KINDS = (
