@@ -445,10 +445,13 @@ def _km_dist(v: str, cv: str) -> str:
     )
 
 
-def _kmeans_oracle_parts(k: int, iters: int) -> list[str]:
+def _kmeans_oracle_parts(k: int, iters: int, e_where: str = "") -> list[str]:
     """The unrolled-Lloyd CTE chain ending in ``fin(vec_id, v, c)`` —
-    shared by the kmeans-assign oracle and llm_ops3's SemDeDup-over-
-    cells oracle (same bit-stable pipeline, different epilogue)."""
+    shared by the kmeans-assign oracle, llm_ops3's SemDeDup-over-
+    cells oracle, and the trained-IVF ANN oracle (same bit-stable
+    pipeline, different epilogue). ``e_where`` restricts the training
+    set (the IVF path trains on base vectors only); the final
+    centroid CTE is named ``c{iters}`` for epilogues that need it."""
     sums = ", ".join(
         f"sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}"
         for i in range(_DIM)
@@ -465,7 +468,7 @@ def _kmeans_oracle_parts(k: int, iters: int) -> list[str]:
     WHERE rn = 1)"""
 
     parts = [
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{e_where})",
         f"""seed AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
@@ -499,9 +502,13 @@ EMBEDDING_KMEANS_SQL = _kmeans_oracle_sql(_KM_K, _KM_ITERS)
 
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED (k-means) cells — see
-    operators/clustering.ivf_trained_ann. Driver check is rows-only
-    (the trained-cell pipeline is iterative); recall@5 vs the exact
-    baseline is pinned in tests/test_ann.py."""
+    operators/clustering.ivf_trained_ann. Fully oracled: the DuckDB
+    twin chains the unrolled-Lloyd CTE (trained on base vectors only,
+    the same lowest-id seeds / exact-integer-sum updates) into the
+    probe-3 cell join and exact cosine re-rank, so the driver hash
+    covers training, cell assignment, probing, and ranking end to
+    end. Recall@5 vs the exact baseline stays pinned in
+    tests/test_ann.py."""
     from distributed_file_system_with_stream_processing_spark.operators import clustering as C
 
     return C.ivf_trained_ann(
@@ -513,6 +520,46 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         dim=_DIM,
     )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Unrolled-Lloyd (base-only training) chained into probe-3 cell
+    join + exact cosine top-5 — the full ivf_trained_ann pipeline as
+    one DuckDB statement. Tie-breaks mirror the engine exactly:
+    assignment/probing order by (dist, cell), ranking by (-sim,
+    neighbor_id)."""
+    dot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    parts = _kmeans_oracle_parts(16, _KM_ITERS, e_where=" WHERE vec_id >= 10")
+    return (
+        ",\n".join(parts)
+        + f""",
+qp AS (
+    SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, s.c AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_km_dist('q.v', 's.v')}, s.c) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN c{_KM_ITERS} s)
+    WHERE rn <= 3),
+bc AS (SELECT vec_id AS neighbor_id, v AS bv, c AS cell FROM fin),
+sim AS (
+    SELECT query_id, neighbor_id,
+           {dot.format(a='qv', b='bv')} /
+           (sqrt({dot.format(a='qv', b='qv')}) * sqrt({dot.format(a='bv', b='bv')})) AS s
+    FROM qp JOIN bc USING (cell)),
+rk AS (
+    SELECT query_id, neighbor_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM sim)
+SELECT query_id, neighbor_id, round(s, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+    )
+
+
+ANN_IVF_TRAINED_SQL = _ivf_trained_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -642,8 +689,8 @@ SELECT CAST(label AS BIGINT) AS label,
        count(*) AS n_vecs,
        round(CAST(sum(sq) AS DOUBLE) / {float(_NORM_MILLI * _NORM_MILLI)} / count(*), 6)
            AS mean_sq_norm,
-       sum(CASE WHEN sq < {_NORM_MILLI * _NORM_MILLI // 100} THEN 1 ELSE 0 END)
-           AS n_near_zero
+       CAST(sum(CASE WHEN sq < {_NORM_MILLI * _NORM_MILLI // 100} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_near_zero
 FROM pv GROUP BY label
 """
 
@@ -829,7 +876,7 @@ j AS (SELECT g.doc_id, g.passes, d.source
       FROM g JOIN documents d ON g.doc_id = d.doc_id)
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN passes THEN 1 ELSE 0 END) AS n_pass,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
            AS pass_share
 FROM j GROUP BY source
@@ -885,7 +932,7 @@ members AS (SELECT DISTINCT doc_id FROM (
 j AS (
     SELECT d.source, CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS dup
     FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
-SELECT source, count(*) AS n_docs, sum(dup) AS n_dup,
+SELECT source, count(*) AS n_docs, CAST(sum(dup) AS BIGINT) AS n_dup,
        round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_share
 FROM j GROUP BY source
 """
@@ -1046,6 +1093,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_kmeans_assign": EMBEDDING_KMEANS_SQL,
+    "ann_ivf_trained": ANN_IVF_TRAINED_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "docs_chunk_overlap": DOCS_CHUNK_OVERLAP_SQL,

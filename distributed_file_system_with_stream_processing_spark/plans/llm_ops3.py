@@ -783,7 +783,7 @@ def _semdedup_cell_stats_sql() -> str:
         + tail.rstrip()
         + ")\n"
         "SELECT cluster, count(*) AS n_members,\n"
-        "       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dups,\n"
+        "       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,\n"
         "       round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)\n"
         "             / count(*), 6) AS dup_rate\n"
         "FROM sd GROUP BY cluster"

@@ -974,7 +974,7 @@ hits AS (
     GROUP BY p.doc_id, p.s, p.tf
     HAVING count(*) = {_BLOOM_K}
 )
-SELECT doc_id, sum(tf) AS n_hit_ngrams FROM hits GROUP BY doc_id
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hit_ngrams FROM hits GROUP BY doc_id
 """
 
 
