@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -14,3 +17,46 @@ def spread(df: DataFrame) -> DataFrame:
     coalesces excess partitions — it never hurts, and it rescues the
     small-input/heavy-compute corner."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# Candidate-pair tables persisted by gate_broadcast, unpersisted FIFO
+# once newer gates arrive — bounds cached blocks in a long-lived
+# session without unpersisting a table the current query still reads.
+_GATE_CACHE: deque[DataFrame] = deque(maxlen=4)
+
+# Broadcast bound for gate_broadcast. Conservative vs Spark's 8 GB
+# broadcast-table hard cap: candidate-pair rows are two ids + a few
+# numerics (~50 B), so 2M rows ≈ 100 MB serialized.
+GATE_MAX_ROWS = 2_000_000
+
+
+def gate_broadcast(df: DataFrame, max_rows: int | None = None) -> tuple[DataFrame, bool]:
+    """Size-GATED broadcast hint for tables whose size tracks the data
+    (LSH/candidate-pair outputs, dup-member lists).
+
+    An unconditional ``broadcast()`` hint on such a table is the one
+    anti-pattern that does not degrade at 100×: pair volume grows with
+    corpus size × dup rate, and a hinted broadcast either OOMs the
+    driver or hits Spark's 8 GB table cap with no fallback. This gate
+    persists the table (it is re-read by the join anyway), counts it —
+    one metadata-scale job — and hints only under ``max_rows``;
+    above the bound it returns the un-hinted table so the join falls
+    back to a plain key shuffle, which is the correct shape for a
+    pathological dup rate. Returns ``(table, hinted)`` so call sites
+    can keep any dependent outer hints consistent with the decision.
+    ``max_rows`` defaults to the module-level ``GATE_MAX_ROWS`` read
+    at CALL time (so tests can force the fallback path).
+    """
+    if max_rows is None:
+        max_rows = GATE_MAX_ROWS
+    df = df.persist()
+    n = df.count()
+    while len(_GATE_CACHE) == _GATE_CACHE.maxlen:
+        try:
+            _GATE_CACHE.popleft().unpersist()
+        except Exception:
+            pass
+    _GATE_CACHE.append(df)
+    if n <= max_rows:
+        return broadcast(df), True
+    return df, False

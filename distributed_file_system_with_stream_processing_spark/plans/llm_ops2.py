@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
-from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.operators._util import gate_broadcast, spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     _MINHASH_PAIRS_BODY,
     _WS,
@@ -286,18 +286,23 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard — the measurement you run before trusting a (k, bands)
     configuration on a new corpus.
 
-    100 TB shape: the candidate pairs (LSH output, tiny vs corpus) are
-    BROADCAST back onto the shingle table twice, so the corpus-scale
-    side never reshuffles; the exact intersection runs only on
-    candidates. BOTH joins are explicitly hinted: the second join's
-    left side (candidates enriched with sha) is candidate-sized, but
-    Catalyst's size estimate for a join output is unknowable at 100 TB
-    and a mis-estimate would flip it to a corpus-wide sort-merge
-    shuffle — the explicit broadcast() pins the shape at any scale
-    (asserted in tests/test_plans.py::test_minhash_jaccard_corpus_never_shuffles).
+    100 TB shape: the candidate pairs (LSH output, tiny vs corpus when
+    the dup rate is healthy) are SIZE-GATED-broadcast back onto the
+    shingle table twice, so the corpus-scale side never reshuffles and
+    the exact intersection runs only on candidates. The gate
+    (operators/_util.gate_broadcast: persist + count + row bound)
+    replaces the previous unconditional hint — pair volume tracks
+    corpus size × dup rate, so a hinted broadcast has no graceful
+    failure mode at 100×; over the bound both joins fall back to a
+    doc_id shuffle. Under the gate, BOTH joins stay hinted: the second
+    join's left side (candidates enriched with sha) is
+    candidate-sized, but Catalyst's size estimate for a join output is
+    unknowable at 100 TB and a mis-estimate would flip it to a
+    corpus-wide sort-merge shuffle (plan shape asserted in
+    tests/test_plans.py::test_minhash_jaccard_corpus_never_shuffles).
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+    pairs, hinted = gate_broadcast(D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6))
     sh = spread(d).select(
         "doc_id", T.shingles(F.col("text"), 3).alias("sh")
     )
@@ -307,8 +312,9 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = inter.cast("double") / (
         F.size("sha") + F.size("shb") - inter
     ).cast("double")
+    enriched = pa.join(pairs, "doc_id_a")
     return (
-        broadcast(pa.join(broadcast(pairs), "doc_id_a"))
+        (broadcast(enriched) if hinted else enriched)
         .join(pb, "doc_id_b")
         .select(
             "doc_id_a",
@@ -890,16 +896,18 @@ def docs_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose dup share spikes is re-crawling or mirroring content; the
     mixing owner down-weights it before training.
 
-    Scale shape: the pair list is LSH output (tiny vs corpus), its
-    distinct member ids are broadcast into the documents join, and
-    the final agg is one low-cardinality shuffle — the corpus-scale
-    documents table never reshuffles beyond the LSH pass itself.
+    Scale shape: the pair list is LSH output (tiny vs corpus when the
+    dup rate is healthy); its distinct member ids are SIZE-GATED-
+    broadcast into the documents join (operators/_util.gate_broadcast —
+    over the row bound the hint drops and the join falls back to a
+    doc_id shuffle, the graceful path for a pathological dup rate),
+    and the final agg is one low-cardinality shuffle — the
+    corpus-scale documents table never reshuffles beyond the LSH pass
+    itself.
     """
-    from pyspark.sql.functions import broadcast
-
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
-    members = (
+    members, _ = gate_broadcast(
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
@@ -907,7 +915,7 @@ def docs_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", "source")
-        .join(broadcast(members), "doc_id", "left")
+        .join(members, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

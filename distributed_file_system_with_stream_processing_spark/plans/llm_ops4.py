@@ -44,7 +44,7 @@ from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
-from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.operators._util import gate_broadcast, spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     _MINHASH_PAIRS_BODY,
     _WS,
@@ -558,16 +558,20 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup signal (Broder 1997's containment measure).
 
     100 TB shape: identical to minhash_jaccard_estimate — the LSH
-    candidate pairs are metadata-scale and BROADCAST back onto the
-    shingle table twice (both joins explicitly hinted so a
-    mis-estimate can never flip the corpus side into a sort-merge
+    candidate pairs are SIZE-GATED-broadcast back onto the shingle
+    table twice (operators/_util.gate_broadcast: under the row bound
+    both joins stay hinted so a Catalyst mis-estimate can never flip
+    the corpus side into a sort-merge shuffle; over it — pair volume
+    tracks corpus × dup rate — both joins fall back to a doc_id
     shuffle); the exact intersection runs only on candidates.
     Shingle sets are distinct by construction (T.shingles), so the
     ratios are over set cardinalities.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6).select(
-        "doc_id_a", "doc_id_b"
+    pairs, hinted = gate_broadcast(
+        D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6).select(
+            "doc_id_a", "doc_id_b"
+        )
     )
     sh = spread(d).select("doc_id", T.shingles(F.col("text"), 3).alias("sh"))
     pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha"))
@@ -575,8 +579,9 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     c_ab = inter.cast("double") / F.size("sha").cast("double")
     c_ba = inter.cast("double") / F.size("shb").cast("double")
+    enriched = pa.join(pairs, "doc_id_a")
     return (
-        broadcast(pa.join(broadcast(pairs), "doc_id_a"))
+        (broadcast(enriched) if hinted else enriched)
         .join(pb, "doc_id_b")
         .select(
             "doc_id_a",
@@ -1049,16 +1054,20 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     before weighting sources independently (ordered source pair,
     colliding doc pairs, total shared 16-token windows).
 
-    100 TB shape: the pair table (candidate-scale) BROADCASTS twice
-    onto the (doc_id, source) projection — the corpus never
-    reshuffles; the matrix rollup key has #sources² cardinality. Same
-    discipline as docs_neardup_rate_by_source.
+    100 TB shape: the pair table (candidate-scale when the overlap
+    rate is healthy) is SIZE-GATED-broadcast twice onto the (doc_id,
+    source) projection (operators/_util.gate_broadcast — over the row
+    bound both joins fall back to a doc_id shuffle instead of a
+    driver-killing hinted broadcast); the matrix rollup key has
+    #sources² cardinality. Same discipline as
+    docs_neardup_rate_by_source.
     """
-    pairs = dedup_exact_substring(spark, sf_dir)
+    pairs, hinted = gate_broadcast(dedup_exact_substring(spark, sf_dir))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
-    enriched = broadcast(sa.join(broadcast(pairs), "doc_id_a")).join(sb, "doc_id_b")
+    half = sa.join(pairs, "doc_id_a")
+    enriched = (broadcast(half) if hinted else half).join(sb, "doc_id_b")
     lo = F.least(F.col("sa"), F.col("sb"))
     hi = F.greatest(F.col("sa"), F.col("sb"))
     return (

@@ -152,16 +152,58 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
 
 def test_minhash_jaccard_corpus_never_shuffles(spark):
     """minhash_jaccard_estimate's docstring claims the corpus-scale
-    shingle table never reshuffles: candidates join back twice, both
-    times as the broadcast build side. Without the explicit hint on
-    the second join the shape depends on Catalyst's size estimate for
-    a join output — unknowable at 100 TB — so the plan must show two
+    shingle table never reshuffles when the pair table passes the size
+    gate: candidates join back twice, both times as the broadcast
+    build side. Without the explicit hint on the second join the shape
+    depends on Catalyst's size estimate for a join output — unknowable
+    at 100 TB — so under the gate the plan must show two
     BroadcastHashJoins and zero sort-merge/shuffled-hash joins."""
     for q in ("minhash_jaccard_estimate", "minhash_containment"):
         plan = executed_plan(QUERIES[q](spark, SF_SMOKE))
         assert plan.count("BroadcastHashJoin") >= 2, (q, plan)
         assert "SortMergeJoin" not in plan, (q, plan)
         assert "ShuffledHashJoin" not in plan, (q, plan)
+
+
+def test_gated_broadcast_fallback_over_bound(spark, monkeypatch):
+    """Over the gate's row bound the broadcast hint must DROP — the
+    pair-table joins fall back to a key shuffle instead of a hinted
+    broadcast that OOMs at a pathological dup rate — and the results
+    must be identical either way."""
+    from distributed_file_system_with_stream_processing_spark.operators import _util as U
+
+    small = [
+        sorted(map(tuple, QUERIES[q](spark, SF_SMOKE).collect()))
+        for q in ("minhash_jaccard_estimate", "docs_neardup_rate_by_source")
+    ]
+    monkeypatch.setattr(U, "GATE_MAX_ROWS", 0)
+    # Disable estimator-chosen broadcasts for the plan assertion: at
+    # smoke scale the cached pair table is tiny, so even hint-less
+    # Catalyst would broadcast it (the graceful degradation the gate
+    # restores). With auto-broadcast off, a BroadcastHashJoin in the
+    # static plan can ONLY come from a leftover hint — its absence
+    # proves the gate dropped it.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for (q, outer_joins), rows in zip(
+            (("minhash_jaccard_estimate", 2), ("docs_neardup_rate_by_source", 1)),
+            small,
+        ):
+            df = QUERIES[q](spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            # The cached pair subtree may legitimately still print a
+            # BroadcastHashJoin (it was planned under the default conf
+            # when the gate counted it); what must change is the OUTER
+            # join(s) that consume the pairs — hint dropped + auto off
+            # ⇒ every one becomes a shuffle join.
+            n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+                "ShuffledHashJoin"
+            )
+            assert n_shuffle_joins >= outer_joins, (q, plan)
+            assert sorted(map(tuple, df.collect())) == rows, q
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 # -- codegen & aggregation shape --------------------------------------------
