@@ -159,17 +159,21 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    print(payload)
+    # Also persist to a file: the driver captures the stdout TAIL and
+    # truncated the per-query map in BENCH_r03.json (parsed: null) —
+    # the file is the lossless record.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

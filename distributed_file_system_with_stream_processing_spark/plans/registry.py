@@ -49,103 +49,55 @@ for _m in _MODULES:
 
 # The driver verifies queries in enumeration order and may cap the run
 # (round 1 covered exactly the first 50 of 70). Front-load the entries
-# that still need a driver CORRECTNESS row — round 3: the 7 queries
-# that postdated the r2 run (tfidf…ann_ivf_trained) plus this round's
-# new queries, then the r2-front set — so any cap hits entries whose
-# hard signal is already recorded, not the ones still waiting.
+# that still need a driver CORRECTNESS row — round 4:
+#   1. the six r3 hash-fail rows (judge-verified value-exact; their
+#      oracles now CAST integer sums to BIGINT — the re-run must
+#      record the green),
+#   2. ann_ivf_trained (gained a full unrolled-Lloyd oracle this
+#      round; its r3 row was rows-only),
+#   3. the ten oracled-but-never-driver-checked queries the r3
+#      verdict called out by name,
+#   4. new round-4 queries as they land,
+#   5. the rows-only never-checked set (BPE family, PQ/OPQ ANN,
+#      PCA spectrum, agreement matrix) — weak rows, but they convert
+#      "no driver row yet" into a recorded rows-only check.
+# Everything previously green cedes its slot; the cap should spend
+# zero rows re-confirming what already has a green driver row.
 _FRONT = [
-    # never driver-checked (landed after the r2 correctness run)
-    "tfidf_top_terms",
-    "doc_char_entropy",
-    "docs_chunk_overlap",
-    "minhash_jaccard_estimate",
-    "events_value_zscore",
-    "embedding_kmeans_assign",
-    "ann_ivf_trained",
-    # new this round (complete the 22 TPC-H query shapes + corpus QA)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
+    # 1. r3 hash-fails, oracle casts fixed — re-record as green
     "q12_shipmode_priority",
-    "doc_winnowing_fingerprint",
     "embedding_norm_stats",
-    "semantic_dedup",
-    "docs_gopher_rules",
     "docs_gopher_by_source",
-    "docs_unigram_perplexity",
     "docs_neardup_rate_by_source",
-    "multimodal_audio_stats",
-    "semantic_dedup_kmeans",
-    "docs_bm25_score",
-    "dsir_importance_weights",
-    "dsir_resample_topk",
     "semdedup_cell_stats",
-    "dsir_resample_stratified",
-    "bm25_retrieval_topk",
-    "rrf_fusion_topk",
-    # new this session (llm_ops4 + streaming-adjacent)
-    "ngram_counts_topk",
-    "docs_bigram_perplexity",
-    "docs_kl_by_source",
-    "multimodal_video_frames",
-    "minhash_containment",
-    "events_anomaly_mad",
-    "token_freq_countmin",
-    "docs_pretokenize_stats",
-    "contrastive_pairs",
-    "dedup_exact_substring",
-    "cross_source_leakage",
-    "docs_interp_perplexity",
-    "docs_substring_novelty",
-    # new this continuation (llm_ops5 — oracled; the rows-only
-    # bpe_per_lang_rules stays off the front per the rows-only policy
-    # below)
-    "tfidf_retrieval_topk",
-    "events_transition_matrix",
-    "source_temperature_mix",
-    "embedding_logreg_score",
-    "corpus_zipf_fit",
-    "embedding_random_projection",
-    "docs_kn_perplexity",
     "decontaminate_bloom",
-    "neardup_pagerank",
-    "events_asof_forward",
-    "part_pair_lift",
-    # fusion_interp_topk ceded its slot to part_pair_lift: it chains
-    # the bm25_retrieval_topk + dense backbones that are themselves
-    # front-loaded, so its driver row is the most redundant of the
-    # never-checked set; dedup_cluster_sizes (wraps dedup_clusters,
-    # pass(r2)) waits for round 4 with it.
-    # docs_train_val_split ceded its slot to events_asof_forward: the
-    # split is a single portable-hash projection whose oracle is the
-    # least likely of the never-checked set to diverge by engine.
-    # curation_funnel ceded its slot to neardup_pagerank: its stage
-    # predicates are by construction identical to docs_clean_pack
-    # (pass(r2)), so its driver row carries the least independent
-    # signal of the never-checked set.
-    # Rotated out at the 50-entry cap (safest slots to cede to
-    # never-checked queries): events_json_extract (two green driver
-    # rows), embedding_neardup_exact (semantics co-confirmed by
-    # embedding_neardup's r2 hash row), ann_ivf_bucketed /
-    # ann_quantized_topk (rows-only by design — their driver row
-    # carries no hash signal; recall is pinned in tests/test_ann.py),
-    # ann_cosine_topk / ann_lsh_bucketed / embedding_neardup /
-    # docs_systematic_sample (all pass(r2)), and — ceded this session
-    # for the 6 brand-new queries — docs_training_mix,
-    # docs_weighted_sample, dedup_ngram_jaccard_exact, dedup_simhash,
-    # text_redact_pii, docs_stratified_sample (all pass(r2)) — and for
-    # the next 6 — lang_id_heuristic, doc_fingerprint,
-    # dedup_keep_first, dedup_exact, dedup_clusters,
-    # multimodal_image_stats, dedup_ngram_jaccard, dedup_minhash_lsh,
-    # paragraph_dedup, docs_seq_packing (all pass(r1∪r2); the
-    # audio/video rows keep the Arrow-UDF path driver-covered) — and
-    # for the 8 llm_ops5 queries — lang_id_confusion,
-    # decontaminate_ngram, doc_repetition_score,
-    # embedding_label_centroids, q20_volume_suppliers,
-    # docs_clean_pack, and finally the last two previously-green
-    # re-confirmation slots q9_nation_profit /
-    # q16_supplier_part_breadth (all pass(r2)) — the front is now
-    # 100% queries still lacking a driver row
+    # 2. newly-oracled ANN path (was no_oracle in r3)
+    "ann_ivf_trained",
+    # 3. oracled, never driver-checked (r3 verdict item 2)
+    "session_transition_matrix",
+    "session_expected_length",
+    "zipf_by_source",
+    "events_markov_stationary",
+    "events_interarrival_stats",
+    "discount_quantity_slope",
+    "dedup_cluster_sizes",
+    "fusion_interp_topk",
+    "curation_funnel",
+    "docs_train_val_split",
+    # 4. new round-4 queries (appended as they land)
+    # 5. rows-only, never driver-checked — weak rows by design
+    #    (sketch/iterative; pinned in tests), recorded once each
+    "ann_pq_topk",
+    "ann_opq_topk",
+    "embedding_pca_spectrum",
+    "dedup_agreement_matrix",
+    "bpe_train_merges",
+    "bpe_tokenize_topk",
+    "bpe_per_lang_rules",
+    "bpe_fertility_by_lang",
+    "bpe_compression_curve",
 ]
+
 _missing = [n for n in _FRONT if n not in QUERIES]
 if _missing:
     raise ValueError(f"registry front-order names unknown: {_missing}")

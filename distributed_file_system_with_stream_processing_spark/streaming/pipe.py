@@ -1,0 +1,154 @@
+"""Compiled-binary user ops (``rdd.pipe``-style), Spark-first.
+
+The reference's core UX hands the pipeline two standalone executables:
+stage 2 execs ``op1`` on each 5-line batch (reference
+rainstorm/rainstorm.go:396-410: the batch lines are joined with
+``\\n`` and passed to the process, stdout lines become the stage
+output) and stage 3 execs ``op2`` the same way (rainstorm.go:491-505),
+whose stdout is a JSON record ``{"Type": "Transform"|"Aggregate",
+"Data": ...}`` (rainstorm.go:532-535); for Aggregate the leader merges
+the per-batch ``{category: count}`` dicts into a running map
+(rainstorm.go:551-559).
+
+The declarative rewrites in ``streaming/ops.py`` are the fast path —
+but a user holding a compiled binary needs a runner, not a rewrite.
+``PipeOp`` is that runner, shaped for Spark's execution model instead
+of an RPC mesh:
+
+- **Arrow-batched, one subprocess per Arrow batch** via
+  ``mapInPandas`` — the distributed generalisation of the reference's
+  one-exec-per-5-line-batch, with the batch size set by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (10k default)
+  instead of 5. ``communicate()`` writes stdin and drains stdout
+  concurrently, so an op that emits before consuming everything
+  cannot deadlock the executor.
+- **Transform** binaries: input lines on stdin, zero-or-more output
+  lines on stdout → a one-string-column DataFrame. Works identically
+  on batch and streaming inputs (stateless — Structured Streaming
+  runs the same ``mapInPandas`` per micro-batch).
+- **Aggregate** binaries: per-batch JSON ``{category: count}`` on
+  stdout. The per-batch dicts are Spark's map-side partial aggregates;
+  the final ``groupBy(key).sum`` shuffle is the leader's running
+  ``AggregateCounts`` merge — associative, so executor batch
+  boundaries don't change the result.
+
+This is deliberately NOT ``rdd.pipe``: that path tears rows down to a
+plain-text RDD, loses the schema, and forks with row-at-a-time Python
+serialization. ``mapInPandas`` keeps Arrow batching end-to-end and
+returns a typed DataFrame that downstream declarative ops can fuse
+with.
+
+Scale note (100 TB): the subprocess cost amortises over the Arrow
+batch (~10k lines per fork vs the reference's 5), the op runs where
+the data lives (no RPC hop between stages), and the aggregate merge is
+one low-cardinality shuffle. The binary must be present on every
+executor (ship via ``spark.files`` / ``sc.addFile`` on a real
+cluster; the reference replicates op files to VMs the same way,
+rainstorm.go:366-394).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TRANSFORM_SCHEMA = "value string"
+_AGG_SCHEMA = "key string, cnt bigint"
+
+
+def _run(cmd: list[str], lines: list[str]) -> str:
+    """Feed ``lines`` to ``cmd`` on stdin, return its stdout.
+
+    Exit codes 0 and 1 are both success: the classic Unix filter
+    contract (grep) uses 1 for "no matches", which for a Transform op
+    just means an empty output batch.
+    """
+    proc = subprocess.run(
+        cmd,
+        input="\n".join(lines) + "\n",
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    if proc.returncode not in (0, 1):
+        raise RuntimeError(
+            f"pipe op {cmd!r} failed with rc={proc.returncode}: "
+            f"{proc.stderr[:500]}"
+        )
+    return proc.stdout
+
+
+@dataclass(frozen=True)
+class PipeOp:
+    """A user-supplied executable op (reference op1/op2 contract).
+
+    ``cmd`` is the argv list; ``mode`` selects the reference's two op
+    families: ``"transform"`` (stdout lines are the output rows) or
+    ``"aggregate"`` (stdout is a JSON ``{category: count}`` dict per
+    input batch, merged downstream).
+    """
+
+    name: str
+    cmd: tuple[str, ...]
+    mode: str = "transform"  # "transform" | "aggregate"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("transform", "aggregate"):
+            raise ValueError(f"unknown pipe-op mode {self.mode!r}")
+
+
+def run_pipe(df: DataFrame, op: PipeOp, line_col: str = "value") -> DataFrame:
+    """Run a :class:`PipeOp` over ``df[line_col]`` (string lines).
+
+    Transform → DataFrame(value string): the binary's stdout lines.
+    Aggregate → DataFrame(key string, cnt bigint): per-batch partial
+    counts already merged by key (one shuffle) — the running-counts
+    shape; in streaming use ``outputMode("update")`` downstream or
+    re-aggregate per trigger.
+
+    Stateless per micro-batch, so the same function serves batch and
+    streaming DataFrames unchanged.
+    """
+    cmd = list(op.cmd)
+    src = df.select(F.col(line_col).cast("string").alias("value"))
+
+    if op.mode == "transform":
+
+        def eat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = _run(cmd, pdf["value"].tolist())
+                lines = out.splitlines()
+                if lines:
+                    yield pd.DataFrame({"value": lines})
+
+        return src.mapInPandas(eat, _TRANSFORM_SCHEMA)
+
+    def eat_agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = _run(cmd, pdf["value"].tolist()).strip()
+            if not out:
+                continue
+            rec = json.loads(out)
+            # Accept both the bare {category: count} dict and the
+            # reference's enveloped {"Type": "Aggregate", "Data": "..."}
+            # record (rainstorm.go:532-541, Data is a JSON string).
+            if isinstance(rec, dict) and rec.get("Type") == "Aggregate":
+                rec = json.loads(rec["Data"])
+            if rec:
+                yield pd.DataFrame(
+                    {"key": list(rec.keys()), "cnt": [int(v) for v in rec.values()]}
+                )
+
+    partial = src.mapInPandas(eat_agg, _AGG_SCHEMA)
+    return partial.groupBy("key").agg(F.sum("cnt").alias("cnt"))
