@@ -92,6 +92,26 @@ def merge_pair(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
+def adjacent_triples(syms: Column) -> Column:
+    """array<struct<u,v,w>> of adjacent symbol triples (empty below 3).
+    Triples exist to BOUND the batched trainer: merging (v, w) creates
+    new pairs (u, vw) with count ≤ count of triple (u, v, w), and
+    (uv, w) from merge (u, v) with count ≤ triple (u, v, w) — so the
+    per-pair max triple count is a sound upper bound on every pair the
+    merge can create."""
+    return F.filter(
+        F.transform(
+            syms,
+            lambda x, i: F.struct(
+                F.get(syms, i - 2).alias("u"),
+                F.get(syms, i - 1).alias("v"),
+                x.alias("w"),
+            ),
+        ),
+        lambda t: t["u"].isNotNull(),
+    )
+
+
 def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n): distinct lowercased whitespace words with corpus
     frequencies — the vocab-scale table BPE trains on."""
@@ -148,6 +168,131 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> lis
         if prev is not None:
             prev.unpersist()
     return rules
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    m_per_job: int = 4,
+) -> tuple[list[dict], int]:
+    """Train BPE rules taking up to ``m_per_job`` merges per Spark job,
+    with the rule sequence PROVABLY identical to :func:`bpe_train`'s
+    sequential order. Returns ``(rules, n_jobs)``.
+
+    Why: one driver-synchronized job per merge is fine at 8 merges but
+    is 32k jobs at a real vocab budget. Each batched iteration counts
+    pairs AND adjacent triples in the same pass over the persisted
+    word table, then the driver accepts a PREFIX of the sorted
+    candidate list under two exactness conditions:
+
+    1. **Symbol-disjointness** — a candidate sharing a symbol with any
+       accepted merge stops the batch: merging (x, y) can change the
+       count of any pair containing x or y, so sequential BPE might
+       re-rank it; a pair with disjoint symbols keeps its exact count.
+    2. **New-pair dominance** — merging (v, w) creates pairs (u, vw)
+       and (vw, z) whose counts are ≤ the max adjacent-triple count
+       through (v, w) (``ub``). A later candidate is accepted only if
+       its count STRICTLY exceeds every accepted merge's ``ub`` —
+       so no newly created pair could have out-ranked it in the
+       sequential order (ties stop the batch: a new symbol's
+       lexicographic position is unknowable without materializing it).
+
+    Under these two rules every accepted candidate is exactly what
+    sequential BPE would pick next, so rank, pair and count all match
+    rule-for-rule (pinned in tests/test_bpe.py against both
+    :func:`bpe_train` and the pure-Python reference). On natural text
+    the batch is usually full (merges touch disjoint letter pairs);
+    on adversarial corpora it degrades to 1 merge/job — sequential
+    behavior, never a wrong rule.
+
+    100 TB: same vocab-scale table as ``bpe_train``; the triple
+    explode adds ~1 scan of the persisted table and one extra
+    low-cardinality shuffle per job, repaid m-fold by the batch.
+    """
+    wt = word_table(docs, text_col).withColumn("syms", chars_of(F.col("word")))
+    wt = wt.persist()
+    prev = None
+    rules: list[dict] = []
+    n_jobs = 0
+    # Collect enough candidates to fill a batch even when some are
+    # rejected; the prefix rule means extras are harmless.
+    top_k = max(4 * m_per_job, 16)
+    try:
+        while len(rules) < n_merges:
+            pairs = (
+                wt.select("n", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            trip = (
+                wt.select("n", F.explode(adjacent_triples(F.col("syms"))).alias("t"))
+                .groupBy(
+                    F.col("t.u").alias("u"),
+                    F.col("t.v").alias("v"),
+                    F.col("t.w").alias("w"),
+                )
+                .agg(F.sum("n").alias("cnt3"))
+            )
+            # ub(a, b) = max triple count through (a, b) in either
+            # position — bounds every pair the merge (a, b) creates.
+            left_ext = trip.groupBy(
+                F.col("v").alias("a"), F.col("w").alias("b")
+            ).agg(F.max("cnt3").alias("ub_l"))
+            right_ext = trip.groupBy(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            ).agg(F.max("cnt3").alias("ub_r"))
+            cands = (
+                pairs.join(left_ext, ["a", "b"], "left")
+                .join(right_ext, ["a", "b"], "left")
+                .withColumn(
+                    "ub",
+                    F.greatest(
+                        F.coalesce(F.col("ub_l"), F.lit(0)),
+                        F.coalesce(F.col("ub_r"), F.lit(0)),
+                    ),
+                )
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(top_k)
+                .collect()
+            )
+            n_jobs += 1
+            if prev is not None:
+                prev.unpersist()
+            if not cands:
+                break
+            accepted = []
+            used: set[str] = set()
+            max_ub = 0
+            budget = min(m_per_job, n_merges - len(rules))
+            for c in cands:
+                if accepted and (
+                    int(c["cnt"]) <= max_ub or {c["a"], c["b"]} & used
+                ):
+                    break
+                accepted.append(c)
+                used |= {c["a"], c["b"]}
+                max_ub = max(max_ub, int(c["ub"]))
+                if len(accepted) >= budget:
+                    break
+            col = F.col("syms")
+            for c in accepted:
+                rules.append(
+                    {
+                        "rank": len(rules) + 1,
+                        "left": c["a"],
+                        "right": c["b"],
+                        "merged": c["a"] + c["b"],
+                        "pair_count": int(c["cnt"]),
+                    }
+                )
+                col = merge_pair(col, c["a"], c["b"])
+            prev, wt = wt, wt.withColumn("syms", col).persist()
+    finally:
+        wt.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return rules, n_jobs
 
 
 def bpe_apply(docs: DataFrame, rules: list[dict], text_col: str = "text") -> DataFrame:

@@ -1218,17 +1218,23 @@ _BPE_MERGES = 8
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) —
-    ``_BPE_MERGES`` merge rules learned over the corpus word table.
-    See operators/bpe.py for the execution model (one weighted
-    pair-count job + a pure-column fold merge per iteration; rules are
-    the only driver state). Rows-only for the driver (the iterative
-    rule sequence has no SQL oracle); the HARD check is
-    tests/test_bpe.py: the full rule list matches an independent
-    pure-Python BPE exactly, and applied tokens reconstruct every
-    word."""
+    ``_BPE_MERGES`` merge rules learned over the corpus word table via
+    the BATCHED trainer (operators/bpe.py bpe_train_batched): up to 4
+    exactness-compatible merges per pair+triple-count job, so a real
+    32k-merge vocab budget costs ~vocab/4 driver-synchronized jobs,
+    not 32k — with the rule sequence provably identical to the
+    sequential trainer (prefix acceptance under symbol-disjointness +
+    triple-bound new-pair dominance; parity pinned in
+    tests/test_bpe.py against both bpe_train and pure-Python BPE).
+    Rows-only for the driver (the iterative rule sequence has no SQL
+    oracle); the HARD check is tests/test_bpe.py: the full rule list
+    matches an independent pure-Python BPE exactly, and applied tokens
+    reconstruct every word."""
     from distributed_file_system_with_stream_processing_spark.operators import bpe as B
 
-    rules = B.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+    rules, _ = B.bpe_train_batched(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES, m_per_job=4
+    )
     return spark.createDataFrame(
         [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rules],
         "rank long, left string, right string, merged string, pair_count long",

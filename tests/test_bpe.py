@@ -60,6 +60,45 @@ def test_bpe_rules_match_python_reference(spark):
     assert got == ref and len(got) == N_MERGES
 
 
+def test_bpe_train_batched_rule_sequence_parity_and_fewer_jobs(spark):
+    """Batched trainer == sequential trainer rule-for-rule, in fewer
+    driver-synchronized jobs. Exactness comes from the prefix rule
+    (symbol-disjointness + triple-bound new-pair dominance); the job
+    count proves the batching actually batched on natural text."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seq = B.bpe_train(docs, n_merges=N_MERGES)
+    batched, n_jobs = B.bpe_train_batched(docs, n_merges=N_MERGES, m_per_job=3)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in batched
+    ] == [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in seq
+    ]
+    assert len(batched) == N_MERGES
+    # sequential = N_MERGES jobs; batching must beat it
+    assert n_jobs < N_MERGES, n_jobs
+
+
+def test_bpe_train_batched_adversarial_overlap_degrades_not_diverges(spark):
+    """A corpus engineered so every top pair shares a symbol with the
+    next ('aaaa...' chains): the batch must shrink to ~1 merge/job —
+    sequential behavior — and STILL match the pure-Python reference,
+    never emit a wrong rule."""
+    rows = [("a" * 8 + " " + "ab" * 4,)] * 5 + [("ba" * 4,)] * 3
+    docs = spark.createDataFrame(rows, "text string")
+    batched, _ = B.bpe_train_batched(docs, n_merges=4, m_per_job=4)
+    wc = collections.Counter()
+    for (t,) in rows:
+        for w in t.split():
+            wc[w.lower()] += 1
+    ref, _ = _py_bpe(wc, 4)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in batched
+    ] == ref
+
+
 def test_bpe_apply_reconstructs_words_and_matches_reference(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     rules = B.bpe_train(docs, n_merges=N_MERGES)
