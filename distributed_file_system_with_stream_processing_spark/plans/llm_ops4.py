@@ -232,6 +232,38 @@ FROM agg
 """
 
 
+def docs_bigram_perplexity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_bigram_perplexity``'s beyond-broadcast twin: the trained
+    LM persists as a gram-BUCKETED table and the scorer joins it
+    statically, so the plan carries exactly ONE gram Exchange (the
+    docs side) — the model side reads bucket-aligned with no shuffle.
+
+    Why registered (not just the tests/test_sinks.py proof): the LM
+    table is corpus-vocabulary-scale (~40 MB at sf0.1 and growing with
+    vocab), so the estimator-chosen broadcast in the plain twin stops
+    being the right shape exactly when the data gets big — this twin
+    is the 100 TB plan, train-offline/score-online: write the model
+    once bucketed on gram, then every scorer (batch here, per-micro-
+    batch in streaming/rainstorm.py bigram_ppl_stream) joins it with
+    only its own grams shuffling. Oracle: identical to the plain
+    twin's (the bucketing changes the plan, not one bit of the
+    output).
+    """
+    import os
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"dfsp_bigram_lm_{suffix}"
+    path = os.path.join(tempfile.gettempdir(), f"dfsp_bigram_lm_{suffix}")
+    from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+        write_bucketed,
+    )
+
+    write_bucketed(bigram_model(d), table, path, "gram", 8)
+    return bigram_score(d, spark.table(table))
+
+
 _INTERP_LAMBDA = 0.7  # bigram weight in the mixture
 
 
@@ -1402,6 +1434,7 @@ FROM staged
 QUERIES = {
     "ngram_counts_topk": ngram_counts_topk,
     "docs_bigram_perplexity": docs_bigram_perplexity,
+    "docs_bigram_perplexity_bucketed": docs_bigram_perplexity_bucketed,
     "docs_kl_by_source": docs_kl_by_source,
     "docs_interp_perplexity": docs_interp_perplexity,
     "multimodal_video_frames": multimodal_video_frames,
@@ -1424,6 +1457,7 @@ QUERIES = {
 ORACLES = {
     "ngram_counts_topk": NGRAM_COUNTS_SQL,
     "docs_bigram_perplexity": DOCS_BIGRAM_PPL_SQL,
+    "docs_bigram_perplexity_bucketed": DOCS_BIGRAM_PPL_SQL,
     "docs_kl_by_source": DOCS_KL_BY_SOURCE_SQL,
     "docs_interp_perplexity": DOCS_INTERP_PPL_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,

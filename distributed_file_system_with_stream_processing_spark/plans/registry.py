@@ -85,6 +85,7 @@ _FRONT = [
     "curation_funnel",
     "docs_train_val_split",
     # 4. new round-4 queries (appended as they land)
+    "docs_bigram_perplexity_bucketed",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",

@@ -206,6 +206,25 @@ def test_gated_broadcast_fallback_over_bound(spark, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bigram_bucketed_twin_single_gram_exchange(spark):
+    """docs_bigram_perplexity_bucketed's claim: the persisted LM is
+    bucketed on gram, so the score join carries exactly ONE gram
+    Exchange (the docs side) per SortMergeJoin — the model side reads
+    bucket-aligned. Auto-broadcast is disabled so the join can't hide
+    behind an estimator-chosen broadcast at smoke scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["docs_bigram_perplexity_bucketed"](spark, SF_SMOKE)
+        plan = executed_plan(df)
+        assert "Bucketed: true" in plan, plan
+        n_smj = plan.count("SortMergeJoin")
+        n_gram_ex = plan.count("Exchange hashpartitioning(gram")
+        assert n_smj >= 1 and n_gram_ex == n_smj, (n_smj, n_gram_ex, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # -- codegen & aggregation shape --------------------------------------------
 
 
