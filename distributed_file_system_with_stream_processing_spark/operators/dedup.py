@@ -385,3 +385,68 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("label").alias("cluster_id"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, Phys. Rev. E 76:036106) over a near-dup pair graph —
+    community detection complementing :func:`connected_components`:
+    CC answers "is there ANY path", LPA's bounded rounds answer "is
+    the membership signal REACHABLE in ≤ n_rounds hops with majority
+    support", so a long thin chain that CC fuses into one component
+    stays multiple LPA communities.
+
+    Determinism (the property the classic asynchronous LPA lacks):
+    all nodes update simultaneously from the previous round's labels;
+    a node adopts the label with the highest vote count among its
+    neighbors plus ITSELF (a self-loop vote — the standard stabilizer
+    against 2-cycles), ties broken by smallest label. Vote counts are
+    exact integers, so the result is a pure function of the edge set
+    and mirrors bit-for-bit in the unrolled SQL oracle.
+
+    100 TB shape: the symmetrized edge list is LSH-pair-scale, so it
+    goes through the size-gated broadcast (operators/_util.
+    gate_broadcast — hinted under the row bound, key-shuffle fallback
+    above it, and persisted with FIFO unpersist so the n_rounds
+    re-reads hit cache); per round the only corpus-independent
+    shuffles are the (node, label) vote count and the per-node argmax,
+    both with map-side partials. Returns (node, community) for every
+    node incident to an edge.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    full = sym.unionByName(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    )
+    full, _ = gate_broadcast(full)
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(n_rounds):
+        votes = (
+            full.join(lab.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("_negc"), F.col("lab").alias("lab"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.lab").alias("lab"))
+        )
+    return lab.select("node", F.col("lab").alias("community"))

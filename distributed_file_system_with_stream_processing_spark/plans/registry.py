@@ -20,6 +20,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops3,
     llm_ops4,
     llm_ops5,
+    llm_ops6,
     rainstorm_queries,
 )
 
@@ -36,6 +37,7 @@ _MODULES = (
     llm_ops3,
     llm_ops4,
     llm_ops5,
+    llm_ops6,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -86,6 +88,7 @@ _FRONT = [
     "docs_train_val_split",
     # 4. new round-4 queries (appended as they land)
     "docs_bigram_perplexity_bucketed",
+    "neardup_communities",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",

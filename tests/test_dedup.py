@@ -119,3 +119,51 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in D.connected_components(edges, reliable_checkpoint=True).collect()
     }
     assert reliable == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
+
+
+def _py_lpa(edges, n_rounds=3):
+    """Independent pure-Python synchronous LPA with self-loop vote and
+    (count desc, label asc) tie-break — the reference the Spark
+    operator and the SQL oracle must both equal."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {u: u for u in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for u in adj:
+            votes = collections.Counter(lab[v] for v in adj[u])
+            votes[lab[u]] += 1  # self-loop
+            new[u] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_planted_cliques_match_cc(spark):
+    """On dense planted clusters (cliques) LPA and CC induce the SAME
+    partition — and with all-distinct initial labels the LPA label is
+    the clique minimum, equal to CC's cluster_id."""
+    cliq = [(a, b) for grp in ([1, 2, 3, 4], [10, 11, 12]) for i, a in enumerate(grp) for b in grp[i + 1:]]
+    edges = spark.createDataFrame(cliq, "doc_id_a long, doc_id_b long")
+    lpa = {r["node"]: r["community"] for r in D.label_propagation(edges).collect()}
+    cc = {r["node"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
+    assert lpa == cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    assert lpa == _py_lpa(cliq)
+
+
+def test_label_propagation_bounded_horizon_differs_from_cc(spark):
+    """The complement claim: a diameter-8 chain is ONE CC component,
+    but 3 LPA rounds bound the membership horizon — labels only reach
+    3 hops, so distant chain ends do NOT share a community. Exact
+    labels pinned against the pure-Python reference."""
+    chain = [(i, i + 1) for i in range(1, 9)]
+    edges = spark.createDataFrame(chain, "doc_id_a long, doc_id_b long")
+    lpa = {r["node"]: r["community"] for r in D.label_propagation(edges).collect()}
+    assert lpa == _py_lpa(chain)
+    cc = {r["node"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
+    assert len(set(cc.values())) == 1
+    assert len(set(lpa.values())) > 1, lpa
