@@ -378,7 +378,12 @@ class TableStore:
                 )
             elif batch <= seq_from:
                 # a compacted batch is named by its EARLIEST folded
-                # stamp; rows later than seq_from may live inside it
+                # stamp; rows later than seq_from may live inside it —
+                # but only if its max-stamp marker says so: the marker
+                # check is one local file read and skips opening the
+                # parquet footer of every fully-old batch
+                if self._batch_max_seq(name, batch) <= seq_from:
+                    continue
                 maybe = self.spark.read.parquet(
                     os.path.join(self._appends_dir(name), batch)
                 )

@@ -19,10 +19,28 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-# Candidate-pair tables persisted by gate_broadcast, unpersisted FIFO
-# once newer gates arrive — bounds cached blocks in a long-lived
+# Tables persisted by cache_bounded/gate_broadcast, unpersisted FIFO
+# once newer entries arrive — bounds cached blocks in a long-lived
 # session without unpersisting a table the current query still reads.
 _GATE_CACHE: deque[DataFrame] = deque(maxlen=4)
+
+
+def cache_bounded(df: DataFrame) -> DataFrame:
+    """persist() with a session-lifetime bound: the FIFO unpersists
+    the oldest cached table once ``maxlen`` newer ones arrive, so a
+    query that persists an intermediate it returns lazily (opq_topk's
+    rotated table, gate_broadcast's pair tables) cannot accumulate
+    cached blocks unboundedly across repeated invocations — while the
+    most recent entries stay live for the caller still reading them.
+    """
+    df = df.persist()
+    while len(_GATE_CACHE) == _GATE_CACHE.maxlen:
+        try:
+            _GATE_CACHE.popleft().unpersist()
+        except Exception:
+            pass
+    _GATE_CACHE.append(df)
+    return df
 
 # Broadcast bound for gate_broadcast. Conservative vs Spark's 8 GB
 # broadcast-table hard cap: candidate-pair rows are two ids + a few
@@ -49,14 +67,8 @@ def gate_broadcast(df: DataFrame, max_rows: int | None = None) -> tuple[DataFram
     """
     if max_rows is None:
         max_rows = GATE_MAX_ROWS
-    df = df.persist()
+    df = cache_bounded(df)
     n = df.count()
-    while len(_GATE_CACHE) == _GATE_CACHE.maxlen:
-        try:
-            _GATE_CACHE.popleft().unpersist()
-        except Exception:
-            pass
-    _GATE_CACHE.append(df)
     if n <= max_rows:
         return broadcast(df), True
     return df, False

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import vector as V
-from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
+from distributed_file_system_with_stream_processing_spark.operators._util import cache_bounded, spread as _spread
 
 _MICRO = 1_000_000
 
@@ -648,9 +648,10 @@ def opq_topk(
     # persist the rotated table: codebook training (iters+1 passes) and
     # the encode pass all read it, and each recomputation would redo
     # the d² interpreted matmul per row (measured 7.7 s → the PQ-family
-    # baseline at sf0.1 without it). Released by the ContextCleaner
-    # once the query's references drop — the kmeans cache stance.
-    re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
+    # baseline at sf0.1 without it). cache_bounded's FIFO unpersists it
+    # after newer entries arrive, so repeated invocations in a
+    # long-lived session can't accumulate cached blocks.
+    re_ = cache_bounded(e.selectExpr("id", f"{rotate_expr(rot)} AS v"))
     return _pq_search(
         re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor,
         e_rerank=e, books=books,

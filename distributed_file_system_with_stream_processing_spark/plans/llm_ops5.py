@@ -179,14 +179,23 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("w_mu").alias("dot_mu"))
     )
-    scored = dots.join(norms, "doc_id").select(
-        "query_id",
-        "doc_id",
-        (
-            F.col("dot_mu").cast("double")
-            / F.sqrt(F.col("norm2").cast("double"))
-        ).alias("_score"),
-        "dot_mu",
+    # norm2 = 0 iff every term of the doc has df == n_docs (all
+    # weights ln(1) = 0): score would be 0/sqrt(0) = NaN in BOTH
+    # engines — identical, but NaN must not leak into the output
+    # column, so such degenerate docs are excluded before ranking
+    # (mirrored by the oracle's norm2 > 0 predicate).
+    scored = (
+        dots.join(norms, "doc_id")
+        .filter(F.col("norm2") > 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("dot_mu").cast("double")
+                / F.sqrt(F.col("norm2").cast("double"))
+            ).alias("_score"),
+            "dot_mu",
+        )
     )
     win = Window.partitionBy("query_id").orderBy(
         F.desc("dot_mu"), F.asc("doc_id")
@@ -239,6 +248,7 @@ rk AS (
            row_number() OVER (PARTITION BY d.query_id
                               ORDER BY d.dot_mu DESC, d.doc_id) AS rank
     FROM dots d JOIN norms n USING (doc_id)
+    WHERE n.norm2 > 0
 )
 SELECT query_id, doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {_TR_K}

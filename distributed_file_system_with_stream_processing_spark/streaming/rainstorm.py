@@ -529,7 +529,14 @@ def bloom_gate_stream(
         _BLOOM_M,
     )
 
-    lits = {k: F.lit(sorted(bloom_bits.get(k, []))) for k in range(_BLOOM_K)}
+    # cast pins the element type: with an empty eval set a hash row's
+    # list is [], and an untyped F.lit([]) breaks array_contains at
+    # analysis — cast('array<bigint>') keeps the gate total (matches
+    # nothing) instead of unanalyzable
+    lits = {
+        k: F.lit(sorted(bloom_bits.get(k, []))).cast("array<bigint>")
+        for k in range(_BLOOM_K)
+    }
 
     def hit(s):
         conds = []
