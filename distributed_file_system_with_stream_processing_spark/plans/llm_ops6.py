@@ -22,6 +22,10 @@ from distributed_file_system_with_stream_processing_spark.operators import dedup
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     _MINHASH_PAIRS_BODY,
 )
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+    _BIGRAMS,
+    _TOKS_L,
+)
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
 
 _LPA_ROUNDS = 3
@@ -93,10 +97,222 @@ SELECT node AS doc_id, lab AS community FROM lab{_LPA_ROUNDS}
 )
 
 
+# ---------------------------------------------------------------------------
+# neardup_degree_stats
+
+NEARDUP_DEGREE_SQL = (
+    _MINHASH_PAIRS_BODY
+    + """,
+e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+"""
+)
+
+
+def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph: (degree, n_docs) — the
+    graph-shape diagnostic read BEFORE choosing a clustering: a
+    heavy-tailed degree distribution (boilerplate hub docs touching
+    thousands of near-dups) says CC will chain everything together and
+    LPA/star-capping is needed; a flat low-degree profile says plain
+    CC is safe. Exact integer counts end to end.
+
+    100 TB shape: the LSH pair backbone + one pair-scale groupBy
+    (degree per node) + one ~tiny groupBy (histogram). The corpus
+    table itself never reshuffles beyond the shared LSH pass.
+    """
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
+    )
+    e = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# bigram_pmi_topk
+
+_PMI_MIN_COUNT = 5
+_PMI_MICRO = 1_000_000
+_PMI_K = 100
+
+
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-``_PMI_K`` corpus bigrams by pointwise
+    mutual information pmi(a,b) = ln(p(ab) / (p(a)·p(b))) with a
+    min-count floor (Church & Hanks 1990) — the phrase/term-of-art
+    detector a tokenizer-vocab or stop-phrase pipeline runs over a new
+    corpus; high-PMI pairs are multiword units, low-PMI frequent pairs
+    are boilerplate glue.
+
+    Exactness: all counts are exact integers; the PMI ratio is ONE
+    fixed double sequence ``c_ab·N·N / N_bg / c_a / c_b`` evaluated
+    left-to-right identically in both engines, its log micro-quantizes
+    once to ``pmi_mu`` (BIGINT), and the top-k orders by the integer
+    (pmi_mu desc, gram asc) — float-free hash, deterministic
+    k-boundary.
+
+    100 TB shape: the (doc, gram) partial-agg backbone shared with
+    docs_bigram_perplexity [shuffle 1] → corpus gram counts [shuffle
+    2] with the min-count filter applied BEFORE the unigram joins
+    (vocab-scale tail cut early); two term-keyed joins hang the
+    unigram counts on each gram [shuffles 3-4, vocab-scale]; the two
+    1-row totals ride a broadcast; top-k plans as
+    TakeOrderedAndProject (per-partition heaps, k rows to driver).
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _bigram_tf,
+    )
+    from pyspark.sql.functions import broadcast
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c_ab"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = cbg.agg(F.sum("c_ab").alias("n_bg")).crossJoin(
+        uni.agg(F.sum("cnt").alias("n_uni"))
+    )
+    enriched = (
+        cbg.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("u", F.substring_index("gram", " ", 1))
+        .withColumn("v", F.substring_index("gram", " ", -1))
+        .join(uni.select(F.col("term").alias("u"), F.col("cnt").alias("c_a")), "u")
+        .join(uni.select(F.col("term").alias("v"), F.col("cnt").alias("c_b")), "v")
+        .crossJoin(broadcast(totals))
+    )
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni")
+        * F.col("n_uni")
+        / F.col("n_bg")
+        / F.col("c_a")
+        / F.col("c_b")
+    )
+    pmi_mu = F.round(F.log(ratio) * _PMI_MICRO).cast("long")
+    return (
+        enriched.select("gram", "c_ab", pmi_mu.alias("pmi_mu"))
+        .orderBy(F.desc("pmi_mu"), F.asc("gram"))
+        .limit(_PMI_K)
+    )
+
+
+BIGRAM_PMI_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS c_ab FROM bg GROUP BY gram),
+uni AS (
+    SELECT term, count(*) AS cnt FROM (SELECT lower(unnest(ws)) AS term FROM toks)
+    GROUP BY term
+),
+totals AS (
+    SELECT (SELECT sum(tf) FROM bg) AS n_bg,
+           (SELECT sum(cnt) FROM uni) AS n_uni
+),
+enr AS (
+    SELECT c.gram, c.c_ab, ua.cnt AS c_a, ub.cnt AS c_b, t.n_bg, t.n_uni
+    FROM cbg c
+    JOIN uni ua ON split_part(c.gram, ' ', 1) = ua.term
+    JOIN uni ub ON split_part(c.gram, ' ', 2) = ub.term
+    CROSS JOIN totals t
+    WHERE c.c_ab >= {_PMI_MIN_COUNT}
+)
+SELECT gram, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(round(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni / n_bg / c_a / c_b)
+                  * {_PMI_MICRO}) AS BIGINT) AS pmi_mu
+FROM enr
+ORDER BY pmi_mu DESC, gram ASC
+LIMIT {_PMI_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantization_error
+
+_QE_PICO = 1_000_000_000_000
+
+
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric-quantization reconstruction error —
+    the acceptance audit for the int8 ANN path (ann_quantized_topk
+    compresses vectors to int8 with per-vector scale s = max|x|/127;
+    this query measures exactly what that costs): err = Σ_i (x_i −
+    round(x_i/s)·s)², reported in exact pico-units so the value hash
+    is float-free.
+
+    Exactness: s is one exact division; each dim's reconstruction
+    delta is the fixed sequence x − round(x/s)·s; its square
+    quantizes ONCE to pico-units (BIGINT) and the per-vector
+    reduction is an exact integer sum. All-zero vectors (s = 0) short-
+    circuit to err = 0 in both engines instead of dividing by zero.
+
+    100 TB shape: a pure scan→project — zero shuffles, zero joins;
+    the whole thing rides whole-stage codegen over the embedding
+    array column.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    s = mx / F.lit(127.0)
+    delta = lambda x: x - F.round(x / s) * s
+    err = F.aggregate(
+        v,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.round(delta(x) * delta(x) * F.lit(float(_QE_PICO))).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.when(mx == 0.0, F.lit(0).cast("long")).otherwise(err).alias("err_pico"),
+    )
+
+
+EMBEDDING_QUANT_ERR_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+SELECT vec_id,
+       CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_sum(list_transform(v, x ->
+                 CAST(round((x - round(x / (mx / 127.0)) * (mx / 127.0))
+                            * (x - round(x / (mx / 127.0)) * (mx / 127.0))
+                            * {float(_QE_PICO)}) AS BIGINT))) AS BIGINT)
+       END AS err_pico
+FROM m
+"""
+
+
 QUERIES = {
     "neardup_communities": neardup_communities,
+    "neardup_degree_stats": neardup_degree_stats,
+    "bigram_pmi_topk": bigram_pmi_topk,
+    "embedding_quantization_error": embedding_quantization_error,
 }
 
 ORACLES = {
     "neardup_communities": NEARDUP_COMMUNITIES_SQL,
+    "neardup_degree_stats": NEARDUP_DEGREE_SQL,
+    "bigram_pmi_topk": BIGRAM_PMI_SQL,
+    "embedding_quantization_error": EMBEDDING_QUANT_ERR_SQL,
 }

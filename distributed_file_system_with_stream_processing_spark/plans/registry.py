@@ -89,6 +89,9 @@ _FRONT = [
     # 4. new round-4 queries (appended as they land)
     "docs_bigram_perplexity_bucketed",
     "neardup_communities",
+    "neardup_degree_stats",
+    "bigram_pmi_topk",
+    "embedding_quantization_error",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
