@@ -119,6 +119,12 @@ AUDITED = [
     "session_transition_matrix",
     "zipf_by_source",
     "session_expected_length",
+    # round 4: community/collocation/quantization set + bucketed LM twin
+    "neardup_communities",
+    "neardup_degree_stats",
+    "bigram_pmi_topk",
+    "embedding_quantization_error",
+    "docs_bigram_perplexity_bucketed",
 ]
 
 JOIN_KINDS = (

@@ -114,6 +114,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "docs_bm25_score",
         "dsir_importance_weights",
         "dsir_resample_topk",
+        # PMI's (n_bg, n_uni) grand totals: the same 1-row BuildRight
+        # broadcast onto the vocab-scale gram table
+        "bigram_pmi_topk",
         "dsir_resample_stratified",
         "bm25_retrieval_topk",
         "rrf_fusion_topk",
