@@ -134,6 +134,13 @@ def main() -> None:
         "session_transition_matrix",
         "zipf_by_source",
         "session_expected_length",
+        # round-4 additions
+        "neardup_communities",
+        "neardup_degree_stats",
+        "bigram_pmi_topk",
+        "embedding_quantization_error",
+        "docs_bigram_perplexity_bucketed",
+        "bpe_train_merges",
     ]
     headline = [q for q in headline if q in QUERIES]
 

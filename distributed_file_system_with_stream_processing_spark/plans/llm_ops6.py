@@ -303,11 +303,269 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_margin_stats
+
+_EM_MICRO = 1_000_000
+_EM_MICRO2 = float(_EM_MICRO) * float(_EM_MICRO)
+
+
+def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning QA: per label, the MEAN intra-label dot product
+    vs the MEAN inter-label dot product — the separation margin a
+    contrastive/classifier pipeline wants to see before trusting the
+    embedding space. The naive computation is quadratic (all pairs);
+    this plan answers it EXACTLY in O(n) via the sum identity:
+
+        Σ_{i≠j∈L} <v_i, v_j> = ‖S_L‖² − Σ_{i∈L} ‖v_i‖²
+        Σ_{i∈L, j∉L} <v_i, v_j> = <S_L, S_total − S_L>
+
+    with S_L the per-label component-sum vector — the same
+    centroid-is-metadata stance as the k-means family, and the classic
+    example of a pair statistic that never needs a pair join.
+
+    Exactness: components micro-quantize once; per-dim label sums are
+    exact BIGINTs (documented bound: |s_d| < 2⁶³ up to ~10¹² vectors);
+    their squares/cross-products go through DECIMAL(19,0)×DECIMAL →
+    DECIMAL(38,0) (Spark) ↔ HUGEINT (DuckDB), both exact; the two
+    final means divide the exact numerator once, identically.
+
+    100 TB shape: ONE corpus-scale shuffle — the (label, dim)
+    partial-agg after a ×dim posexplode (map-side combine collapses it
+    to labels×dim rows per partition); everything after is
+    metadata-scale (labels×dim table). No pair join exists anywhere.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from pyspark.sql.functions import broadcast
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = lambda x: F.round(x * _EM_MICRO).cast("long")
+    v = V.as_double(F.col("embedding"))
+    mu = F.transform(v, q)
+    sq = F.aggregate(
+        mu, F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x.cast("decimal(19,0)") * x.cast("decimal(19,0)"),
+    )
+    base = e.select(F.col("label").cast("long").alias("label"), mu.alias("m"), sq.alias("qs"))
+    per_label_q = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("qs").alias("q_tot")
+    )
+    dims = (
+        base.select("label", F.posexplode("m").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.sum("c").alias("s_d"))
+    )
+    tot = dims.groupBy("pos").agg(F.sum("s_d").alias("t_d"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    lbl = (
+        dims.join(broadcast(tot), "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(dec("s_d") * dec("s_d")).alias("s2"),
+            F.sum(dec("s_d") * (dec("t_d") - dec("s_d"))).alias("x2"),
+        )
+        .join(per_label_q, "label")
+    )
+    n_total = base.agg(F.count(F.lit(1)).alias("n_all"))
+    out = lbl.crossJoin(broadcast(n_total)).filter(
+        (F.col("n_vecs") > 1) & (F.col("n_vecs") < F.col("n_all"))
+    )
+    intra = (
+        (F.col("s2") - F.col("q_tot")).cast("double")
+        / F.lit(_EM_MICRO2)
+        / (F.col("n_vecs") * (F.col("n_vecs") - 1))
+    )
+    inter = (
+        F.col("x2").cast("double")
+        / F.lit(_EM_MICRO2)
+        / (F.col("n_vecs") * (F.col("n_all") - F.col("n_vecs")))
+    )
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round(intra, 6).alias("mean_intra_dot"),
+        F.round(inter, 6).alias("mean_inter_dot"),
+    )
+
+
+EMBEDDING_MARGIN_SQL = f"""
+WITH e AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * {_EM_MICRO}) AS BIGINT)) AS m
+    FROM embeddings
+),
+pl AS (
+    SELECT label, count(*) AS n_vecs,
+           sum(list_sum(list_transform(m, x -> x * x))) AS q_tot
+    FROM e GROUP BY label
+),
+dims AS (
+    SELECT label, i.i AS pos, sum(m[i.i]) AS s_d
+    FROM e CROSS JOIN (SELECT unnest(range(1, len((SELECT m FROM e LIMIT 1)) + 1)) AS i) i
+    GROUP BY label, i.i
+),
+tot AS (SELECT pos, sum(s_d) AS t_d FROM dims GROUP BY pos),
+lbl AS (
+    SELECT d.label,
+           sum(CAST(d.s_d AS HUGEINT) * d.s_d) AS s2,
+           sum(CAST(d.s_d AS HUGEINT) * (t.t_d - d.s_d)) AS x2
+    FROM dims d JOIN tot t USING (pos) GROUP BY d.label
+),
+na AS (SELECT count(*) AS n_all FROM e)
+SELECT l.label, p.n_vecs,
+       round(CAST(l.s2 - p.q_tot AS DOUBLE) / {_EM_MICRO2}
+             / (p.n_vecs * (p.n_vecs - 1)), 6) AS mean_intra_dot,
+       round(CAST(l.x2 AS DOUBLE) / {_EM_MICRO2}
+             / (p.n_vecs * (n.n_all - p.n_vecs)), 6) AS mean_inter_dot
+FROM lbl l JOIN pl p USING (label) CROSS JOIN na n
+WHERE p.n_vecs > 1 AND p.n_vecs < n.n_all
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_coverage_curve
+
+_COV_KS = (10, 100, 1000)
+
+
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage curve: what fraction of all corpus tokens
+    the top-k most frequent terms account for, at k ∈ {10, 100,
+    1000} — the vocabulary-budget diagnostic (how much of the stream a
+    k-entry cache/vocab captures; the cumulative complement of the
+    Zipf fit's slope).
+
+    Exact integers end to end: term counts, the rank window (ties
+    broken on the term string), and the cumulative sum are all
+    integer; only the final share divides, once, identically.
+
+    100 TB shape: corpus-scale token count [shuffle 1, the shared
+    unigram backbone]; the rank + running-sum windows run over the
+    VOCAB-scale count table (the corpus_zipf_fit stance — a global
+    window is fine on a table bounded by distinct terms, and the
+    filter to rank ≤ max(k) cuts it to 1000 rows before the cumsum).
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    uni = (
+        d.select(F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.lower(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_tokens"))
+    rk = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = uni.withColumn("rank", F.row_number().over(rk)).filter(
+        F.col("rank") <= max(_COV_KS)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    curve = ranked.withColumn("cum_cnt", F.sum("cnt").over(cum)).filter(
+        F.col("rank").isin(*_COV_KS)
+    )
+    return curve.crossJoin(broadcast(total)).select(
+        F.col("rank").cast("long").alias("k"),
+        "cum_cnt",
+        F.round(F.col("cum_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+NGRAM_COVERAGE_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+uni AS (
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY term
+),
+tt AS (SELECT sum(cnt) AS n_tokens FROM uni),
+ranked AS (
+    SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+    FROM uni
+),
+curve AS (
+    SELECT rank, sum(cnt) OVER (ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt
+    FROM ranked WHERE rank <= {max(_COV_KS)}
+)
+SELECT CAST(rank AS BIGINT) AS k, CAST(cum_cnt AS BIGINT) AS cum_cnt,
+       round(CAST(cum_cnt AS DOUBLE) / t.n_tokens, 6) AS token_share
+FROM curve CROSS JOIN tt t
+WHERE rank IN {_COV_KS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_decayed_value
+
+_DK_LAMBDA = 0.9
+_DK_MICRO = 1_000_000
+
+
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed engagement score: Σ value·λᵏ
+    over the user's events with k = recency rank (0 = most recent,
+    ties broken on event_id), λ = 0.9 — the classic recency-weighted
+    LTV/engagement feature a ranking or sampling pipeline keys on.
+
+    Exactness: each event's contribution value·λᵏ·1e6 quantizes ONCE
+    to micro-units (power has an exact integer exponent and identical
+    double inputs in both engines; the micro-round absorbs any ulp
+    wobble), so the per-user reduction is an order-free exact integer
+    sum — the output is fully integer, float-free hash.
+
+    100 TB shape: ONE shuffle on user_id feeds both the recency-rank
+    window and the per-user sum (the window's sort partition IS the
+    aggregation partition); no joins.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    contrib = F.round(
+        F.col("value") * F.pow(F.lit(_DK_LAMBDA), F.col("k")) * _DK_MICRO
+    ).cast("long")
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("k", (F.row_number().over(w) - 1).cast("int"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).alias("decayed_value_mu"),
+        )
+    )
+
+
+EVENTS_DECAYED_SQL = f"""
+WITH rk AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) - 1 AS k
+    FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * pow({_DK_LAMBDA}, k) * {_DK_MICRO}) AS BIGINT))
+            AS BIGINT) AS decayed_value_mu
+FROM rk GROUP BY user_id
+"""
+
+
 QUERIES = {
     "neardup_communities": neardup_communities,
     "neardup_degree_stats": neardup_degree_stats,
     "bigram_pmi_topk": bigram_pmi_topk,
     "embedding_quantization_error": embedding_quantization_error,
+    "embedding_margin_stats": embedding_margin_stats,
+    "ngram_coverage_curve": ngram_coverage_curve,
+    "events_decayed_value": events_decayed_value,
 }
 
 ORACLES = {
@@ -315,4 +573,7 @@ ORACLES = {
     "neardup_degree_stats": NEARDUP_DEGREE_SQL,
     "bigram_pmi_topk": BIGRAM_PMI_SQL,
     "embedding_quantization_error": EMBEDDING_QUANT_ERR_SQL,
+    "embedding_margin_stats": EMBEDDING_MARGIN_SQL,
+    "ngram_coverage_curve": NGRAM_COVERAGE_SQL,
+    "events_decayed_value": EVENTS_DECAYED_SQL,
 }

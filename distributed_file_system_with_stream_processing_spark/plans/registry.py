@@ -92,6 +92,9 @@ _FRONT = [
     "neardup_degree_stats",
     "bigram_pmi_topk",
     "embedding_quantization_error",
+    "embedding_margin_stats",
+    "ngram_coverage_curve",
+    "events_decayed_value",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
