@@ -409,8 +409,163 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_rfm_segments — the classic CRM scoring shape (ntile windows)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the standard CRM recipe): per
+    customer, Recency (days since last order, anchored to the global
+    max order date so the result is a pure function of the data),
+    Frequency (order count) and Monetary (total spend), each scored
+    1-4 by quartile — ntile(4) windows, the one ranking shape the
+    registry didn't cover yet. Score 4 = best quartile on every axis.
+
+    Determinism: ntile's bucket boundaries depend only on the ORDER,
+    and every ordering carries a c_custkey tie-break; monetary sums
+    are exact DOUBLE sums of 2-decimal prices ordered before any
+    rounding, so bucket assignment is engine-stable. Output joins the
+    integer scores with the raw measures (monetary rounded for
+    display only).
+
+    100 TB shape: one shuffle on o_custkey for the per-customer fold;
+    the three ntile windows run over the CUSTOMER-scale aggregate
+    (the corpus_zipf_fit global-window stance — fine on a table
+    bounded by customers, and at 1000 executors this is the stage
+    you'd range-repartition if customers outgrew one task); the
+    global max date rides a 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("_monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    base = per_cust.crossJoin(broadcast(anchor)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("_anchor"), F.col("_last")).cast("long").alias("recency_days"),
+        "frequency",
+        "_monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("_monetary"), F.asc("custkey"))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("_monetary"), 2).alias("monetary"),
+        (5 - F.ntile(4).over(w_r)).cast("long").alias("r_score"),
+        (5 - F.ntile(4).over(w_f)).cast("long").alias("f_score"),
+        (5 - F.ntile(4).over(w_m)).cast("long").alias("m_score"),
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH pc AS (
+    SELECT o_custkey AS custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           sum(o_totalprice) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+base AS (
+    SELECT custkey,
+           CAST(date_diff('day', last_order, an.a) AS BIGINT) AS recency_days,
+           frequency, monetary
+    FROM pc CROSS JOIN anchor an
+)
+SELECT custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       round(monetary, 2) AS monetary,
+       CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_score,
+       CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_score,
+       CAST(5 - ntile(4) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m_score
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_revenue_hhi — market-concentration rollup
+
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation: HHI = Σ_s share_s² with share_s the supplier's
+    fraction of its nation's lineitem revenue — the market-structure
+    diagnostic (10000·HHI > 2500 ⇒ concentrated). Exactness: revenue
+    micro-quantizes per line item (round(extprice·(1−disc)·1e2) — the
+    q9 integer-cents trick), per-supplier and per-nation sums are
+    exact integer folds, and HHI = Σ s_i² / S² evaluates as
+    (Σ exact s_i²) / (S·S) in one fixed double division.
+
+    100 TB shape: lineitem → (suppkey) partial-agg shuffle [corpus
+    scale, map-side combine]; supplier→nation is a broadcast dim
+    join; the nation rollup is a 25-key shuffle. Nothing quadratic —
+    the share-squared sum folds on the supplier aggregate, never on
+    raw lines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = (
+        li.select(F.col("l_suppkey").alias("s_suppkey"), cents.alias("_c"))
+        .groupBy("s_suppkey")
+        .agg(F.sum("_c").alias("rev_c"))
+        .join(broadcast(sup), "s_suppkey")
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agg = per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_c").alias("_tot"),
+        F.sum(
+            F.col("rev_c").cast("decimal(19,0)") * F.col("rev_c").cast("decimal(19,0)")
+        ).alias("_sq"),
+    )
+    hhi = F.col("_sq").cast("double") / (
+        F.col("_tot").cast("double") * F.col("_tot").cast("double")
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        F.round(F.col("_tot").cast("double") / 100, 2).alias("revenue"),
+        F.round(hhi, 6).alias("hhi"),
+    )
+
+
+NATION_HHI_SQL = """
+WITH ps AS (
+    SELECT l_suppkey AS s_suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+    FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+    SELECT n.n_name AS nation, p.rev_c
+    FROM ps p
+    JOIN supplier s ON p.s_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+agg AS (
+    SELECT nation, count(*) AS n_suppliers,
+           sum(rev_c) AS tot,
+           sum(CAST(rev_c AS HUGEINT) * rev_c) AS sq
+    FROM j GROUP BY nation
+)
+SELECT nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       round(CAST(tot AS DOUBLE) / 100, 2) AS revenue,
+       round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+FROM agg
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
+    "customer_rfm_segments": customer_rfm_segments,
+    "nation_revenue_hhi": nation_revenue_hhi,
     "events_asof_forward": events_asof_forward,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
@@ -423,6 +578,8 @@ QUERIES = {
 
 ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SQL,
+    "nation_revenue_hhi": NATION_HHI_SQL,
     "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,

@@ -95,6 +95,8 @@ _FRONT = [
     "embedding_margin_stats",
     "ngram_coverage_curve",
     "events_decayed_value",
+    "customer_rfm_segments",
+    "nation_revenue_hhi",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
