@@ -562,10 +562,136 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# events_hourly_profile — seasonality fingerprint
+
+
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: (event_type, hour, n,
+    share-of-type) — the traffic fingerprint capacity planning and
+    anomaly baselines read first. Deterministic across engines because
+    ``load_table`` pins the session timezone to UTC for events, so
+    Spark's hour() and DuckDB's date_part('hour') see the same wall
+    clock; counts are exact integers and the share divides once.
+
+    100 TB shape: one partial-agg shuffle on the 24×|types| key —
+    map-side combine collapses each partition to ≤ 24·|types| rows;
+    the per-type total comes from a window over the tiny aggregate,
+    not a second pass over the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+WITH agg AS (
+    SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           count(*) AS n
+    FROM events GROUP BY event_type, date_part('hour', ts)
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_pareto_users — value-concentration curve
+
+
+_PARETO_PCTS = (1, 5, 10)
+
+
+def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of event value: what share of the total
+    event value the top 1% / 5% / 10% of users (by their value sum)
+    account for — the "is this corpus a few whales" diagnostic, the
+    user-axis complement of ngram_coverage_curve's token-mass curve.
+
+    Exactness: per-user value sums micro-quantize per EVENT (round(
+    value·1e6), exact integer user fold), users rank with a user_id
+    tie-break, the top-p% boundary is floor(p·n/100) — an integer —
+    and the cumulative sum folds exact integers; only the final share
+    divides.
+
+    100 TB shape: one corpus shuffle on user_id [map-side partials];
+    the rank + cumsum windows run over the USER-scale aggregate, cut
+    to the top decile before the cumsum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("v_mu")
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("v_mu").alias("t_mu")
+    )
+    rk = Window.orderBy(F.desc("v_mu"), F.asc("user_id"))
+    ranked = per_user.withColumn("rank", F.row_number().over(rk))
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ranked.crossJoin(broadcast(totals))
+        .filter(F.col("rank") <= F.floor(F.col("n_users") * max(_PARETO_PCTS) / 100))
+        .withColumn("cum_mu", F.sum("v_mu").over(cum))
+    )
+    out = None
+    for p in _PARETO_PCTS:
+        piece = curve.filter(
+            F.col("rank") == F.floor(F.col("n_users") * p / 100)
+        ).select(
+            F.lit(p).cast("long").alias("top_pct"),
+            F.col("rank").cast("long").alias("n_top_users"),
+            F.round(
+                F.col("cum_mu").cast("double") / F.col("t_mu").cast("double"), 6
+            ).alias("value_share"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+EVENTS_PARETO_SQL = f"""
+WITH pu AS (
+    SELECT user_id,
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS v_mu
+    FROM events GROUP BY user_id
+),
+tt AS (SELECT count(*) AS n_users, sum(v_mu) AS t_mu FROM pu),
+ranked AS (
+    SELECT v_mu, row_number() OVER (ORDER BY v_mu DESC, user_id ASC) AS rank
+    FROM pu
+),
+curve AS (
+    SELECT rank,
+           sum(v_mu) OVER (ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mu
+    FROM ranked CROSS JOIN tt
+    WHERE rank <= floor(n_users * {max(_PARETO_PCTS)} / 100)
+)
+SELECT p.p AS top_pct, CAST(c.rank AS BIGINT) AS n_top_users,
+       round(CAST(c.cum_mu AS DOUBLE) / CAST(t.t_mu AS DOUBLE), 6) AS value_share
+FROM (SELECT unnest(ARRAY{list(_PARETO_PCTS)}::BIGINT[]) AS p) p
+JOIN tt t ON TRUE
+JOIN curve c ON c.rank = floor(t.n_users * p.p / 100)
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "customer_rfm_segments": customer_rfm_segments,
     "nation_revenue_hhi": nation_revenue_hhi,
+    "events_hourly_profile": events_hourly_profile,
+    "events_pareto_users": events_pareto_users,
     "events_asof_forward": events_asof_forward,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
@@ -580,6 +706,8 @@ ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "customer_rfm_segments": CUSTOMER_RFM_SQL,
     "nation_revenue_hhi": NATION_HHI_SQL,
+    "events_hourly_profile": EVENTS_HOURLY_SQL,
+    "events_pareto_users": EVENTS_PARETO_SQL,
     "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,

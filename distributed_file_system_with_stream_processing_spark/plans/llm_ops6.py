@@ -273,19 +273,28 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_file_system_with_stream_processing_spark.functions import vector as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = V.as_double(F.col("embedding"))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    s = mx / F.lit(127.0)
-    delta = lambda x: x - F.round(x / s) * s
-    err = F.aggregate(
-        v,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.round(delta(x) * delta(x) * F.lit(float(_QE_PICO))).cast("long"),
+    # Hoist the per-vector scale into its own projection: expressions
+    # inside transform/aggregate lambdas get NO common-subexpression
+    # elimination, so an inline `s` would re-run the O(dim) array_max
+    # per ELEMENT — O(dim²) per row (measured 3.5 s vs ~0.4 s hoisted
+    # at sf0.1). Same trick for the reconstruction delta: build the
+    # delta array first so the squared term references a plain element.
+    base = e.select("vec_id", V.as_double(F.col("embedding")).alias("v")).withColumn(
+        "mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    ).withColumn("s", F.col("mx") / F.lit(127.0))
+    deltas = F.transform(
+        F.col("v"), lambda x: x - F.round(x / F.col("s")) * F.col("s")
     )
-    return e.select(
+    err = F.aggregate(
+        deltas,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + F.round(d * d * F.lit(float(_QE_PICO))).cast("long"),
+    )
+    return base.select(
         "vec_id",
-        F.when(mx == 0.0, F.lit(0).cast("long")).otherwise(err).alias("err_pico"),
+        F.when(F.col("mx") == 0.0, F.lit(0).cast("long"))
+        .otherwise(err)
+        .alias("err_pico"),
     )
 
 

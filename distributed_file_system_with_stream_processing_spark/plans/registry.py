@@ -97,6 +97,8 @@ _FRONT = [
     "events_decayed_value",
     "customer_rfm_segments",
     "nation_revenue_hhi",
+    "events_hourly_profile",
+    "events_pareto_users",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
