@@ -22,6 +22,9 @@ from distributed_file_system_with_stream_processing_spark.operators import dedup
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     _MINHASH_PAIRS_BODY,
 )
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+    _DOT as _ANN_DOT,
+)
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
     _BIGRAMS,
     _TOKS_L,
@@ -567,6 +570,229 @@ FROM rk GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_ttr_profile — lexical diversity
+
+
+def docs_ttr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio: distinct lowercased tokens over
+    total tokens — the lexical-diversity quality signal (low TTR =
+    repetitive boilerplate; pairs with doc_repetition_score's n-gram
+    view). Exact integers; the single ratio divides once, rounded.
+    Docs with no tokens are excluded in both engines (0/0).
+
+    100 TB shape: one (doc_id, term) partial-agg shuffle — distinct
+    and total counts fold together on the same key; no joins.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    terms = (
+        d.select("doc_id", F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("tf").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_types",
+            "n_tokens",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )
+
+
+DOCS_TTR_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+terms AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+    GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
+FROM terms GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_source_contingency — corpus-composition independence audit
+
+_CHI_MICRO = 1_000_000
+
+
+def lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source contingency table with per-cell chi-square
+    contributions — the "is language independent of source"
+    composition audit a mixing owner runs before per-source language
+    filters: a cell whose contribution dominates is a source feeding
+    one language disproportionately.
+
+    Exactness: observed counts and the three marginals are exact
+    integers; each cell's expected value r·c/N and contribution
+    (O−E)²/E evaluate in ONE fixed double sequence and micro-quantize
+    per cell — so the total chi² (= Σ contrib_mu / 1e6, summable by
+    the reader) is an order-free integer sum. No global double sum
+    exists anywhere.
+
+    100 TB shape: one corpus partial-agg shuffle on the (lang,
+    source) key; marginals derive from the CELL table (tiny), never a
+    second corpus pass; the two marginal joins are broadcasts.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rows_m = cells.groupBy("lang").agg(F.sum("n").alias("r_tot"))
+    cols_m = cells.groupBy("source").agg(F.sum("n").alias("c_tot"))
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    j = (
+        cells.join(broadcast(rows_m), "lang")
+        .join(broadcast(cols_m), "source")
+        .crossJoin(broadcast(tot))
+    )
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n_all")
+    contrib = (F.col("n") - e) * (F.col("n") - e) / e
+    return j.select(
+        "lang",
+        "source",
+        "n",
+        F.round(e, 4).alias("expected"),
+        F.round(contrib * _CHI_MICRO).cast("long").alias("contrib_mu"),
+    )
+
+
+LANG_SOURCE_CONTINGENCY_SQL = f"""
+WITH cells AS (
+    SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+),
+rm AS (SELECT lang, sum(n) AS r_tot FROM cells GROUP BY lang),
+cm AS (SELECT source, sum(n) AS c_tot FROM cells GROUP BY source),
+tt AS (SELECT sum(n) AS n_all FROM cells)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       round(CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all, 4) AS expected,
+       CAST(round((c.n - CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
+                  * (c.n - CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
+                  / (CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
+                  * {_CHI_MICRO}) AS BIGINT) AS contrib_mu
+FROM cells c
+JOIN rm r USING (lang)
+JOIN cm m USING (source)
+CROSS JOIN tt t
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_classvote — embedding-quality eval via kNN label vote
+
+
+def embedding_knn_classvote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-vote evaluation of the embedding space: for each
+    query vector (the ann_cosine_topk query set), the majority label
+    among its 5 exact nearest base neighbors vs its own label — the
+    standard "do nearest neighbors share my class" probe that turns
+    the ANN stack into an embedding-quality score (agreement rate =
+    the leave-out kNN accuracy).
+
+    Determinism: the neighbor set is ann_cosine_topk's (proven
+    hash-stable ordering); the vote is an integer count with ties
+    broken by smallest label — pure function of the neighbor table.
+
+    100 TB shape: the queries-broadcast brute-force cosine (the
+    documented correct shape for a tiny query side) + a broadcast
+    label join and a |Q|-scale vote aggregate. Nothing new shuffles.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    topk = S.cosine_topk(emb, query_ids_below=10, k=5)
+    votes = (
+        topk.join(
+            broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("_negc"), F.col("label").alias("label"))
+            ).alias("w")
+        )
+        .select("query_id", F.col("w.label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            broadcast(labels.withColumnRenamed("vec_id", "query_id")).withColumnRenamed(
+                "label", "true_label"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label"))
+            .cast("long")
+            .alias("correct"),
+        )
+    )
+
+
+EMBEDDING_KNN_VOTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+b AS (SELECT vec_id AS neighbor_id, v AS bv FROM e WHERE vec_id >= 10),
+s AS (
+    SELECT query_id, neighbor_id,
+           {_ANN_DOT.format(a='qv', b='bv')} /
+           (sqrt({_ANN_DOT.format(a='qv', b='qv')})
+            * sqrt({_ANN_DOT.format(a='bv', b='bv')})) AS sim
+    FROM b, q
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+),
+votes AS (
+    SELECT r.query_id, CAST(l.label AS BIGINT) AS label, count(*) AS c
+    FROM r JOIN embeddings l ON r.neighbor_id = l.vec_id
+    WHERE r.rank <= 5
+    GROUP BY r.query_id, l.label
+),
+pred AS (
+    SELECT query_id, label AS pred_label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM votes) WHERE rn = 1
+)
+SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label, p.pred_label,
+       CAST(CASE WHEN t.label = p.pred_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+"""
+
+
 QUERIES = {
     "neardup_communities": neardup_communities,
     "neardup_degree_stats": neardup_degree_stats,
@@ -575,6 +801,9 @@ QUERIES = {
     "embedding_margin_stats": embedding_margin_stats,
     "ngram_coverage_curve": ngram_coverage_curve,
     "events_decayed_value": events_decayed_value,
+    "docs_ttr_profile": docs_ttr_profile,
+    "lang_source_contingency": lang_source_contingency,
+    "embedding_knn_classvote": embedding_knn_classvote,
 }
 
 ORACLES = {
@@ -585,4 +814,7 @@ ORACLES = {
     "embedding_margin_stats": EMBEDDING_MARGIN_SQL,
     "ngram_coverage_curve": NGRAM_COVERAGE_SQL,
     "events_decayed_value": EVENTS_DECAYED_SQL,
+    "docs_ttr_profile": DOCS_TTR_SQL,
+    "lang_source_contingency": LANG_SOURCE_CONTINGENCY_SQL,
+    "embedding_knn_classvote": EMBEDDING_KNN_VOTE_SQL,
 }

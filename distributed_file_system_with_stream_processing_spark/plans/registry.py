@@ -99,6 +99,9 @@ _FRONT = [
     "nation_revenue_hhi",
     "events_hourly_profile",
     "events_pareto_users",
+    "docs_ttr_profile",
+    "lang_source_contingency",
+    "embedding_knn_classvote",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",

@@ -108,3 +108,32 @@ def test_pipe_transform_streaming_matches_batch(spark, tmp_path):
         r["value"] for r in run_pipe(_lines_df(spark), op).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_pipe_aggregate_streaming_running_counts(spark, tmp_path):
+    """Aggregate PipeOp on a stream: per-micro-batch JSON partials
+    merged by a streaming groupBy in complete mode — the leader's
+    running AggregateCounts map (rainstorm.go:551-559) re-expressed;
+    at the availableNow boundary the totals equal the batch run."""
+    script = _agg_script(tmp_path)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _lines_df(spark).coalesce(2).write.mode("append").text(src)
+
+    op = PipeOp("count_cat", (sys.executable, script), mode="aggregate")
+    stream = spark.readStream.schema("value string").text(src)
+    q = (
+        run_pipe(stream, op)
+        .writeStream.format("memory")
+        .queryName("pipe_agg_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["cnt"])
+        for r in spark.sql("SELECT * FROM pipe_agg_counts").collect()
+    }
+    assert got == {("click", 3), ("view", 2), ("purchase", 1)}
