@@ -571,6 +571,116 @@ FROM rk GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# neardup_triangle_stats — triangle census of the near-dup graph
+
+
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash-LSH near-dup graph: edge count,
+    wedge count, triangle count and the global clustering coefficient
+    3T/W — the transitivity audit that tells a dedup owner whether
+    near-dup similarity is behaving like an equivalence relation
+    (high clustering ⇒ CC clusters are tight dup groups) or like
+    chained boilerplate (low clustering ⇒ CC is gluing strangers and
+    the LPA/bounded-horizon view is the trustworthy one).
+
+    Scale shape — the Suri-Vassilvitskii degree-ordered orientation
+    (WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    every edge directs from its (degree, id)-smaller endpoint, so
+    each node's out-degree is O(√m) and the wedge self-join is
+    O(m^1.5) TOTAL work regardless of skew — a raw neighbor self-join
+    on a hub node would be quadratic in the hub degree (the "last
+    reducer" that kills naive triangle jobs on Zipf-shaped dup
+    graphs). Each triangle has exactly one wedge apex under the
+    orientation, so the count is exact with no division by 3.
+    Wedges fold off the degree table (Σ C(d,2), exact integers).
+
+    Oracle: brute a<b<c triple join — exact on test scales, and the
+    id-order triple count equals the degree-ordered count because
+    both count each triangle once.
+    """
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
+    )
+    e = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        cache_bounded,
+    )
+
+    e = cache_bounded(e)
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    # direct each edge from its (degree, id)-smaller endpoint
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("n")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("n")
+    )
+    dir_e = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+        .alias("dst"),
+    )
+    w1 = dir_e.select("src", F.col("dst").alias("v"))
+    w2 = dir_e.select("src", F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    closing = dir_e.select(
+        F.col("src").alias("v_n"), F.col("dst.n").alias("w_n")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("v.n") == F.col("v_n")) & (F.col("w.n") == F.col("w_n")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    ).crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    from pyspark.sql.functions import broadcast
+
+    out = tri.crossJoin(broadcast(stats))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.round(
+            3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_edges", "n_wedges", "n_triangles", cc.alias("global_clustering")
+    )
+
+
+NEARDUP_TRIANGLES_SQL = (
+    _MINHASH_PAIRS_BODY
+    + """,
+e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+),
+st AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
+)
+SELECT s.n_edges, s.n_wedges, CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN s.n_wedges > 0
+            THEN round(3.0 * t.n_triangles / s.n_wedges, 6)
+            ELSE 0.0 END AS global_clustering
+FROM tri t CROSS JOIN st s
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # docs_ttr_profile — lexical diversity
 
 
@@ -804,6 +914,7 @@ QUERIES = {
     "docs_ttr_profile": docs_ttr_profile,
     "lang_source_contingency": lang_source_contingency,
     "embedding_knn_classvote": embedding_knn_classvote,
+    "neardup_triangle_stats": neardup_triangle_stats,
 }
 
 ORACLES = {
@@ -817,4 +928,5 @@ ORACLES = {
     "docs_ttr_profile": DOCS_TTR_SQL,
     "lang_source_contingency": LANG_SOURCE_CONTINGENCY_SQL,
     "embedding_knn_classvote": EMBEDDING_KNN_VOTE_SQL,
+    "neardup_triangle_stats": NEARDUP_TRIANGLES_SQL,
 }

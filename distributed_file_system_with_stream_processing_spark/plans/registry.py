@@ -102,6 +102,7 @@ _FRONT = [
     "docs_ttr_profile",
     "lang_source_contingency",
     "embedding_knn_classvote",
+    "neardup_triangle_stats",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",

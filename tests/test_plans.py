@@ -117,6 +117,17 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # PMI's (n_bg, n_uni) grand totals: the same 1-row BuildRight
         # broadcast onto the vocab-scale gram table
         "bigram_pmi_topk",
+        # same 1-row grand-total broadcast shape (n_all / n_users /
+        # n_tokens / chi-square N / triangle census totals onto
+        # metadata-scale aggregates)
+        "embedding_margin_stats",
+        "ngram_coverage_curve",
+        "events_pareto_users",
+        "lang_source_contingency",
+        "neardup_triangle_stats",
+        "customer_rfm_segments",
+        # inherits ann_cosine_topk's queries-broadcast brute pass
+        "embedding_knn_classvote",
         "dsir_resample_stratified",
         "bm25_retrieval_topk",
         "rrf_fusion_topk",
