@@ -31,7 +31,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _FileSplit(InputPartition):
@@ -78,6 +83,11 @@ class TableStoreDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _TableStoreReader(self._table_dir(), [f.name for f in schema.fields])
 
+    def streamReader(self, schema):
+        return _TableStoreStreamReader(
+            self._table_dir(), [f.name for f in schema.fields]
+        )
+
 
 class _TableStoreReader(DataSourceReader):
     def __init__(self, table_dir: str, columns: list[str]):
@@ -106,3 +116,106 @@ class _TableStoreReader(DataSourceReader):
         # column order must match the declared schema exactly
         tbl = tbl.select(self.columns)
         yield from tbl.to_batches()
+
+
+class _StreamSplit(InputPartition):
+    def __init__(self, path: str, seq: str, lo: str, hi: str):
+        self.path = path
+        self.seq = seq
+        self.lo = lo  # exclusive lower bound on _append_seq
+        self.hi = hi  # inclusive upper bound
+
+
+def _batch_max_seq(appends_dir: str, seq: str) -> str:
+    """Newest original stamp in a batch dir — the dir name for plain
+    batches; compact_appends() batches carry it in a marker file
+    (mirrors dfs.TableStore._batch_max_seq)."""
+    m = os.path.join(appends_dir, seq, "_max_seq.txt")
+    if os.path.isfile(m):
+        with open(m) as fh:
+            return fh.read().strip()
+    return seq
+
+
+class _TableStoreStreamReader(DataSourceStreamReader):
+    """Streaming CDC over the TableStore append log — the
+    ``readStream`` twin of ``TableStore.diff``: each micro-batch is
+    exactly the rows appended with ``start < _append_seq <= end``.
+
+    Offsets are ``{"seq": <stamp>}`` — the append-log high-water mark,
+    monotone because stamps are lexicographic sequence strings.
+    ``partitions(start, end)`` emits one split per NEW data file, so
+    the micro-batch fans out across executors like the batch reader
+    (this is the partition-based ``DataSourceStreamReader`` API, not
+    the driver-side simple reader — rows never funnel through the
+    driver). Compacted batches (dir named by the EARLIEST folded
+    stamp, per-row ``_append_seq`` column, ``_MAX_SEQ`` marker) are
+    included when their max stamp is in-window and their rows are
+    re-filtered row-level in ``read`` — the same precision contract as
+    ``TableStore.diff``, so a compaction between two triggers neither
+    drops nor duplicates rows. The base is NOT part of the stream (a
+    CDC consumer bootstraps from the batch reader / ``get_as_of``,
+    then tails appends from that point).
+    """
+
+    def __init__(self, table_dir: str, columns: list[str]):
+        self.table_dir = table_dir
+        self.columns = columns
+
+    def initialOffset(self) -> dict:
+        return {"seq": ""}
+
+    def _appends_dir(self) -> str:
+        return os.path.join(self.table_dir, "appends")
+
+    def latestOffset(self) -> dict:
+        d = self._appends_dir()
+        if not os.path.isdir(d):
+            return {"seq": ""}
+        seqs = [s for s in os.listdir(d) if not s.startswith(("_", "."))]
+        if not seqs:
+            return {"seq": ""}
+        return {"seq": max(_batch_max_seq(d, s) for s in seqs)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["seq"], end["seq"]
+        d = self._appends_dir()
+        splits: list[_StreamSplit] = []
+        if not os.path.isdir(d) or hi <= lo:
+            return splits
+        for seq in sorted(os.listdir(d)):
+            if seq.startswith(("_", ".")):
+                continue
+            if _batch_max_seq(d, seq) <= lo or seq > hi:
+                continue
+            for p in _data_files(os.path.join(d, seq)):
+                splits.append(_StreamSplit(p, seq, lo, hi))
+        return splits
+
+    def read(self, partition: _StreamSplit):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        if "_append_seq" in tbl.column_names:
+            # compacted batch: row-level stamps — re-filter to the
+            # window so a fold between triggers stays exactly-once
+            col = tbl.column("_append_seq")
+            mask = pc.and_(
+                pc.greater(col, pa.scalar(partition.lo)),
+                pc.less_equal(col, pa.scalar(partition.hi)),
+            )
+            tbl = tbl.filter(mask)
+        else:
+            tbl = tbl.append_column(
+                "_append_seq", pa.array([partition.seq] * len(tbl), pa.string())
+            )
+        tbl = tbl.select(self.columns)
+        yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass

@@ -366,3 +366,59 @@ def test_diff_cdc_windows(store, spark):
 
     with pytest.raises(TableStoreError, match="empty diff window"):
         store.diff("t", s4, s3)
+
+
+def test_python_datasource_streaming_cdc_tails_appends(spark, tmp_path):
+    """The `tablestore` format's STREAMING reader: each micro-batch is
+    exactly the new append window (start < _append_seq <= end) — the
+    readStream twin of TableStore.diff. Appends made while the stream
+    runs arrive in later triggers; the base never re-emits; a
+    compact_appends() fold between triggers neither drops nor
+    duplicates rows (row-level _append_seq re-filter)."""
+    import time as _t
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    store.append("t", spark.createDataFrame([(2, "a")], "id long, v string"))
+    store.append("t", spark.createDataFrame([(3, "b")], "id long, v string"))
+
+    spark.dataSource.register(TableStoreDataSource)
+    stream = (
+        spark.readStream.format("tablestore")
+        .option("root", str(tmp_path / "store"))
+        .option("table", "t")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ts_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def rows():
+            return {
+                (r["id"], r["v"])
+                for r in spark.sql("SELECT id, v FROM ts_cdc").collect()
+            }
+
+        deadline = _t.time() + 60
+        while rows() != {(2, "a"), (3, "b")} and _t.time() < deadline:
+            _t.sleep(0.5)
+        # base row (1) must NOT be in the stream; both appends must be
+        assert rows() == {(2, "a"), (3, "b")}
+
+        # compaction mid-stream + a fresh append: exactly-once holds
+        store.compact_appends("t")
+        store.append("t", spark.createDataFrame([(4, "c")], "id long, v string"))
+        deadline = _t.time() + 60
+        while rows() != {(2, "a"), (3, "b"), (4, "c")} and _t.time() < deadline:
+            _t.sleep(0.5)
+        assert rows() == {(2, "a"), (3, "b"), (4, "c")}
+    finally:
+        q.stop()
