@@ -422,8 +422,16 @@ def label_propagation(
         gate_broadcast,
     )
 
+    # canonicalize to (least, greatest) BEFORE distinct: an input
+    # carrying both (a, b) and (b, a) — legal for a generic edge
+    # list, even though LSH pairs are always a < b — must count as
+    # ONE undirected edge, or the symmetrization below doubles its
+    # vote (caught by the hypothesis property test).
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )

@@ -304,3 +304,42 @@ def test_transition_counts_decompose_at_any_split(spark, data, split):
                 summed[(u, a, b)] = summed.get((u, a, b), 0) + 1
             carried[u] = seq[-1]
     assert summed == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=1,
+        max_size=20,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_for_any_graph(spark, edges, rounds):
+    """Deterministic synchronous LPA is a pure function of the edge
+    set: for ANY small graph (self-loops and duplicates included in
+    the input — the operator must normalize them) the Spark plan
+    equals an independent pure-Python evaluator."""
+    import collections
+
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in D.label_propagation(df, n_rounds=rounds).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {u: u for u in adj}
+    for _ in range(rounds):
+        new = {}
+        for u in adj:
+            votes = collections.Counter(lab[v] for v in adj[u])
+            votes[lab[u]] += 1
+            new[u] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    assert got == lab
