@@ -4,13 +4,33 @@ Same contract as ``llm_ops``…``llm_ops5``: declarative DataFrame
 plans (JVM expressions only), each with a DuckDB oracle mirroring the
 exact arithmetic so value hashes match without tolerances.
 
-Ops here:
+Ops here (all oracled):
 - ``neardup_communities`` — deterministic synchronous label
   propagation (Raghavan et al. 2007) over the MinHash-LSH near-dup
   graph: the community-detection complement of ``dedup_clusters``'s
-  connected components (bounded-hop majority membership vs
-  any-path reachability). Oracle: the shared MinHash pair CTE chained
-  into 3 unrolled LPA rounds (vote counts + row_number argmax).
+  connected components (bounded-hop majority membership vs any-path
+  reachability). Oracle: the shared MinHash pair CTE chained into 3
+  unrolled LPA rounds.
+- ``neardup_degree_stats`` / ``neardup_triangle_stats`` /
+  ``neardup_khop_reach`` — the rest of the dup-graph toolbox: degree
+  histogram, Suri-Vassilvitskii degree-ordered triangle census with
+  global clustering coefficient, and bounded-BFS contamination-blast-
+  radius from a seed set (recursive-CTE oracle).
+- ``bigram_pmi_topk`` — Church-Hanks collocation mining, integer
+  micro-quantized PMI, min-count cut before the vocab joins.
+- ``embedding_quantization_error`` — int8 reconstruction error in
+  exact pico-units (zero-shuffle scan; audits ann_quantized_topk).
+- ``embedding_margin_stats`` — intra/inter-label mean dot via the
+  ‖Σv‖² sum identity: the quadratic pair statistic in O(n).
+- ``embedding_knn_classvote`` — kNN label-vote embedding-quality
+  eval chaining the proven cosine top-k.
+- ``ngram_coverage_curve`` — top-k token-mass coverage (vocabulary
+  budget diagnostic).
+- ``events_decayed_value`` — recency-weighted engagement score,
+  per-event micro-quantized λᵏ contributions.
+- ``docs_ttr_profile`` — type-token lexical diversity.
+- ``lang_source_contingency`` — lang×source chi-square composition
+  audit with per-cell micro-quantized contributions.
 """
 
 from __future__ import annotations
@@ -681,6 +701,85 @@ FROM tri t CROSS JOIN st s
 
 
 # ---------------------------------------------------------------------------
+# neardup_khop_reach — contamination blast radius via bounded BFS
+
+_KHOP_SEEDS_BELOW = 50
+_KHOP_MAX = 3
+
+
+def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the near-dup graph: for every doc within
+    ``_KHOP_MAX`` hops of a seed set (doc_id < ``_KHOP_SEEDS_BELOW``
+    among graph nodes), its exact hop distance — the contamination
+    blast-radius question ("if these docs are tainted, what else is
+    transitively near them, and how close") that a decontamination
+    owner asks before choosing a removal horizon; the distance
+    histogram directly prices each horizon choice.
+
+    Exactness: BFS with simultaneous frontier expansion assigns each
+    node its MINIMUM hop distance — a pure function of the edge set;
+    the oracle's recursive CTE takes min(d) per node over all ≤ k
+    walks, which is the same number.
+
+    100 TB shape: the symmetrized edge list rides the size-gated
+    broadcast (pair-scale); each of the fixed ``_KHOP_MAX`` rounds is
+    frontier ⋈ edges (frontier is blast-radius-scale, typically ≪
+    pairs) + a left-anti against the known set + distinct — all keyed
+    on node. No convergence loop: the horizon is a constant, so the
+    job count never scales with data.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
+    )
+    e = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym, _ = gate_broadcast(sym)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    known = nodes.filter(F.col("node") < _KHOP_SEEDS_BELOW).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = known
+    for t in range(1, _KHOP_MAX + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("a", "node"), "node")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(known, "node", "left_anti")
+            .select("node", F.lit(t).cast("long").alias("dist"))
+        )
+        known = known.unionByName(nxt)
+        frontier = nxt
+    return known.select(F.col("node").alias("doc_id"), "dist")
+
+
+NEARDUP_KHOP_SQL = (
+    _MINHASH_PAIRS_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f""",
+e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, d) AS (
+    SELECT node, 0 FROM nodes WHERE node < {_KHOP_SEEDS_BELOW}
+    UNION
+    SELECT s.b, r.d + 1
+    FROM reach r JOIN sym s ON r.node = s.a
+    WHERE r.d < {_KHOP_MAX}
+)
+SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist
+FROM reach GROUP BY node
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # docs_ttr_profile — lexical diversity
 
 
@@ -915,6 +1014,7 @@ QUERIES = {
     "lang_source_contingency": lang_source_contingency,
     "embedding_knn_classvote": embedding_knn_classvote,
     "neardup_triangle_stats": neardup_triangle_stats,
+    "neardup_khop_reach": neardup_khop_reach,
 }
 
 ORACLES = {
@@ -929,4 +1029,5 @@ ORACLES = {
     "lang_source_contingency": LANG_SOURCE_CONTINGENCY_SQL,
     "embedding_knn_classvote": EMBEDDING_KNN_VOTE_SQL,
     "neardup_triangle_stats": NEARDUP_TRIANGLES_SQL,
+    "neardup_khop_reach": NEARDUP_KHOP_SQL,
 }

@@ -103,6 +103,7 @@ _FRONT = [
     "lang_source_contingency",
     "embedding_knn_classvote",
     "neardup_triangle_stats",
+    "neardup_khop_reach",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
