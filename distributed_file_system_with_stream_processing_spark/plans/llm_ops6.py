@@ -780,6 +780,105 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# docs_effective_tokens — dedup-aware corpus sizing
+
+_EFF_MICRO = 1_000_000
+
+
+def docs_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware corpus sizing: per source, raw token count vs
+    EFFECTIVE token count where each doc's tokens are down-weighted by
+    its near-dup cluster size (Σ tokens(d)/|cluster(d)|) — the
+    headline number a training-data owner actually budgets with:
+    "after dedup, how many tokens does this source really contribute".
+    A source whose effective/raw ratio collapses is mostly mirrors.
+
+    Composition of two proven backbones: MinHash-LSH pairs →
+    large-star/small-star CC (dedup_clusters' plan) for cluster
+    sizes, and the whitespace token census. Singletons (docs with no
+    near-dup) keep weight 1 via the left join + coalesce.
+
+    Exactness: token counts and cluster sizes are exact integers;
+    each doc's weighted contribution tokens·1e6/size quantizes ONCE
+    (single integer division sequence in both engines via
+    round(t·1e6/s)) and the per-source reduction is an order-free
+    integer sum.
+
+    100 TB shape: the LSH + CC backbone (diameter-independent,
+    checkpointed) + one (doc_id) join of cluster sizes onto the token
+    census + a per-source rollup. The cluster-size table is
+    component-scale and rides the size-gated broadcast.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+        spread,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    member_sizes, _ = gate_broadcast(
+        cc.join(sizes, "cluster_id").select(
+            F.col("node").alias("doc_id"), "csize"
+        )
+    )
+    toks = spread(d).select(
+        "doc_id",
+        "source",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    weighted = toks.join(member_sizes, "doc_id", "left").select(
+        "source",
+        "n_tok",
+        F.round(
+            F.col("n_tok") * F.lit(_EFF_MICRO) / F.coalesce(F.col("csize"), F.lit(1))
+        )
+        .cast("long")
+        .alias("eff_mu"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("eff_mu").alias("effective_tokens_mu"),
+    )
+
+
+DOCS_EFFECTIVE_TOKENS_SQL = (
+    _MINHASH_PAIRS_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f""",
+edges AS (SELECT da AS a, db AS b FROM cand
+          UNION SELECT db AS a, da AS b FROM cand),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id),
+ms AS (
+    SELECT c.node AS doc_id, s.csize FROM cc c JOIN sizes s USING (cluster_id)
+),
+toks AS (
+    SELECT doc_id, source, CAST(len({_TOKS_L}) AS BIGINT) AS n_tok
+    FROM documents
+),
+weighted AS (
+    SELECT t.source, t.n_tok,
+           CAST(round(t.n_tok * {_EFF_MICRO} / coalesce(m.csize, 1)) AS BIGINT)
+               AS eff_mu
+    FROM toks t LEFT JOIN ms m USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(eff_mu) AS BIGINT) AS effective_tokens_mu
+FROM weighted GROUP BY source
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # docs_ttr_profile — lexical diversity
 
 
@@ -1015,6 +1114,7 @@ QUERIES = {
     "embedding_knn_classvote": embedding_knn_classvote,
     "neardup_triangle_stats": neardup_triangle_stats,
     "neardup_khop_reach": neardup_khop_reach,
+    "docs_effective_tokens": docs_effective_tokens,
 }
 
 ORACLES = {
@@ -1030,4 +1130,5 @@ ORACLES = {
     "embedding_knn_classvote": EMBEDDING_KNN_VOTE_SQL,
     "neardup_triangle_stats": NEARDUP_TRIANGLES_SQL,
     "neardup_khop_reach": NEARDUP_KHOP_SQL,
+    "docs_effective_tokens": DOCS_EFFECTIVE_TOKENS_SQL,
 }

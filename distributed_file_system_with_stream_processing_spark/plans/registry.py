@@ -104,6 +104,7 @@ _FRONT = [
     "embedding_knn_classvote",
     "neardup_triangle_stats",
     "neardup_khop_reach",
+    "docs_effective_tokens",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
