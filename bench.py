@@ -140,7 +140,19 @@ def main() -> None:
         "bigram_pmi_topk",
         "embedding_quantization_error",
         "docs_bigram_perplexity_bucketed",
-        "bpe_train_merges",
+        "neardup_triangle_stats",
+        "neardup_khop_reach",
+        "embedding_margin_stats",
+        "embedding_knn_classvote",
+        "docs_effective_tokens",
+        "events_decayed_value",
+        "events_pareto_users",
+        "customer_rfm_segments",
+        "nation_revenue_hhi",
+        "docs_ttr_profile",
+        "lang_source_contingency",
+        "ngram_coverage_curve",
+        "events_hourly_profile",
     ]
     headline = [q for q in headline if q in QUERIES]
 

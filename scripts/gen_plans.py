@@ -125,6 +125,14 @@ AUDITED = [
     "bigram_pmi_topk",
     "embedding_quantization_error",
     "docs_bigram_perplexity_bucketed",
+    "neardup_khop_reach",
+    "neardup_triangle_stats",
+    "embedding_margin_stats",
+    "embedding_knn_classvote",
+    "docs_effective_tokens",
+    "events_pareto_users",
+    "customer_rfm_segments",
+    "nation_revenue_hhi",
 ]
 
 JOIN_KINDS = (
