@@ -137,3 +137,45 @@ def test_pipe_aggregate_streaming_running_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pipe_agg_counts").collect()
     }
     assert got == {("click", 3), ("view", 2), ("purchase", 1)}
+
+
+def test_cli_rainstorm_runs_binaries_end_to_end(spark, tmp_path, capsys):
+    """The reference's flagship invocation (user/user.go:482:
+    RainStorm op1 op2 src dest) through the CLI: grep as op1, the JSON
+    category counter as op2, source and destination both TableStore
+    tables — dest holds the merged running counts, console prints them
+    (the leader's output contract)."""
+    from distributed_file_system_with_stream_processing_spark.__main__ import main
+    from distributed_file_system_with_stream_processing_spark.dfs import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("src", _lines_df(spark))
+    grep = "/bin/grep"
+    op2 = _agg_script(tmp_path)
+    # op1 = grep needs its pattern; wrap in a tiny shim script
+    shim = tmp_path / "op1_grep_hello.sh"
+    shim.write_text(f"#!/bin/sh\nexec {grep} hello\n")
+    import os as _os
+    import stat as _stat
+
+    _os.chmod(shim, _os.stat(shim).st_mode | _stat.S_IXUSR)
+    rc = main(
+        [
+            "--root",
+            root,
+            "rainstorm",
+            str(shim),
+            op2,
+            "src",
+            "dest",
+        ]
+    )
+    assert rc == 0
+    got = {
+        (r["key"], r["cnt"]) for r in store.get("dest").collect()
+    }
+    # grep hello keeps 4 lines: click x2, view x1, purchase x1
+    assert got == {("click", 2), ("view", 1), ("purchase", 1)}
+    out = capsys.readouterr().out
+    assert "click" in out and "dest" in out
