@@ -755,6 +755,14 @@ def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(known, "node", "left_anti")
             .select("node", F.lit(t).cast("long").alias("dist"))
         )
+        # truncate lineage per round (the connected_components _ckpt
+        # stance): `known` references itself twice per round (expand +
+        # left-anti), so without truncation the plan tree doubles per
+        # hop — 164 exchanges in the audited plan at 3 hops. The
+        # checkpoint materializes only the frontier (blast-radius
+        # scale); at 100 TB swap localCheckpoint for a reliable
+        # checkpoint dir exactly as operators/dedup._ckpt documents.
+        nxt = nxt.localCheckpoint(eager=True)
         known = known.unionByName(nxt)
         frontier = nxt
     return known.select(F.col("node").alias("doc_id"), "dist")
