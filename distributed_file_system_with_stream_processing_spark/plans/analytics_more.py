@@ -686,12 +686,151 @@ JOIN curve c ON c.rank = floor(t.n_users * p.p / 100)
 """
 
 
+# ---------------------------------------------------------------------------
+# events_type_overlap — audience Jaccard between event types
+
+
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every unordered type
+    pair, |users doing both| / |users doing either| (Jaccard) — the
+    funnel-design diagnostic ("do purchasers come from clickers?").
+    Never a user-level pair join: distinct (user, type) memberships
+    fold once, the pair join runs on the per-user TYPE SETS (bounded
+    by |types|² per user, |types| ~ a handful), and per-type totals
+    come from the membership aggregate.
+
+    Exactness: all three counts are exact integers; the Jaccard
+    divides once. Pair key ordered (ta < tb) so each pair appears
+    once.
+
+    100 TB shape: one corpus shuffle to distinct (user, type)
+    memberships [map-side partial]; the within-user pair explode is
+    |types|²-bounded per user and feeds a |types|²-key partial agg;
+    per-type totals ride a broadcast join onto the tiny pair table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mem = ev.select("user_id", "event_type").distinct()
+    a = mem.select("user_id", F.col("event_type").alias("ta"))
+    b = mem.select("user_id", F.col("event_type").alias("tb"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    totals = mem.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        both.join(
+            broadcast(totals.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))),
+            "ta",
+        )
+        .join(
+            broadcast(totals.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))),
+            "tb",
+        )
+    )
+    either = F.col("na") + F.col("nb") - F.col("n_both")
+    return out.select(
+        "ta",
+        "tb",
+        "n_both",
+        either.alias("n_either"),
+        F.round(F.col("n_both").cast("double") / either.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )
+
+
+EVENTS_TYPE_OVERLAP_SQL = """
+WITH mem AS (SELECT DISTINCT user_id, event_type FROM events),
+both_t AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+    FROM mem a JOIN mem b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+),
+tt AS (SELECT event_type, count(*) AS n FROM mem GROUP BY event_type)
+SELECT b.ta, b.tb, CAST(b.n_both AS BIGINT) AS n_both,
+       CAST(x.n + y.n - b.n_both AS BIGINT) AS n_either,
+       round(CAST(b.n_both AS DOUBLE) / CAST(x.n + y.n - b.n_both AS DOUBLE), 6)
+           AS jaccard
+FROM both_t b
+JOIN tt x ON b.ta = x.event_type
+JOIN tt y ON b.tb = y.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_fulfillment_lag — order→ship latency profile
+
+
+def supplier_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile by order priority: mean order→ship
+    lag in days, slow-line rate (shipped > 60 days after the order)
+    and worst lag — the logistics complement of Q12's priority counts
+    (this testdata has no commit/receipt dates, so the measured lag is
+    o_orderdate → l_shipdate). Day diffs are exact integers on
+    midnight-aligned timestamps (datediff ↔ date_diff('day'), tz-free).
+
+    100 TB shape: the canonical fact-fact orderkey join (lineitem
+    pruned to two columns at the scan) + one partial-agg shuffle on
+    the 5-key priority column.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("lag_days").alias("_s"),
+            F.sum(F.when(F.col("lag_days") > 60, 1).otherwise(0))
+            .cast("long")
+            .alias("n_slow"),
+            F.max("lag_days").alias("max_lag_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            F.round(F.col("_s").cast("double") / F.col("n_lines"), 4).alias(
+                "mean_lag_days"
+            ),
+            "n_slow",
+            F.round(
+                F.col("n_slow").cast("double") / F.col("n_lines"), 6
+            ).alias("slow_rate"),
+            "max_lag_days",
+        )
+    )
+
+
+SUPPLIER_FULFILLMENT_SQL = """
+WITH lag AS (
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) AS mean_lag_days,
+       CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+       round(CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS slow_rate,
+       CAST(max(lag_days) AS BIGINT) AS max_lag_days
+FROM lag GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "customer_rfm_segments": customer_rfm_segments,
     "nation_revenue_hhi": nation_revenue_hhi,
     "events_hourly_profile": events_hourly_profile,
     "events_pareto_users": events_pareto_users,
+    "events_type_overlap": events_type_overlap,
+    "supplier_fulfillment_lag": supplier_fulfillment_lag,
     "events_asof_forward": events_asof_forward,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
@@ -708,6 +847,8 @@ ORACLES = {
     "nation_revenue_hhi": NATION_HHI_SQL,
     "events_hourly_profile": EVENTS_HOURLY_SQL,
     "events_pareto_users": EVENTS_PARETO_SQL,
+    "events_type_overlap": EVENTS_TYPE_OVERLAP_SQL,
+    "supplier_fulfillment_lag": SUPPLIER_FULFILLMENT_SQL,
     "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,

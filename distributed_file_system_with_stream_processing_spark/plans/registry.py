@@ -105,6 +105,8 @@ _FRONT = [
     "neardup_triangle_stats",
     "neardup_khop_reach",
     "docs_effective_tokens",
+    "events_type_overlap",
+    "supplier_fulfillment_lag",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
