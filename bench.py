@@ -153,6 +153,8 @@ def main() -> None:
         "lang_source_contingency",
         "ngram_coverage_curve",
         "events_hourly_profile",
+        "events_type_overlap",
+        "supplier_fulfillment_lag",
     ]
     headline = [q for q in headline if q in QUERIES]
 
