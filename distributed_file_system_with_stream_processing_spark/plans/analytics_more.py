@@ -823,6 +823,78 @@ FROM lag GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# orders_backlog_series — running open-order balance
+
+
+def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog: per month, orders placed, orders
+    completed (their LAST line shipped that month), and the running
+    balance placed−completed — the event-sourcing ledger shape
+    (cumulative net flow over bucketed time) the registry didn't have.
+
+    Exactness: month keys are strings off midnight timestamps
+    (tz-free), all counts are integers, and the running balance is an
+    integer cumsum over the ~85-row month series.
+
+    100 TB shape: per-order completion = max(l_shipdate) folds on ONE
+    l_orderkey shuffle (the fact table's natural key); placed/
+    completed monthly counts are partial aggs into a month-cardinality
+    key; the cumsum window runs over the tiny month series. A FULL
+    OUTER month join keeps months where only one flow occurred.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_placed"))
+    done = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_done"))
+        .groupBy(F.date_format("_done", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_completed"))
+    )
+    merged = (
+        placed.join(done, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_completed", F.lit(0)).alias("n_completed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "month",
+        "n_placed",
+        "n_completed",
+        F.sum(F.col("n_placed") - F.col("n_completed")).over(w).alias("backlog"),
+    )
+
+
+ORDERS_BACKLOG_SQL = """
+WITH placed AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_placed
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+),
+done AS (
+    SELECT strftime(d, '%Y-%m') AS month, count(*) AS n_completed
+    FROM (SELECT l_orderkey, max(l_shipdate) AS d FROM lineitem GROUP BY l_orderkey)
+    GROUP BY strftime(d, '%Y-%m')
+),
+merged AS (
+    SELECT coalesce(p.month, c.month) AS month,
+           coalesce(p.n_placed, 0) AS n_placed,
+           coalesce(c.n_completed, 0) AS n_completed
+    FROM placed p FULL OUTER JOIN done c ON p.month = c.month
+)
+SELECT month, CAST(n_placed AS BIGINT) AS n_placed,
+       CAST(n_completed AS BIGINT) AS n_completed,
+       CAST(sum(n_placed - n_completed)
+            OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM merged
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "customer_rfm_segments": customer_rfm_segments,
@@ -831,6 +903,7 @@ QUERIES = {
     "events_pareto_users": events_pareto_users,
     "events_type_overlap": events_type_overlap,
     "supplier_fulfillment_lag": supplier_fulfillment_lag,
+    "orders_backlog_series": orders_backlog_series,
     "events_asof_forward": events_asof_forward,
     "events_session_window": events_session_window,
     "events_cohort_retention": events_cohort_retention,
@@ -849,6 +922,7 @@ ORACLES = {
     "events_pareto_users": EVENTS_PARETO_SQL,
     "events_type_overlap": EVENTS_TYPE_OVERLAP_SQL,
     "supplier_fulfillment_lag": SUPPLIER_FULFILLMENT_SQL,
+    "orders_backlog_series": ORDERS_BACKLOG_SQL,
     "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,

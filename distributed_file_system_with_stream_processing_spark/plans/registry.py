@@ -107,6 +107,7 @@ _FRONT = [
     "docs_effective_tokens",
     "events_type_overlap",
     "supplier_fulfillment_lag",
+    "orders_backlog_series",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
