@@ -743,6 +743,26 @@ def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     bg = _bigram_tf(d)
+    model = kn_model(bg)
+    scored = (
+        bg.join(model, "gram")
+        .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_tl").alias("_s"))
+    )
+    ppl = F.exp(-(F.col("_s").cast("double") / _KN_MICRO) / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(ppl, 4).alias("kn_ppl"),
+    )
+
+
+def kn_model(bg) -> DataFrame:
+    """(gram, l_mu): the trained interpolated-KN bigram LM off a
+    (doc_id, gram, tf) table — extracted so the plain scorer above
+    and the bucketed twin below share one trainer (the
+    bigram_model/bigram_score split of llm_ops4, applied to KN)."""
     cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c"))
     u_tbl = (
         cbg.select(F.substring_index("gram", " ", 1).alias("u"), "c")
@@ -779,9 +799,37 @@ def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (disc * F.col("n1u") / F.col("cu"))
         * (F.col("nv").cast("double") / F.col("nb"))
     )
-    model = model.select(
+    return model.select(
         "gram", F.round(F.log(p) * _KN_MICRO).cast("long").alias("l_mu")
     )
+
+
+def docs_kn_perplexity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_kn_perplexity``'s beyond-broadcast twin, same discipline
+    as ``docs_bigram_perplexity_bucketed`` (llm_ops4): the trained KN
+    model — a (gram, l_mu) table that is corpus-vocabulary-scale and
+    grows with the corpus — persists as a gram-BUCKETED table, so the
+    score join plans exactly ONE gram Exchange (the docs side; the
+    model reads bucket-aligned). Oracle identical to the plain twin:
+    the layout changes the plan, not one bit of the output.
+    """
+    import os
+    import tempfile
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _bigram_tf,
+    )
+    from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+        write_bucketed,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"dfsp_kn_lm_{suffix}"
+    path = os.path.join(tempfile.gettempdir(), f"dfsp_kn_lm_{suffix}")
+    write_bucketed(kn_model(bg), table, path, "gram", 8)
+    model = spark.table(table)
     scored = (
         bg.join(model, "gram")
         .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
@@ -1951,6 +1999,7 @@ SESSION_EXPECTED_SQL = _expected_length_oracle()
 QUERIES = {
     "bpe_per_lang_rules": bpe_per_lang_rules,
     "docs_kn_perplexity": docs_kn_perplexity,
+    "docs_kn_perplexity_bucketed": docs_kn_perplexity_bucketed,
     "decontaminate_bloom": decontaminate_bloom,
     "neardup_pagerank": neardup_pagerank,
     "dedup_agreement_matrix": dedup_agreement_matrix,
@@ -1984,6 +2033,7 @@ ORACLES = {
     "session_expected_length": SESSION_EXPECTED_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "docs_kn_perplexity": DOCS_KN_PPL_SQL,
+    "docs_kn_perplexity_bucketed": DOCS_KN_PPL_SQL,
     "neardup_pagerank": NEARDUP_PAGERANK_SQL,
     "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_SQL,

@@ -108,6 +108,7 @@ _FRONT = [
     "events_type_overlap",
     "supplier_fulfillment_lag",
     "orders_backlog_series",
+    "docs_kn_perplexity_bucketed",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",

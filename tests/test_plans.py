@@ -229,12 +229,13 @@ def test_bigram_bucketed_twin_single_gram_exchange(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = QUERIES["docs_bigram_perplexity_bucketed"](spark, SF_SMOKE)
-        plan = executed_plan(df)
-        assert "Bucketed: true" in plan, plan
-        n_smj = plan.count("SortMergeJoin")
-        n_gram_ex = plan.count("Exchange hashpartitioning(gram")
-        assert n_smj >= 1 and n_gram_ex == n_smj, (n_smj, n_gram_ex, plan)
+        for q in ("docs_bigram_perplexity_bucketed", "docs_kn_perplexity_bucketed"):
+            df = QUERIES[q](spark, SF_SMOKE)
+            plan = executed_plan(df)
+            assert "Bucketed: true" in plan, (q, plan)
+            n_smj = plan.count("SortMergeJoin")
+            n_gram_ex = plan.count("Exchange hashpartitioning(gram")
+            assert n_smj >= 1 and n_gram_ex == n_smj, (q, n_smj, n_gram_ex, plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
