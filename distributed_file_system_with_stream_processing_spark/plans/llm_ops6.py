@@ -887,6 +887,96 @@ FROM weighted GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# embedding_dim_variance — dead/hot dimension screen
+
+_DV_TOPK = 16
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screen, top-``_DV_TOPK`` dimensions:
+    the encoder-health check that catches dead dims (variance ≈ 0 —
+    wasted capacity, they poison cosine with constant offsets) and
+    hot dims (one coordinate dominating distance) before any
+    ANN/clustering stage trusts the space — the univariate companion
+    to embedding_pca_spectrum's rotated view.
+
+    Exactness: components micro-quantize once; per-dim Σx and Σx²
+    are exact integer folds (HUGEINT/DECIMAL for the squares);
+    variance = sq/n − (s/n)² evaluates in one fixed double sequence
+    and rounds once; ranking orders by that identical double with a
+    dimension tie-break.
+
+    100 TB shape: ONE corpus-scale shuffle — the ×dim posexplode
+    into a (dim)-key partial agg (64 groups); the rank window runs
+    over 64 rows.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from pyspark.sql import Window
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    mu = F.transform(
+        V.as_double(F.col("embedding")),
+        lambda x: F.round(x * _EM_MICRO).cast("long"),
+    )
+    dims = (
+        e.select(F.posexplode(mu).alias("pos", "c"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+            ).alias("sq"),
+        )
+    )
+    mean = F.col("s").cast("double") / _EM_MICRO / F.col("n")
+    var = (
+        F.col("sq").cast("double") / _EM_MICRO2 / F.col("n")
+        - (F.col("s").cast("double") / _EM_MICRO / F.col("n"))
+        * (F.col("s").cast("double") / _EM_MICRO / F.col("n"))
+    )
+    w = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    return (
+        dims.select(
+            F.col("pos").cast("long").alias("dim"),
+            "n",
+            F.round(mean, 6).alias("mean"),
+            F.round(var, 6).alias("variance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _DV_TOPK)
+    )
+
+
+EMBEDDING_DIM_VARIANCE_SQL = f"""
+WITH e AS (
+    SELECT list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * {_EM_MICRO}) AS BIGINT)) AS m
+    FROM embeddings
+),
+dims AS (
+    SELECT i.i - 1 AS pos, count(*) AS n, sum(m[i.i]) AS s,
+           sum(CAST(m[i.i] AS HUGEINT) * m[i.i]) AS sq
+    FROM e CROSS JOIN (SELECT unnest(range(1, len((SELECT m FROM e LIMIT 1)) + 1)) AS i) i
+    GROUP BY i.i
+),
+stats AS (
+    SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+           round(CAST(s AS DOUBLE) / {_EM_MICRO} / n, 6) AS mean,
+           round(CAST(sq AS DOUBLE) / {_EM_MICRO2} / n
+                 - (CAST(s AS DOUBLE) / {_EM_MICRO} / n)
+                 * (CAST(s AS DOUBLE) / {_EM_MICRO} / n), 6) AS variance
+    FROM dims
+)
+SELECT dim, n, mean, variance, rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY variance DESC, dim ASC) AS BIGINT) AS rank
+    FROM stats
+) WHERE rank <= {_DV_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_ttr_profile — lexical diversity
 
 
@@ -1123,6 +1213,7 @@ QUERIES = {
     "neardup_triangle_stats": neardup_triangle_stats,
     "neardup_khop_reach": neardup_khop_reach,
     "docs_effective_tokens": docs_effective_tokens,
+    "embedding_dim_variance": embedding_dim_variance,
 }
 
 ORACLES = {
@@ -1139,4 +1230,5 @@ ORACLES = {
     "neardup_triangle_stats": NEARDUP_TRIANGLES_SQL,
     "neardup_khop_reach": NEARDUP_KHOP_SQL,
     "docs_effective_tokens": DOCS_EFFECTIVE_TOKENS_SQL,
+    "embedding_dim_variance": EMBEDDING_DIM_VARIANCE_SQL,
 }

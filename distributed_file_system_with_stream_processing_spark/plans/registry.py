@@ -109,6 +109,7 @@ _FRONT = [
     "supplier_fulfillment_lag",
     "orders_backlog_series",
     "docs_kn_perplexity_bucketed",
+    "embedding_dim_variance",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
