@@ -155,6 +155,9 @@ def main() -> None:
         "events_hourly_profile",
         "events_type_overlap",
         "supplier_fulfillment_lag",
+        "orders_backlog_series",
+        "docs_kn_perplexity_bucketed",
+        "embedding_dim_variance",
     ]
     headline = [q for q in headline if q in QUERIES]
 
