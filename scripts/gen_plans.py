@@ -133,6 +133,11 @@ AUDITED = [
     "events_pareto_users",
     "customer_rfm_segments",
     "nation_revenue_hhi",
+    "events_type_overlap",
+    "supplier_fulfillment_lag",
+    "orders_backlog_series",
+    "docs_kn_perplexity_bucketed",
+    "embedding_dim_variance",
 ]
 
 JOIN_KINDS = (
