@@ -977,6 +977,89 @@ SELECT dim, n, mean, variance, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# corpus_cross_entropy — the LM-health headline number
+
+
+def corpus_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cross-entropy under its own add-k bigram LM: H =
+    −Σ_g c(g)·ln p(g) / Σ_g c(g) nats/bigram, plus the corpus
+    perplexity exp(H) — the single number tokenizer/data-mixing
+    dashboards track release-over-release (rising H = the corpus got
+    harder to model = more noise or more diversity; which one, the
+    per-source KL drill-down says).
+
+    Exactness: l_mu is the shared micro-quantized log-prob from
+    llm_ops4.bigram_model; the corpus fold Σ c·l_mu is an exact
+    integer (DECIMAL) sum over the VOCAB-scale gram table — the
+    per-doc scoring join never runs; the one division happens at the
+    end, identically.
+
+    100 TB shape: the bigram-count backbone + the model join, both
+    vocab-scale; one 1-row final aggregate. Nothing per-document.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _BG_MICRO,
+        _bigram_tf,
+        bigram_model,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bg = _bigram_tf(d)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c"))
+    model = bigram_model(d)
+    agg = (
+        cbg.join(model, "gram")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("l_mu").cast("decimal(19,0)")
+            ).alias("_s"),
+        )
+    )
+    h = -(F.col("_s").cast("double") / _BG_MICRO) / F.col("n_bigrams")
+    return agg.select(
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy_nats"),
+        F.round(F.exp(h), 4).alias("corpus_ppl"),
+    )
+
+
+def _cross_entropy_oracle() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        _BG_K,
+        _BG_MICRO,
+    )
+
+    return rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_L} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks),
+bg AS (SELECT doc_id, gram, count(*) AS tf FROM ex GROUP BY doc_id, gram),
+cbg AS (SELECT gram, sum(tf) AS cbg FROM bg GROUP BY gram),
+uni AS (
+    SELECT term, count(*) AS cu FROM (SELECT unnest(ws) AS term FROM toks)
+    GROUP BY term
+),
+vocab AS (SELECT count(*) AS vsz FROM uni),
+model AS (
+    SELECT c.gram, c.cbg AS c,
+           CAST(round(ln((c.cbg + {_BG_K}) / (u.cu + {_BG_K} * v.vsz))
+                      * {_BG_MICRO}) AS BIGINT) AS l_mu
+    FROM cbg c JOIN uni u ON split_part(c.gram, ' ', 1) = u.term
+    CROSS JOIN vocab v
+),
+agg AS (SELECT sum(c) AS n_bigrams, sum(CAST(c AS HUGEINT) * l_mu) AS s FROM model)
+SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams, 6) AS cross_entropy_nats,
+       round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS corpus_ppl
+FROM agg
+"""
+
+
+CORPUS_CROSS_ENTROPY_SQL = _cross_entropy_oracle()
+
+
+# ---------------------------------------------------------------------------
 # docs_ttr_profile — lexical diversity
 
 
@@ -1214,6 +1297,7 @@ QUERIES = {
     "neardup_khop_reach": neardup_khop_reach,
     "docs_effective_tokens": docs_effective_tokens,
     "embedding_dim_variance": embedding_dim_variance,
+    "corpus_cross_entropy": corpus_cross_entropy,
 }
 
 ORACLES = {
@@ -1231,4 +1315,5 @@ ORACLES = {
     "neardup_khop_reach": NEARDUP_KHOP_SQL,
     "docs_effective_tokens": DOCS_EFFECTIVE_TOKENS_SQL,
     "embedding_dim_variance": EMBEDDING_DIM_VARIANCE_SQL,
+    "corpus_cross_entropy": CORPUS_CROSS_ENTROPY_SQL,
 }

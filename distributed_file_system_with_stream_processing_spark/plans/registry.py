@@ -110,6 +110,7 @@ _FRONT = [
     "orders_backlog_series",
     "docs_kn_perplexity_bucketed",
     "embedding_dim_variance",
+    "corpus_cross_entropy",
     # 5. rows-only, never driver-checked — weak rows by design
     #    (sketch/iterative; pinned in tests), recorded once each
     "ann_pq_topk",
