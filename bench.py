@@ -158,6 +158,7 @@ def main() -> None:
         "orders_backlog_series",
         "docs_kn_perplexity_bucketed",
         "embedding_dim_variance",
+        "corpus_cross_entropy",
     ]
     headline = [q for q in headline if q in QUERIES]
 

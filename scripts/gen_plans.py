@@ -138,6 +138,7 @@ AUDITED = [
     "orders_backlog_series",
     "docs_kn_perplexity_bucketed",
     "embedding_dim_variance",
+    "corpus_cross_entropy",
 ]
 
 JOIN_KINDS = (
