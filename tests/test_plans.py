@@ -154,6 +154,10 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # same shape: TF-IDF retrieval's 1-row doc-count broadcast
         # onto the vocab-scale df table
         "tfidf_retrieval_topk",
+        # reuses llm_ops4.bigram_model: the same 1-row vocabulary-count
+        # broadcast (crossJoin(broadcast(vocab))) that
+        # docs_bigram_perplexity carries — identical BuildRight shape
+        "corpus_cross_entropy",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
