@@ -423,10 +423,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ntile's bucket boundaries depend only on the ORDER,
     and every ordering carries a c_custkey tie-break; monetary sums
-    are exact DOUBLE sums of 2-decimal prices ordered before any
-    rounding, so bucket assignment is engine-stable. Output joins the
-    integer scores with the raw measures (monetary rounded for
-    display only).
+    quantize each 2-decimal o_totalprice to exact integer CENTS
+    (round(p·100)::long — the nation_revenue_hhi discipline) so the
+    per-customer total is an order-free integer fold in BOTH engines
+    and the m_score ordering can never flip on FP summation order
+    (the r4 advisor flagged the raw-double sum as a flaky-hash risk).
+    Output joins the integer scores with the raw measures (cents/100
+    for the display column only).
 
     100 TB shape: one shuffle on o_custkey for the per-customer fold;
     the three ntile windows run over the CUSTOMER-scale aggregate
@@ -439,23 +442,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("_monetary"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
     base = per_cust.crossJoin(broadcast(anchor)).select(
         F.col("o_custkey").alias("custkey"),
         F.datediff(F.col("_anchor"), F.col("_last")).cast("long").alias("recency_days"),
         "frequency",
-        "_monetary",
+        "_cents",
     )
     w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
     w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.desc("_monetary"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("_cents"), F.asc("custkey"))
     return base.select(
         "custkey",
         "recency_days",
         "frequency",
-        F.round(F.col("_monetary"), 2).alias("monetary"),
+        F.round(F.col("_cents") / 100, 2).alias("monetary"),
         (5 - F.ntile(4).over(w_r)).cast("long").alias("r_score"),
         (5 - F.ntile(4).over(w_f)).cast("long").alias("f_score"),
         (5 - F.ntile(4).over(w_m)).cast("long").alias("m_score"),
@@ -467,21 +470,21 @@ WITH pc AS (
     SELECT o_custkey AS custkey,
            max(o_orderdate) AS last_order,
            count(*) AS frequency,
-           sum(o_totalprice) AS monetary
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
     FROM orders GROUP BY o_custkey
 ),
 anchor AS (SELECT max(o_orderdate) AS a FROM orders),
 base AS (
     SELECT custkey,
            CAST(date_diff('day', last_order, an.a) AS BIGINT) AS recency_days,
-           frequency, monetary
+           frequency, cents
     FROM pc CROSS JOIN anchor an
 )
 SELECT custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
-       round(monetary, 2) AS monetary,
+       round(cents / 100.0, 2) AS monetary,
        CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_score,
        CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_score,
-       CAST(5 - ntile(4) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m_score
+       CAST(5 - ntile(4) OVER (ORDER BY cents DESC, custkey ASC) AS BIGINT) AS m_score
 FROM base
 """
 

@@ -1139,7 +1139,8 @@ p{k} AS (
     return (
         _MINHASH_PAIRS_BODY
         + f""",
-pairs AS (SELECT DISTINCT da, db FROM cand),
+pairs AS (SELECT DISTINCT least(da, db) AS da, greatest(da, db) AS db
+          FROM cand WHERE da <> db),
 edges AS (SELECT da AS src, db AS dst FROM pairs
           UNION ALL SELECT db AS src, da AS dst FROM pairs),
 deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),

@@ -109,7 +109,7 @@ lab{t} AS (
 NEARDUP_COMMUNITIES_SQL = (
     _MINHASH_PAIRS_BODY
     + f""",
-e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM cand WHERE da <> db),
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM sym),
 full_e AS (SELECT a, b FROM sym UNION ALL SELECT node AS a, node AS b FROM nodes),
@@ -126,7 +126,7 @@ SELECT node AS doc_id, lab AS community FROM lab{_LPA_ROUNDS}
 NEARDUP_DEGREE_SQL = (
     _MINHASH_PAIRS_BODY
     + """,
-e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM cand WHERE da <> db),
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a)
 SELECT CAST(degree AS BIGINT) AS degree,
@@ -679,7 +679,7 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_TRIANGLES_SQL = (
     _MINHASH_PAIRS_BODY
     + """,
-e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM cand WHERE da <> db),
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
 tri AS (
@@ -771,7 +771,7 @@ def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_KHOP_SQL = (
     _MINHASH_PAIRS_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     + f""",
-e AS (SELECT DISTINCT da AS a, db AS b FROM cand WHERE da <> db),
+e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM cand WHERE da <> db),
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM sym),
 reach(node, d) AS (

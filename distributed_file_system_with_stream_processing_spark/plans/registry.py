@@ -51,77 +51,32 @@ for _m in _MODULES:
 
 # The driver verifies queries in enumeration order and may cap the run
 # (round 1 covered exactly the first 50 of 70). Front-load the entries
-# that still need a driver CORRECTNESS row — round 4:
-#   1. the six r3 hash-fail rows (judge-verified value-exact; their
-#      oracles now CAST integer sums to BIGINT — the re-run must
-#      record the green),
-#   2. ann_ivf_trained (gained a full unrolled-Lloyd oracle this
-#      round; its r3 row was rows-only),
-#   3. the ten oracled-but-never-driver-checked queries the r3
-#      verdict called out by name,
-#   4. new round-4 queries as they land,
-#   5. the rows-only never-checked set (BPE family, PQ/OPQ ANN,
-#      PCA spectrum, agreement matrix) — weak rows, but they convert
-#      "no driver row yet" into a recorded rows-only check.
+# that still need a driver CORRECTNESS row — round 5 (policy per the r4
+# verdict: any query whose plan or oracle changed since its last green
+# driver row sorts first):
+#   1. the four queries with gate_broadcast plan edits in r4 AFTER
+#      their last green r3 row (r4 verdict coverage caveat),
+#   2. queries whose plan/oracle changes this round (rfm integer-cents
+#      quantization, OPQ alternation promotion, neardup oracle
+#      canonicalization),
+#   3. new round-5 queries as they land.
 # Everything previously green cedes its slot; the cap should spend
 # zero rows re-confirming what already has a green driver row.
 _FRONT = [
-    # 1. r3 hash-fails, oracle casts fixed — re-record as green
-    "q12_shipmode_priority",
-    "embedding_norm_stats",
-    "docs_gopher_by_source",
-    "docs_neardup_rate_by_source",
-    "semdedup_cell_stats",
-    "decontaminate_bloom",
-    # 2. newly-oracled ANN path (was no_oracle in r3)
-    "ann_ivf_trained",
-    # 3. oracled, never driver-checked (r3 verdict item 2)
-    "session_transition_matrix",
-    "session_expected_length",
-    "zipf_by_source",
-    "events_markov_stationary",
-    "events_interarrival_stats",
-    "discount_quantity_slope",
-    "dedup_cluster_sizes",
-    "fusion_interp_topk",
-    "curation_funnel",
-    "docs_train_val_split",
-    # 4. new round-4 queries (appended as they land)
-    "docs_bigram_perplexity_bucketed",
-    "neardup_communities",
+    # 1. plan edits (gate_broadcast) postdate their r3 green rows
+    "minhash_jaccard_estimate",
+    "minhash_containment",
+    "cross_source_leakage",
+    "embedding_kmeans_assign",
+    # 2. changed this round
+    "customer_rfm_segments",  # integer-cents monetary quantization
+    "ann_opq_topk",  # registered query now runs 1 OPQ alternation
+    "neardup_communities",  # oracle edge CTE canonicalized (least/greatest)
     "neardup_degree_stats",
-    "bigram_pmi_topk",
-    "embedding_quantization_error",
-    "embedding_margin_stats",
-    "ngram_coverage_curve",
-    "events_decayed_value",
-    "customer_rfm_segments",
-    "nation_revenue_hhi",
-    "events_hourly_profile",
-    "events_pareto_users",
-    "docs_ttr_profile",
-    "lang_source_contingency",
-    "embedding_knn_classvote",
     "neardup_triangle_stats",
     "neardup_khop_reach",
-    "docs_effective_tokens",
-    "events_type_overlap",
-    "supplier_fulfillment_lag",
-    "orders_backlog_series",
-    "docs_kn_perplexity_bucketed",
-    "embedding_dim_variance",
-    "corpus_cross_entropy",
-    # 5. rows-only, never driver-checked — weak rows by design
-    #    (sketch/iterative; pinned in tests), recorded once each
-    "ann_pq_topk",
-    "ann_opq_topk",
-    "embedding_pca_spectrum",
-    "dedup_agreement_matrix",
-    "bpe_train_merges",
-    "bpe_tokenize_topk",
-    "bpe_per_lang_rules",
-    "bpe_fertility_by_lang",
-    "bpe_compression_curve",
+    "neardup_pagerank",
+    # 3. new round-5 queries (appended as they land)
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

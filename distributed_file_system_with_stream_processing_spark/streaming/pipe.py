@@ -63,13 +63,17 @@ _TRANSFORM_SCHEMA = "value string"
 _AGG_SCHEMA = "key string, cnt bigint"
 
 
-def _run(cmd: list[str], lines: list[str]) -> str:
+def _run(cmd: list[str], lines: list[str], *, allow_rc1: bool) -> str:
     """Feed ``lines`` to ``cmd`` on stdin, return its stdout.
 
-    Exit codes 0 and 1 are both success: the classic Unix filter
-    contract (grep) uses 1 for "no matches", which for a Transform op
-    just means an empty output batch.
+    ``allow_rc1`` implements the classic Unix filter contract (grep
+    exits 1 for "no matches"), which only applies to Transform ops —
+    there rc=1 just means an empty output batch. For Aggregate ops
+    that convention does not exist, and a crashing op with rc=1 and
+    partial stdout would silently corrupt the running counts, so
+    anything but rc=0 is an error (r4 advisor finding).
     """
+    ok = (0, 1) if allow_rc1 else (0,)
     proc = subprocess.run(
         cmd,
         input="\n".join(lines) + "\n",
@@ -77,7 +81,7 @@ def _run(cmd: list[str], lines: list[str]) -> str:
         text=True,
         check=False,
     )
-    if proc.returncode not in (0, 1):
+    if proc.returncode not in ok:
         raise RuntimeError(
             f"pipe op {cmd!r} failed with rc={proc.returncode}: "
             f"{proc.stderr[:500]}"
@@ -117,7 +121,12 @@ def run_pipe(df: DataFrame, op: PipeOp, line_col: str = "value") -> DataFrame:
     streaming DataFrames unchanged.
     """
     cmd = list(op.cmd)
-    src = df.select(F.col(line_col).cast("string").alias("value"))
+    # Null lines would arrive in pandas as None and break the stdin
+    # join; a null line is "no line" under the reference's file-of-lines
+    # model, so drop them JVM-side before the Python stage.
+    src = df.select(F.col(line_col).cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
 
     if op.mode == "transform":
 
@@ -125,7 +134,7 @@ def run_pipe(df: DataFrame, op: PipeOp, line_col: str = "value") -> DataFrame:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                out = _run(cmd, pdf["value"].tolist())
+                out = _run(cmd, pdf["value"].tolist(), allow_rc1=True)
                 lines = out.splitlines()
                 if lines:
                     yield pd.DataFrame({"value": lines})
@@ -136,7 +145,7 @@ def run_pipe(df: DataFrame, op: PipeOp, line_col: str = "value") -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = _run(cmd, pdf["value"].tolist()).strip()
+            out = _run(cmd, pdf["value"].tolist(), allow_rc1=False).strip()
             if not out:
                 continue
             rec = json.loads(out)

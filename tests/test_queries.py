@@ -106,31 +106,18 @@ def test_registry_front_loads_unchecked_queries():
     names = list(R.QUERIES)
     assert names[: len(R._FRONT)] == R._FRONT
     assert len(R._FRONT) <= 50, len(R._FRONT)
-    # round 4: the six cast-fixed r3 hash-fails must re-run first,
-    # then the newly-oracled ANN path, then the ten oracled queries
-    # the r3 verdict called out as never driver-checked, then every
-    # round-4 addition
+    # round 5 policy (r4 verdict item 2): any query whose plan or
+    # oracle changed since its last green driver row sorts first —
+    # the four gate_broadcast-edited queries, then this round's
+    # plan/oracle edits, then every round-5 addition
     must_front = {
-        # cast-fixed re-runs
-        "q12_shipmode_priority", "embedding_norm_stats",
-        "docs_gopher_by_source", "docs_neardup_rate_by_source",
-        "semdedup_cell_stats", "decontaminate_bloom",
-        "ann_ivf_trained",
-        # oracled, never driver-checked (r3 verdict item 2)
-        "session_transition_matrix", "session_expected_length",
-        "zipf_by_source", "events_markov_stationary",
-        "events_interarrival_stats", "discount_quantity_slope",
-        "dedup_cluster_sizes", "fusion_interp_topk",
-        "curation_funnel", "docs_train_val_split",
-        # round-4 additions
-        "docs_bigram_perplexity_bucketed", "neardup_communities",
-        "neardup_degree_stats", "bigram_pmi_topk",
-        "embedding_quantization_error", "embedding_margin_stats",
-        "ngram_coverage_curve", "events_decayed_value",
-        "customer_rfm_segments", "nation_revenue_hhi",
-        "events_hourly_profile", "events_pareto_users",
-        "docs_ttr_profile", "lang_source_contingency",
-        "embedding_knn_classvote", "neardup_triangle_stats",
-        "neardup_khop_reach", "docs_effective_tokens",
+        # gate_broadcast plan edits postdate their r3 green rows
+        "minhash_jaccard_estimate", "minhash_containment",
+        "cross_source_leakage", "embedding_kmeans_assign",
+        # changed this round
+        "customer_rfm_segments", "ann_opq_topk",
+        "neardup_communities", "neardup_degree_stats",
+        "neardup_triangle_stats", "neardup_khop_reach",
+        "neardup_pagerank",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
