@@ -80,6 +80,22 @@ def test_bpe_train_batched_rule_sequence_parity_and_fewer_jobs(spark):
     assert n_jobs < N_MERGES, n_jobs
 
 
+def test_bpe_train_batched_adaptive_prefix_parity(spark):
+    """m_per_job=None (adaptive: take the WHOLE exactness-compatible
+    prefix each job) must stay rule-for-rule identical to the
+    sequential trainer AND use no more jobs than the fixed m=3 batch —
+    the point of removing the cap is strictly larger batches."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seq = B.bpe_train(docs, n_merges=N_MERGES)
+    adaptive, n_jobs_ad = B.bpe_train_batched(docs, n_merges=N_MERGES)
+    _, n_jobs_m3 = B.bpe_train_batched(docs, n_merges=N_MERGES, m_per_job=3)
+    key = lambda rs: [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rs
+    ]
+    assert key(adaptive) == key(seq)
+    assert n_jobs_ad <= n_jobs_m3 < N_MERGES, (n_jobs_ad, n_jobs_m3)
+
+
 def test_bpe_train_batched_adversarial_overlap_degrades_not_diverges(spark):
     """A corpus engineered so every top pair shares a symbol with the
     next ('aaaa...' chains): the batch must shrink to ~1 merge/job —
@@ -97,6 +113,46 @@ def test_bpe_train_batched_adversarial_overlap_degrades_not_diverges(spark):
         (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
         for r in batched
     ] == ref
+
+
+def test_bpe_train_batched_greedy_mode_deterministic_and_batches(spark):
+    """exact_order=False (batch-greedy, the real-vocab-budget path):
+    deterministic across runs, strictly fewer jobs than rules on
+    natural text, and every rule is a (left, right) pair whose merged
+    symbol is their concatenation with a positive exact batch-start
+    count."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a, jobs_a = B.bpe_train_batched(docs, n_merges=12, exact_order=False)
+    b, jobs_b = B.bpe_train_batched(docs, n_merges=12, exact_order=False)
+    key = lambda rs: [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rs
+    ]
+    assert key(a) == key(b) and jobs_a == jobs_b
+    assert len(a) == 12 and jobs_a < 12, jobs_a
+    assert all(r["merged"] == r["left"] + r["right"] and r["pair_count"] > 0 for r in a)
+
+
+def test_bpe_train_batched_greedy_mode_m1_equals_sequential(spark):
+    """Batch-greedy with m_per_job=1 is EXACT sequential BPE (every
+    job takes the single global-top pair with exact counts) — the
+    anchor proving the greedy path's counting/acceptance machinery
+    deviates from sequential ONLY through batch width, never through
+    wrong counts or ordering."""
+    rows = [("a" * 8 + " " + "ab" * 4,)] * 5 + [("ba" * 4,)] * 3
+    docs = spark.createDataFrame(rows, "text string")
+    got, n_jobs = B.bpe_train_batched(
+        docs, n_merges=4, m_per_job=1, exact_order=False
+    )
+    wc = collections.Counter()
+    for (t,) in rows:
+        for w in t.split():
+            wc[w.lower()] += 1
+    ref, _ = _py_bpe(wc, 4)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in got
+    ] == ref
+    assert n_jobs == 4
 
 
 def test_bpe_apply_reconstructs_words_and_matches_reference(spark):
