@@ -159,6 +159,8 @@ def main() -> None:
         "docs_kn_perplexity_bucketed",
         "embedding_dim_variance",
         "corpus_cross_entropy",
+        # round-5 additions
+        "docs_interp_perplexity_bucketed",
     ]
     headline = [q for q in headline if q in QUERIES]
 

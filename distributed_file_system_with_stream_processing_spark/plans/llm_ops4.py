@@ -267,26 +267,17 @@ def docs_bigram_perplexity_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
 _INTERP_LAMBDA = 0.7  # bigram weight in the mixture
 
 
-def docs_interp_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document perplexity under a Jelinek-Mercer INTERPOLATED LM
-    (λ·p_bigram + (1−λ)·p_unigram — the classical smoothing one step
-    past add-k; Chen & Goodman 1999's baseline mixture): completes the
-    LM-scoring family (unigram → bigram → interpolated).
-
-    Determinism: p_b = (c(uv)+k)/(c(u)+k·V) and p_u = c(v)/N are each
-    a single division of exact-representable inputs; the mixture
-    λ·p_b + (1−λ)·p_u is a fixed multiply-multiply-add sequence; its
-    log micro-quantizes ONCE per gram and per-doc reductions are
-    exact integer sums (the established LM convention).
-
-    100 TB shape: the bigram backbone's shuffles + one extra
-    gram→second-token join against the unigram table (vocab-scale,
-    term key); the (V, N) pair rides ONE 1-row BuildRight broadcast.
-    """
-    d = spread(load_table(spark, sf_dir, "documents"))
-    bg = _bigram_tf(d)
+def interp_model(docs: DataFrame) -> DataFrame:
+    """(gram, l_mu) under the Jelinek-Mercer mixture — the trainable
+    half of ``docs_interp_perplexity``, factored out (like
+    :func:`bigram_model` / llm_ops5.kn_model) so the bucketed twin can
+    persist it gram-bucketed. The mixture reads BOTH the bigram count
+    table and the unigram table (as context count c(u) AND target
+    count c(v)), but the trained artifact is still one vocab-scale
+    (gram, l_mu) table — scorers never touch the unigram table."""
+    bg = _bigram_tf(docs)
     cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
-    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
     uni = (
         toks.select(F.explode_outer("ws").alias("w"))
         .filter(F.col("w").isNotNull())
@@ -312,7 +303,13 @@ def docs_interp_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.lit(_INTERP_LAMBDA) * p_b + F.lit(1.0 - _INTERP_LAMBDA) * p_u)
         * _BG_MICRO
     ).cast("long")
-    model = enriched.select("gram", l_mu.alias("l_mu"))
+    return enriched.select("gram", l_mu.alias("l_mu"))
+
+
+def _interp_score(bg: DataFrame, model: DataFrame) -> DataFrame:
+    """Score a (doc_id, gram, tf) table against a (gram, l_mu)
+    interpolated-LM table — exact-integer per-doc reduction, output
+    column ``interp_ppl``. Shared by the plain and bucketed twins."""
     scored = (
         bg.join(model, "gram")
         .select("doc_id", "tf", (F.col("tf") * F.col("l_mu")).alias("_tl"))
@@ -323,6 +320,54 @@ def docs_interp_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", F.round(ppl, 4).alias("interp_ppl")
     )
+
+
+def docs_interp_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer INTERPOLATED LM
+    (λ·p_bigram + (1−λ)·p_unigram — the classical smoothing one step
+    past add-k; Chen & Goodman 1999's baseline mixture): completes the
+    LM-scoring family (unigram → bigram → interpolated).
+
+    Determinism: p_b = (c(uv)+k)/(c(u)+k·V) and p_u = c(v)/N are each
+    a single division of exact-representable inputs; the mixture
+    λ·p_b + (1−λ)·p_u is a fixed multiply-multiply-add sequence; its
+    log micro-quantizes ONCE per gram and per-doc reductions are
+    exact integer sums (the established LM convention).
+
+    100 TB shape: the bigram backbone's shuffles + one extra
+    gram→second-token join against the unigram table (vocab-scale,
+    term key); the (V, N) pair rides ONE 1-row BuildRight broadcast.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return _interp_score(_bigram_tf(d), interp_model(d))
+
+
+def docs_interp_perplexity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_interp_perplexity``'s beyond-broadcast twin — completes
+    the LM-family symmetry (bigram / KN / interpolated each have a
+    gram-bucketed score-online variant, the r4-verdict ask): the
+    trained JM mixture persists as a gram-BUCKETED (gram, l_mu) table,
+    so the score join plans exactly ONE gram Exchange (the docs side;
+    the model reads bucket-aligned — plan-asserted in
+    tests/test_plans.py::test_bigram_bucketed_twin_single_gram_exchange).
+    The mixture's unigram inputs are folded into l_mu at TRAIN time,
+    so the scorer's join graph is identical to the bigram twin's even
+    though the model reads two count tables. Oracle identical to the
+    plain twin: layout changes the plan, not one bit of the output.
+    """
+    import os
+    import tempfile
+
+    from distributed_file_system_with_stream_processing_spark.sinks.parquet import (
+        write_bucketed,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"dfsp_interp_lm_{suffix}"
+    path = os.path.join(tempfile.gettempdir(), f"dfsp_interp_lm_{suffix}")
+    write_bucketed(interp_model(d), table, path, "gram", 8)
+    return _interp_score(_bigram_tf(d), spark.table(table))
 
 
 DOCS_INTERP_PPL_SQL = rf"""
@@ -1437,6 +1482,7 @@ QUERIES = {
     "docs_bigram_perplexity_bucketed": docs_bigram_perplexity_bucketed,
     "docs_kl_by_source": docs_kl_by_source,
     "docs_interp_perplexity": docs_interp_perplexity,
+    "docs_interp_perplexity_bucketed": docs_interp_perplexity_bucketed,
     "multimodal_video_frames": multimodal_video_frames,
     "minhash_containment": minhash_containment,
     "events_anomaly_mad": events_anomaly_mad,
@@ -1460,6 +1506,7 @@ ORACLES = {
     "docs_bigram_perplexity_bucketed": DOCS_BIGRAM_PPL_SQL,
     "docs_kl_by_source": DOCS_KL_BY_SOURCE_SQL,
     "docs_interp_perplexity": DOCS_INTERP_PPL_SQL,
+    "docs_interp_perplexity_bucketed": DOCS_INTERP_PPL_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     "minhash_containment": MINHASH_CONTAINMENT_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,

@@ -77,6 +77,7 @@ _FRONT = [
     "neardup_khop_reach",
     "neardup_pagerank",
     # 3. new round-5 queries (appended as they land)
+    "docs_interp_perplexity_bucketed",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -233,7 +233,11 @@ def test_bigram_bucketed_twin_single_gram_exchange(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for q in ("docs_bigram_perplexity_bucketed", "docs_kn_perplexity_bucketed"):
+        for q in (
+            "docs_bigram_perplexity_bucketed",
+            "docs_kn_perplexity_bucketed",
+            "docs_interp_perplexity_bucketed",
+        ):
             df = QUERIES[q](spark, SF_SMOKE)
             plan = executed_plan(df)
             assert "Bucketed: true" in plan, (q, plan)
