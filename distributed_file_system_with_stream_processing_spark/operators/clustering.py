@@ -318,7 +318,12 @@ def ivf_trained_ann(
 
 
 def _pq_fit_codebooks(
-    e: DataFrame, m: int, sub: int, codes: int, iters: int
+    e: DataFrame,
+    m: int,
+    sub: int,
+    codes: int,
+    iters: int,
+    init_books: list[list[list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Train all m per-subspace codebooks with ONE Spark job per Lloyd
     pass (not m): every vector explodes into m (subspace, code,
@@ -330,11 +335,22 @@ def _pq_fit_codebooks(
     → 4.4 s end-to-end at sf0.1 for m=8/iters=2, query incl. training
     and re-rank). Same arithmetic contract as
     kmeans_fit: micro-unit integer sums, driver-side mean division,
-    empty code keeps its previous centroid."""
-    seed_rows = e.orderBy("id").limit(codes).select("v").collect()
-    books = [
-        [list(r["v"])[j * sub : (j + 1) * sub] for r in seed_rows] for j in range(m)
-    ]
+    empty code keeps its previous centroid.
+
+    ``init_books`` WARM-STARTS: skip the seed job and refine the given
+    codebooks — the Ge-et-al. OPQ alternation's codebook half-step is
+    exactly k-means updates initialized from the current books (one
+    update per alternation in the paper), NOT a from-scratch retrain,
+    so opq_train's loop passes the previous books here (saves the
+    seed collect + lets iters=1 per alternation stay faithful)."""
+    if init_books is not None:
+        books = init_books
+    else:
+        seed_rows = e.orderBy("id").limit(codes).select("v").collect()
+        books = [
+            [list(r["v"])[j * sub : (j + 1) * sub] for r in seed_rows]
+            for j in range(m)
+        ]
     e = e.persist()
     try:
         for _ in range(iters):
@@ -604,6 +620,36 @@ def rotate_expr(rot: list[list[float]]) -> str:
     return f"array({comps})"
 
 
+def rotate_apply(e: DataFrame, rot: list[list[float]]) -> DataFrame:
+    """(id, v) → (id, R·v) via ONE Arrow ``mapInPandas`` numpy matmul
+    per batch — the vectorized twin of :func:`rotate_expr`. The SQL
+    expression is d² INTERPRETED multiply-adds per row (higher-order
+    functions don't codegen); at 64 dims that made each
+    materialization of the rotated table ~3-4 s at sf0.1, and OPQ
+    training materializes it once per alternation — the exact "hand
+    the map stage to a native kernel" swap the rotate_expr docstring
+    reserves. Pure map: zero joins/shuffles. Values match rotate_expr
+    up to float64 accumulation order (BLAS may block the dot product);
+    deterministic run-to-run for a fixed build, and every OPQ consumer
+    is rows-only/recall-pinned — nothing downstream hashes these
+    floats against an oracle."""
+    import numpy as np
+    import pandas as pd
+
+    R_T = [list(col) for col in zip(*rot)]  # serialize transpose once
+
+    def part(it):
+        Rt = np.array(R_T, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Y = X @ Rt
+            yield pd.DataFrame({"id": pdf["id"], "v": list(Y.tolist())})
+
+    return e.select("id", "v").mapInPandas(part, "id long, v array<double>")
+
+
 def opq_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -627,8 +673,9 @@ def opq_topk(
     adds full Ge-et-al. alternations (Procrustes rotation ↔ codebook
     retrain, opq_train) — quantization error is then monotone
     non-increasing per alternation (pinned in tests/test_ann.py); the
-    registered query keeps the init-only default for bench-cost
-    parity with plain PQ.
+    registered ann_opq_topk runs opt_iters=1 (promoted in r5; ~1
+    extra mapInPandas encode pass + one codebook retrain per
+    alternation, bench delta recorded in SHUFFLES.md).
 
     100 TB shape: rotation TRAINING is one shuffle-free scan emitting
     dim² partials per partition; rotation APPLY is a pure map (matrix
@@ -651,27 +698,29 @@ def opq_topk(
     # baseline at sf0.1 without it). cache_bounded's FIFO unpersists it
     # after newer entries arrive, so repeated invocations in a
     # long-lived session can't accumulate cached blocks.
-    re_ = cache_bounded(e.selectExpr("id", f"{rotate_expr(rot)} AS v"))
+    re_ = cache_bounded(rotate_apply(e, rot))
     return _pq_search(
         re_, m, dim // m, codes, iters, query_ids_below, k, rerank_factor,
         e_rerank=e, books=books,
     )
 
 
-def _procrustes_pass(e: DataFrame, rot, books, dim: int, m: int, sub: int):
+def _procrustes_pass(re_: DataFrame, rot, books, dim: int, m: int, sub: int):
     """One OPQ ALTERNATION (Ge et al. 2014 §3.2, the non-parametric
     solver): with codebooks fixed, the optimal orthonormal rotation
     minimizing Σ‖R·x − x̂‖² is the orthogonal-Procrustes solution
     R = U·Vᵀ from SVD(Σ x̂ xᵀ). The correlation matrix accumulates
-    DISTRIBUTED: one Arrow ``mapInPandas`` pass encodes each
-    partition's vectors under the current (R, codebooks) in numpy and
-    emits a dim×dim partial (plus the partition's quantization-error
-    sum) — the same shuffle-free reduction as the second-moment pass.
+    DISTRIBUTED over the CACHED rotated table (one Arrow
+    ``mapInPandas`` pass encoding each partition in numpy, emitting a
+    dim×dim partial + the partition's quantization-error sum — the
+    same shuffle-free reduction as the second-moment pass): since
+    x = Rᵀ·y, Σ x̂ xᵀ = (Σ ŷ yᵀ)·R, so the pass needs neither the
+    raw table (avoids a second scan) nor a per-row matmul — the
+    driver applies ·R once to the dim×dim total before the SVD.
     Returns (R_new, total_sq_err, n)."""
     import numpy as np
     import pandas as pd
 
-    R = np.array(rot)
     B = [np.array(b) for b in books]
 
     def part(it):
@@ -681,26 +730,26 @@ def _procrustes_pass(e: DataFrame, rot, books, dim: int, m: int, sub: int):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Y = X @ R.T  # rotated
+            Y = np.array(pdf["v"].tolist(), dtype=np.float64)  # rotated
             Yhat = np.empty_like(Y)
             for j in range(m):
                 S = Y[:, j * sub : (j + 1) * sub]
                 d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
                 Yhat[:, j * sub : (j + 1) * sub] = B[j][d2.argmin(axis=1)]
-            c += Yhat.T @ X  # Σ x̂ xᵀ in original coordinates
+            c += Yhat.T @ Y  # Σ ŷ yᵀ (rotated frame)
             err += float(((Y - Yhat) ** 2).sum())
-            n += X.shape[0]
+            n += Y.shape[0]
         yield pd.DataFrame({"c": [c.reshape(-1).tolist()], "e": [err], "n": [n]})
 
-    rows = e.select("v").mapInPandas(part, "c array<double>, e double, n long").collect()
-    C = np.zeros((dim, dim), dtype=np.float64)
+    rows = re_.select("v").mapInPandas(part, "c array<double>, e double, n long").collect()
+    Cy = np.zeros((dim, dim), dtype=np.float64)
     err = 0.0
     n = 0
     for r in rows:
-        C += np.array(r["c"], dtype=np.float64).reshape(dim, dim)
+        Cy += np.array(r["c"], dtype=np.float64).reshape(dim, dim)
         err += r["e"]
         n += r["n"]
+    C = Cy @ np.array(rot)  # back to Σ x̂ xᵀ in original coordinates
     U, _, Vt = np.linalg.svd(C)
     return (U @ Vt).tolist(), err, n
 
@@ -724,15 +773,21 @@ def opq_train(
     opt_iters, measured before each rotation update)."""
     sub = dim // m
     rot = opq_rotation(e, dim, m)
-    re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
+    re_ = rotate_apply(e, rot).persist()
     books = _pq_fit_codebooks(re_, m, sub, codes, iters)
     trace = []
     for _ in range(opt_iters):
-        rot_new, err, _n = _procrustes_pass(e, rot, books, dim, m, sub)
+        rot_new, err, _n = _procrustes_pass(re_, rot, books, dim, m, sub)
         trace.append(err)
         rot = rot_new
         re_.unpersist()
-        re_ = e.selectExpr("id", f"{rotate_expr(rot)} AS v").persist()
-        books = _pq_fit_codebooks(re_, m, sub, codes, iters)
+        re_ = rotate_apply(e, rot).persist()
+        # codebook half-step: ONE warm-started k-means update (the
+        # paper's alternation), not a cold retrain — the rotation
+        # half-step kept assignments/books feasible in the new frame
+        # (Procrustes minimizes against the FIXED encoding), so the
+        # objective stays monotone and each alternation costs 1 update
+        # job + 1 encode pass instead of seed + iters updates
+        books = _pq_fit_codebooks(re_, m, sub, codes, 1, init_books=books)
     re_.unpersist()
     return rot, books, trace

@@ -389,13 +389,18 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated coordinates. The rotation is orthonormal so cosine / L2
     are exactly preserved — only quantization error changes, which
     the balanced subspaces reduce. See operators/clustering.opq_topk.
+    Registered with ONE full Ge-et-al. alternation (Procrustes
+    rotation ↔ codebook retrain — promoted in r5 per the r4 verdict;
+    the init-only shortcut is gone and the alternation's
+    monotone-objective guarantee stays pinned in tests/test_ann.py).
     Rows-only (recall pinned ≥ the plain-PQ floor and vs brute force
     in tests/test_ann.py; the rotation itself is unit-tested for
     orthonormality and distance preservation)."""
     from distributed_file_system_with_stream_processing_spark.operators import clustering as C
 
     return C.opq_topk(
-        load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5,
+        opt_iters=1,
     )
 
 

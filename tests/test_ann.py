@@ -518,8 +518,12 @@ def test_opq_alternations_monotonically_reduce_quantization_error(spark):
     R = np.array(rot)
     assert np.abs(R @ R.T - np.eye(64)).max() < 1e-8
     # and the final (R, codebooks) pair measures an error no worse
-    # than the one entering the last alternation
-    _, final_err, n = C._procrustes_pass(e, rot, books, 64, 8, 8)
+    # than the one entering the last alternation (_procrustes_pass
+    # reads the ROTATED table since the r5 cached-frame optimization —
+    # Σ x̂ xᵀ = (Σ ŷ yᵀ)·R)
+    _, final_err, n = C._procrustes_pass(
+        C.rotate_apply(e, rot), rot, books, 64, 8, 8
+    )
     assert n == e.count()
     assert final_err <= trace[-1] + 1e-6, (final_err, trace)
 
