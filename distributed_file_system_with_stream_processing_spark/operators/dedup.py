@@ -146,7 +146,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -154,9 +154,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 6,
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding + signature-overlap
-    estimate. rows_per_band = num_hashes/bands; a pair is a candidate
-    iff some band's sub-signature matches exactly."""
+    """(doc_id, sig, band, key) — each doc's MinHash signature exploded
+    into its ``bands`` LSH band keys. The SHARED banding kernel:
+    ``minhash_lsh_pairs`` self-joins it for batch candidate pairs, and
+    ``streaming.rainstorm.effective_tokens_stream`` probes a persisted
+    index of it per micro-batch — one code path, so the streamed edge
+    set is definitionally the batch candidate set (same shingles, same
+    affine family, same band hashing). Docs with fewer than ``n`` words
+    have an empty shingle set and emit NO rows (they can never share a
+    band)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -194,9 +200,23 @@ def minhash_lsh_pairs(
             ).alias("key"),
         ),
     )
-    ex = sig.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
+    return sig.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
         "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding + signature-overlap
+    estimate. rows_per_band = num_hashes/bands; a pair is a candidate
+    iff some band's sub-signature matches exactly."""
+    ex = minhash_banded(df, id_col, text_col, n, num_hashes, bands)
     a = ex.alias("a")
     b = ex.alias("b")
     cand = (

@@ -817,15 +817,32 @@ def docs_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     census + a per-source rollup. The cluster-size table is
     component-scale and rides the size-gated broadcast.
     """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+    return effective_tokens_from_edges(d, pairs)
+
+
+def effective_tokens_from_edges(
+    d: DataFrame,
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """The dedup-aware sizing CORE, factored over an explicit edge
+    table so the registered batch query and the streaming CDC twin
+    (streaming/rainstorm.effective_tokens_stream — which ACCUMULATES
+    the same LSH edges incrementally) run one code path: CC → cluster
+    sizes → gated-broadcast join onto the token census → per-source
+    integer rollup. Given equal (docs, edges), outputs are equal —
+    the streamed-≡-batch equivalence reduces to edge-set equality,
+    which minhash_banded guarantees by construction."""
     from distributed_file_system_with_stream_processing_spark.functions import text as T
     from distributed_file_system_with_stream_processing_spark.operators._util import (
         gate_broadcast,
         spread,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
-    cc = D.connected_components(pairs)
+    cc = D.connected_components(edges, src=src, dst=dst)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     member_sizes, _ = gate_broadcast(
         cc.join(sizes, "cluster_id").select(

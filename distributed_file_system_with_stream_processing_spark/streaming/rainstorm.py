@@ -858,3 +858,142 @@ def substring_indexed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def effective_tokens_totals(spark: SparkSession, edge_sink, census_sink) -> DataFrame:
+    """Current dedup-aware per-source sizing from the maintained CDC
+    state: CC over the accumulated LSH edge set + the doc census,
+    through the SAME core as the registered batch query
+    (plans/llm_ops6.effective_tokens_from_edges) — so streamed totals
+    equal the batch ``docs_effective_tokens`` on the docs ingested so
+    far, exactly (pinned in tests/test_rainstorm_streaming.py)."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops6 import (
+        effective_tokens_from_edges,
+    )
+
+    census = census_sink.snapshot(spark).select("doc_id", "source", "n_tok", "text")
+    try:
+        edges = edge_sink.snapshot(spark).select("a", "b")
+    except FileNotFoundError:
+        edges = spark.createDataFrame([], "a long, b long")
+    return effective_tokens_from_edges(
+        census.drop("n_tok"), edges, src="a", dst="b"
+    )
+
+
+def effective_tokens_stream(
+    doc_stream: DataFrame,
+    index_sink,
+    census_sink,
+    edge_sink,
+    totals_sink,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> StreamingQuery:
+    """INCREMENTAL dedup-aware corpus sizing over the TableStore CDC
+    stream — the streaming capstone composing two proven backbones:
+    the ``tablestore`` streaming DataSource (sources/pyds.py: each
+    micro-batch is exactly the new append window) and
+    ``docs_effective_tokens`` (plans/llm_ops6.py). After every
+    micro-batch, ``totals_sink`` holds the per-source
+    (n_docs, n_tokens, effective_tokens_mu) for EVERYTHING ingested so
+    far, equal to re-running the batch query on the accumulated docs.
+
+    Per micro-batch (foreachBatch):
+      1. band the batch's docs (operators/dedup.minhash_banded — the
+         code path the batch query's ``minhash_lsh_pairs`` self-joins,
+         so streamed candidate edges ≡ batch candidate edges by
+         construction);
+      2. probe = band index snapshot ∪ the batch's own bands: every
+         pair whose LATER doc is in this batch is discovered here, so
+         the union over batches is the full batch pair set — new
+         edges upsert into ``edge_sink`` canonicalized
+         (least, greatest) under a "a|b" pair key (idempotent);
+      3. the batch's (doc_id, source, n_tok, text) rows upsert into
+         ``census_sink``, its bands into ``index_sink`` (both
+         idempotent — foreachBatch's at-least-once replay re-derives
+         identical rows, so the pipeline is exactly-once end to end);
+      4. refreshed totals (effective_tokens_totals: CC over the
+         accumulated component-scale edge set + per-source integer
+         rollup) upsert into ``totals_sink`` keyed by source.
+
+    100 TB shape: steps 1-3 touch ONLY the micro-batch (banding is a
+    per-doc map + one doc_id shuffle; the probe join reads the
+    bucket-aligned index through a (band, key) equi-join); step 4 is
+    CC on the accumulated EDGE table — component-scale, orders of
+    magnitude below corpus-scale, the same economics as the batch
+    query where LSH banding (linear) dominates and CC runs on the
+    collision graph. A deployment that only needs totals on demand
+    drops step 4 from the loop and calls ``effective_tokens_totals``
+    when asked.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "source", "text")
+        banded = D.minhash_banded(
+            batch, n=n, num_hashes=num_hashes, bands=bands
+        ).select("doc_id", "band", "key")
+        banded.persist()
+        try:
+            try:
+                idx = index_sink.snapshot(spark).select("doc_id", "band", "key")
+                probe = idx.unionByName(banded)
+            except FileNotFoundError:
+                probe = banded
+            x, y = banded.alias("x"), probe.alias("y")
+            edges = (
+                x.join(
+                    y,
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.key") == F.col("y.key"))
+                    & (F.col("x.doc_id") != F.col("y.doc_id")),
+                )
+                .select(
+                    F.least("x.doc_id", "y.doc_id").alias("a"),
+                    F.greatest("x.doc_id", "y.doc_id").alias("b"),
+                )
+                .distinct()
+                .select(
+                    F.concat_ws("|", "a", "b").alias("pair_key"),
+                    "a",
+                    "b",
+                    F.lit(batch_id).alias("_ord"),
+                )
+            )
+            edge_sink.apply_batch(edges, batch_id)
+            census = batch.select(
+                "doc_id",
+                "source",
+                F.size(T.words(F.col("text"))).cast("long").alias("n_tok"),
+                "text",
+                F.lit(batch_id).alias("_ord"),
+            )
+            census_sink.apply_batch(census, batch_id)
+            index_sink.apply_batch(
+                banded.select(
+                    F.concat_ws("|", "doc_id", "band").alias("band_key"),
+                    "doc_id",
+                    "band",
+                    "key",
+                    F.lit(batch_id).alias("_ord"),
+                ),
+                batch_id,
+            )
+            totals = effective_tokens_totals(spark, edge_sink, census_sink)
+            totals_sink.apply_batch(
+                totals.withColumn("_ord", F.lit(batch_id)), batch_id
+            )
+        finally:
+            banded.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

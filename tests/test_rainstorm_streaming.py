@@ -985,3 +985,103 @@ def test_bloom_gate_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bloom_gate").collect()
     }
     assert streamed == batch
+
+
+def test_effective_tokens_stream_matches_batch_at_boundaries(spark, tmp_path):
+    """The r5 streaming capstone: incremental dedup-aware corpus sizing
+    over the TableStore CDC source. Docs arrive as TableStore appends;
+    the stream maintains band-index / census / edge state and per-source
+    totals. At EVERY availableNow boundary the streamed totals must
+    equal the batch docs_effective_tokens recipe run on exactly the
+    docs ingested so far — including across a compact_appends() fold
+    between phases (the CDC exactly-once contract)."""
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        dedup as D,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops6 import (
+        effective_tokens_from_edges,
+    )
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import (
+        KeyedUpsertSink,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        effective_tokens_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .limit(36)
+        .collect()
+    )
+    slices = [docs[:12], docs[12:24], docs[24:]]
+    schema = "doc_id long, source string, text string"
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    # CDC streams APPENDS only — the base is empty by design (a real
+    # consumer bootstraps the base via the batch reader / get_as_of)
+    store.create("docs", spark.createDataFrame([], schema))
+    spark.dataSource.register(TableStoreDataSource)
+
+    sinks = {
+        name: KeyedUpsertSink(str(tmp_path / name), key=key, order_col="_ord")
+        for name, key in (
+            ("index", "band_key"),
+            ("census", "doc_id"),
+            ("edges", "pair_key"),
+            ("totals", "source"),
+        )
+    }
+
+    def drain():
+        q = effective_tokens_stream(
+            spark.readStream.format("tablestore")
+            .option("root", str(tmp_path / "store"))
+            .option("table", "docs")
+            .load(),
+            index_sink=sinks["index"],
+            census_sink=sinks["census"],
+            edge_sink=sinks["edges"],
+            totals_sink=sinks["totals"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(240)
+        q.stop()
+
+    def streamed():
+        return sorted(
+            (r["source"], r["n_docs"], r["n_tokens"], r["effective_tokens_mu"])
+            for r in sinks["totals"]
+            .snapshot(spark)
+            .select("source", "n_docs", "n_tokens", "effective_tokens_mu")
+            .collect()
+        )
+
+    def batch_expected(rows):
+        d = spark.createDataFrame(rows, schema)
+        pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
+        return sorted(
+            (r["source"], r["n_docs"], r["n_tokens"], r["effective_tokens_mu"])
+            for r in effective_tokens_from_edges(d, pairs).collect()
+        )
+
+    # phase 1: two appends drain as one window
+    store.append("docs", spark.createDataFrame(slices[0], schema))
+    store.append("docs", spark.createDataFrame(slices[1], schema))
+    drain()
+    assert streamed() == batch_expected(docs[:24])
+
+    # phase 2: LSM fold between triggers + a fresh append — totals must
+    # advance to the full corpus with no drop/double-count
+    store.compact_appends("docs")
+    store.append("docs", spark.createDataFrame(slices[2], schema))
+    drain()
+    assert streamed() == batch_expected(docs)
