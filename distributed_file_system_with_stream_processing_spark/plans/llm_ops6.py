@@ -626,6 +626,17 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    return triangle_census(e)
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle/wedge census over a canonical (a, b)
+    edge table — factored out of ``neardup_triangle_stats`` so the
+    planted-hub skew stress (tests/test_skew.py) drives the exact
+    production composition. See the query docstring for the
+    Suri-Vassilvitskii scale argument; the hub-adversarial invariant
+    (per-apex out-degree O(√m) ⇒ no last-reducer wedge blowup) is
+    measured there."""
     from distributed_file_system_with_stream_processing_spark.operators._util import (
         cache_bounded,
     )
@@ -728,10 +739,6 @@ def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node. No convergence loop: the horizon is a constant, so the
     job count never scales with data.
     """
-    from distributed_file_system_with_stream_processing_spark.operators._util import (
-        gate_broadcast,
-    )
-
     pairs = D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
     )
@@ -740,14 +747,26 @@ def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    return khop_reach(e, _KHOP_SEEDS_BELOW, _KHOP_MAX)
+
+
+def khop_reach(e: DataFrame, seeds_below: int, max_hops: int) -> DataFrame:
+    """Bounded-BFS core over a canonical (a, b) edge table — factored
+    out of ``neardup_khop_reach`` so the planted-hub skew stress
+    (tests/test_skew.py) drives the production composition. Per-round
+    localCheckpoint lineage truncation; see the query docstring."""
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym, _ = gate_broadcast(sym)
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    known = nodes.filter(F.col("node") < _KHOP_SEEDS_BELOW).select(
+    known = nodes.filter(F.col("node") < seeds_below).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     frontier = known
-    for t in range(1, _KHOP_MAX + 1):
+    for t in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym.withColumnRenamed("a", "node"), "node")
             .select(F.col("b").alias("node"))

@@ -116,3 +116,86 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_census_planted_hub_no_last_reducer(spark):
+    """The adversarial input the Suri-Vassilvitskii degree ordering
+    exists for: one hub doc sharing a band with 10k docs (a star),
+    plus a small planted clique for nonzero triangles. The census must
+    be EXACT, and — the measured bound — no wedge-apex may own more
+    than C(max_out_degree, 2) wedges with max_out_degree O(√m): a
+    naive neighbor self-join would put C(10_000, 2) ≈ 5·10⁷ wedge
+    rows on the hub's reducer; degree-from-smaller-endpoint orientation
+    puts ZERO wedges on the hub (every star edge points AT it)."""
+    import math
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops6 import (
+        triangle_census,
+    )
+
+    hub_n = 10_000
+    star = spark.range(1, hub_n + 1).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    # planted 5-clique among high ids (disjoint from the star)
+    clique_ids = [hub_n + 10 + i for i in range(5)]
+    clique = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(clique_ids) for b in clique_ids[i + 1 :]],
+        "a long, b long",
+    )
+    e = star.unionByName(clique)
+    m = hub_n + 10  # edges
+    got = triangle_census(e).collect()[0]
+    assert got["n_edges"] == m
+    # wedges: hub C(10000,2) + each clique node C(4,2)=6 + leaves 0
+    assert got["n_wedges"] == hub_n * (hub_n - 1) // 2 + 5 * 6
+    assert got["n_triangles"] == 10  # C(5,3)
+    # measured per-apex bound: recompute the orientation exactly as
+    # the census does and take the max out-degree
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("n")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("n")
+    )
+    out_deg = (
+        ranked.select(F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.max("od").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    bound = int(math.isqrt(2 * m)) + 1
+    assert out_deg <= bound, (out_deg, bound)
+    # per-apex wedge work is C(out_deg, 2) — five orders of magnitude
+    # under the naive hub reducer's C(10k, 2)
+    assert out_deg * (out_deg - 1) // 2 < 100_000
+
+
+def test_khop_reach_planted_hub_exact_distances(spark):
+    """Bounded BFS through a 10k-leaf hub: seed → hub at hop 1 → ALL
+    leaves at hop 2 → clique beyond horizon unreachable. Exact
+    distances, frontier dedup keeps each node once."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops6 import (
+        khop_reach,
+    )
+
+    hub_n = 10_000
+    # node 1 is the seed (seeds_below=2); hub is node 5; leaves 10..
+    seed_edge = spark.createDataFrame([(1, 5)], "a long, b long")
+    star = spark.range(10, hub_n + 10).select(
+        F.lit(5).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    last_leaf = hub_n + 9  # star leaves are 10 .. hub_n+9
+    far = spark.createDataFrame(
+        [(last_leaf, 20_000), (20_000, 20_001)], "a long, b long"
+    )  # chain off one leaf: dist 3 then 4 > horizon 3
+    e = seed_edge.unionByName(star).unionByName(far)
+    got = {r["doc_id"]: r["dist"] for r in khop_reach(e, 2, 3).collect()}
+    assert got[1] == 0 and got[5] == 1
+    # every leaf at exactly 2
+    leaves = {k: v for k, v in got.items() if 10 <= k <= last_leaf}
+    assert len(leaves) == hub_n and set(leaves.values()) == {2}
+    assert got[20_000] == 3 and 20_001 not in got
