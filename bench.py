@@ -161,6 +161,10 @@ def main() -> None:
         "corpus_cross_entropy",
         # round-5 additions
         "docs_interp_perplexity_bucketed",
+        "events_peak_rate",
+        "simhash_threshold_sweep",
+        "embedding_label_drift",
+        "orders_monthly_growth",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1,0 +1,376 @@
+"""Round-5 query module: rate/burst windows, dedup threshold pricing,
+embedding drift, and growth series.
+
+Same contract as ``llm_ops``…``llm_ops6``: declarative DataFrame plans
+(JVM expressions only) with DuckDB oracles mirroring the exact
+arithmetic, so value hashes match without tolerances.
+
+Ops here (all oracled):
+- ``events_peak_rate`` — per-user peak 1-hour event rate via a RANGE
+  (time-interval) window frame: the burst detector a rate-limiter or
+  abuse screen runs; first RANGE-frame window in the surface (every
+  prior window op is rows-based or tumbling).
+- ``simhash_threshold_sweep`` — docs dropped by keep-first simhash
+  dedup AS A FUNCTION of the hamming threshold (0..3): prices each
+  threshold choice before committing a dedup run.
+- ``embedding_label_drift`` — pairwise cosine between per-label
+  embedding centroids: the class-separation drift audit that catches
+  label collapse (two classes' centroids converging) before a
+  classifier trusts the space.
+- ``orders_monthly_growth`` — month-over-month revenue growth on the
+  integer-cents monthly series (lag window over an aggregated series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+    DEDUP_SIMHASH_SQL,
+)
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# events_peak_rate
+
+_PEAK_WINDOW_S = 3600
+
+
+def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user PEAK 1-hour event rate: the max number of events in
+    any trailing 3600-second window ending at one of the user's own
+    events — the burst statistic a rate limiter, abuse screen, or
+    crawler-detection pass computes, and the exact answer the common
+    tumbling-window approximation (which splits bursts across bucket
+    boundaries) under-counts.
+
+    Plan: ONE shuffle on user_id; the RANGE frame (epoch-second
+    ordering, ``rangeBetween(-3599, 0)``) counts peers inside the
+    trailing hour per event, then the per-user max reuses the window's
+    hash partitioning (no second Exchange — the groupBy key equals the
+    window partition key).
+
+    Exactness: epoch seconds via integer floor division of the stored
+    microseconds (Spark ``cast(ts AS long)`` ↔ DuckDB
+    ``epoch_us(ts) // 1000000`` — both floor), integer counts; RANGE
+    peers make within-second order irrelevant.
+
+    100 TB shape: per-user event lists sort within their partition
+    (the window sort); no corpus-scale state beyond the one shuffle —
+    the same census as events_sessionize. Skewed hot users are a
+    bounded window state (an hour of one user's events), not a
+    cross-partition hotspot.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-(_PEAK_WINDOW_S - 1), 0)
+    )
+    counted = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("c1h")
+    )
+    return counted.groupBy("user_id").agg(
+        F.max("c1h").cast("long").alias("peak_1h"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_PEAK_RATE_SQL = f"""
+WITH w AS (
+    SELECT user_id,
+           count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN {_PEAK_WINDOW_S - 1} PRECEDING AND CURRENT ROW
+           ) AS c1h
+    FROM events
+)
+SELECT user_id, CAST(max(c1h) AS BIGINT) AS peak_1h,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash_threshold_sweep
+
+_SWEEP_MAX_HAMMING = 3
+
+
+def simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate pricing curve: for each hamming threshold h in
+    0..``_SWEEP_MAX_HAMMING``, how many docs keep-first simhash dedup
+    would DROP (docs with a lower-id pair at hamming ≤ h) and how many
+    candidate pairs are in play — the decision table a dedup owner
+    reads to pick a threshold BEFORE running the full pipeline, built
+    from one pass of the proven ``simhash_pairs`` backbone.
+
+    Cumulative counts WITHOUT re-running per threshold: each dropped
+    doc contributes a row for every threshold ≥ its MINIMUM pair
+    hamming (``explode(sequence(min_h, 3))``), so one groupBy yields
+    the whole curve; same trick for pairs. Exact integers end to end.
+
+    100 TB shape: the banded simhash self-join (pigeonhole chunks, no
+    all-pairs) + two pair-scale aggregations + a 4-row output. The
+    curve costs one dedup run, not four.
+    """
+    pairs = D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, max_hamming=_SWEEP_MAX_HAMMING
+    )
+    pairs = pairs.persist()
+    thresholds = F.explode(
+        F.sequence(F.col("mh"), F.lit(_SWEEP_MAX_HAMMING))
+    ).alias("threshold")
+    dropped = (
+        pairs.select(F.col("doc_id_b").alias("drop_id"), "hamming")
+        .groupBy("drop_id")
+        .agg(F.min("hamming").alias("mh"))
+        .select(thresholds)
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    pair_curve = (
+        pairs.select(F.explode(F.sequence(F.col("hamming"), F.lit(_SWEEP_MAX_HAMMING))).alias("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    grid = spark.range(_SWEEP_MAX_HAMMING + 1).select(
+        F.col("id").cast("int").alias("threshold")
+    )
+    return (
+        grid.join(dropped, "threshold", "left")
+        .join(pair_curve, "threshold", "left")
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+_SIMHASH_PAIRS_BODY = DEDUP_SIMHASH_SQL.split("SELECT a.doc_id AS doc_id_a")[0]
+
+SIMHASH_THRESHOLD_SWEEP_SQL = (
+    _SIMHASH_PAIRS_BODY
+    + f""",
+p AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SWEEP_MAX_HAMMING}
+),
+mins AS (SELECT db AS drop_id, min(hamming) AS mh FROM p GROUP BY db),
+dropped AS (
+    SELECT t.threshold, count(*) AS n_dropped
+    FROM mins m JOIN (SELECT unnest(range(0, {_SWEEP_MAX_HAMMING + 1})) AS threshold) t
+      ON t.threshold >= m.mh
+    GROUP BY t.threshold
+),
+pc AS (
+    SELECT t.threshold, count(*) AS n_pairs
+    FROM p JOIN (SELECT unnest(range(0, {_SWEEP_MAX_HAMMING + 1})) AS threshold) t
+      ON t.threshold >= p.hamming
+    GROUP BY t.threshold
+)
+SELECT CAST(g.threshold AS BIGINT) AS threshold,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM (SELECT unnest(range(0, {_SWEEP_MAX_HAMMING + 1})) AS threshold) g
+LEFT JOIN dropped d ON g.threshold = d.threshold
+LEFT JOIN pc ON g.threshold = pc.threshold
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_drift
+
+_DRIFT_DIM = 64
+_DRIFT_MICRO = 1_000_000
+
+
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    class-separation audit completing the embedding-QA family
+    (margin stats give the aggregate intra/inter number; this names
+    WHICH label pairs are collapsing). A pair drifting toward cosine
+    1.0 means the encoder no longer separates those classes.
+
+    Exactness (the kmeans convention): per-label component sums are
+    exact micro-unit integers; each centroid component divides back
+    as ``(s / 1e6) / n`` (the oracle-identical two-division
+    sequence); the dot/norm reductions run sequentially left-to-right
+    over the 64 dims in both engines (zip_with/aggregate ↔
+    list_sum(list_transform) — the established lockstep), and ONLY
+    the final cosine rounds (6 dp).
+
+    100 TB shape: one label-keyed partial-agg shuffle (|labels|·dim
+    integers of state), then a |labels|²-row self-join on the
+    METADATA-scale centroid table — the corpus is touched once.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sums = (
+        spread(e)
+        .select(F.col("label").cast("long").alias("label"), v.alias("v"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.round(F.element_at("v", i + 1) * _DRIFT_MICRO).cast("long")
+                ).alias(f"s{i}")
+                for i in range(_DRIFT_DIM)
+            ],
+        )
+    )
+    cent = sums.select(
+        "label",
+        F.array(
+            *[
+                (F.col(f"s{i}") / F.lit(float(_DRIFT_MICRO))) / F.col("n")
+                for i in range(_DRIFT_DIM)
+            ]
+        ).alias("c"),
+    )
+    x, y = cent.alias("x"), cent.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.c"), F.col("y.c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nx = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("x.c"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    ny = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("y.c"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    return (
+        x.join(y, F.col("x.label") < F.col("y.label"))
+        .select(
+            F.col("x.label").alias("label_a"),
+            F.col("y.label").alias("label_b"),
+            F.round(dot / (nx * ny), 6).alias("cosine"),
+        )
+    )
+
+
+def _drift_sql() -> str:
+    # v[i] must be DOUBLE before the micro multiply — multiplying the
+    # raw FLOAT column keeps float32 precision in DuckDB while Spark
+    # multiplies the casted double, and the rounded micro integers can
+    # differ by 1 (observed: 3/45 pairs off in the 6th dp)
+    sums = ", ".join(
+        f"CAST(sum(round(v[{i + 1}] * {_DRIFT_MICRO})) AS BIGINT) AS s{i}"
+        for i in range(_DRIFT_DIM)
+    )
+    comps = ", ".join(
+        f"(s{i} / {float(_DRIFT_MICRO)}) / n" for i in range(_DRIFT_DIM)
+    )
+    return f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+sums AS (
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n, {sums}
+    FROM e GROUP BY label
+),
+cent AS (SELECT label, [{comps}] AS c FROM sums)
+SELECT x.label AS label_a, y.label AS label_b,
+       round(
+           list_sum(list_transform(range(1, {_DRIFT_DIM + 1}),
+                                   i -> x.c[i] * y.c[i]))
+           / (sqrt(list_sum(list_transform(x.c, a -> a * a)))
+              * sqrt(list_sum(list_transform(y.c, a -> a * a)))),
+       6) AS cosine
+FROM cent x JOIN cent y ON x.label < y.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_growth
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the monthly integer-cents
+    revenue series with each month's growth ratio vs the previous
+    month — the canonical lag-over-aggregated-series shape (every
+    prior lag use is row-level sessionization). First month reports
+    growth 0.0 (no predecessor) so the output is NULL-free.
+
+    Exactness: revenue sums exact integer cents
+    (round(o_totalprice·100) as BIGINT, the q1/rfm discipline); the
+    growth ratio is ONE integer-ratio division
+    ``(cur - prev) / prev`` rounded at 6 dp; month keys are integers
+    ``year·100 + month`` extracted under an explicitly pinned UTC
+    session (midnight-UTC timestamps must not shift across a month
+    boundary when the driver session carries another zone).
+
+    100 TB shape: one partial-agg shuffle on month (≤ a few hundred
+    groups), then the lag window runs on the METADATA-scale series —
+    the single-partition window is |months| rows, not data-scale.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(0.0)
+    ).otherwise(
+        F.round((F.col("cents") - prev).cast("double") / prev, 6)
+    )
+    return monthly.select(
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        "n_orders",
+        growth.alias("mom_growth"),
+    )
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT month, round(cents / 100.0, 2) AS revenue, n_orders,
+       CASE WHEN lag(cents) OVER (ORDER BY month) IS NULL THEN 0.0
+            ELSE round(CAST(cents - lag(cents) OVER (ORDER BY month) AS DOUBLE)
+                       / lag(cents) OVER (ORDER BY month), 6) END AS mom_growth
+FROM m
+"""
+
+
+QUERIES = {
+    "events_peak_rate": events_peak_rate,
+    "simhash_threshold_sweep": simhash_threshold_sweep,
+    "embedding_label_drift": embedding_label_drift,
+    "orders_monthly_growth": orders_monthly_growth,
+}
+
+ORACLES = {
+    "events_peak_rate": EVENTS_PEAK_RATE_SQL,
+    "simhash_threshold_sweep": SIMHASH_THRESHOLD_SWEEP_SQL,
+    "embedding_label_drift": _drift_sql(),
+    "orders_monthly_growth": ORDERS_MONTHLY_GROWTH_SQL,
+}

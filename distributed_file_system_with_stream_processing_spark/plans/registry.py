@@ -21,6 +21,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops4,
     llm_ops5,
     llm_ops6,
+    llm_ops7,
     rainstorm_queries,
 )
 
@@ -38,6 +39,7 @@ _MODULES = (
     llm_ops4,
     llm_ops5,
     llm_ops6,
+    llm_ops7,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -78,6 +80,10 @@ _FRONT = [
     "neardup_pagerank",
     # 3. new round-5 queries (appended as they land)
     "docs_interp_perplexity_bucketed",
+    "events_peak_rate",
+    "simhash_threshold_sweep",
+    "embedding_label_drift",
+    "orders_monthly_growth",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]
