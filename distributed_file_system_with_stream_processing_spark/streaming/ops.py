@@ -276,7 +276,43 @@ class WindowedCountOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp
+@dataclass
+class SlidingCountOp:
+    """Event-time SLIDING-window counts (window length > slide): each
+    event lands in ``window/slide`` overlapping windows, the standard
+    burst-rate surface a tumbling window under-counts (a burst split
+    across a boundary never shows its true peak — the batch twin of
+    this is ``events_peak_rate``'s exact RANGE frame). Watermark
+    bounds state exactly as the tumbling op: closed windows age out
+    once the watermark passes window_end + slack.
+
+    100 TB shape: Spark expands each row into its windows BEFORE the
+    partial agg (an explode by window/slide — constant factor), so the
+    shuffle carries (window, key) partial counts, never raw events.
+    Identical semantics batch vs streaming (batch: watermark no-op).
+    """
+
+    name: str
+    ts_col: str
+    window: str = "1 hour"
+    slide: str = "15 minutes"
+    watermark: str = "1 hour"
+    keys: list[str] = field(default_factory=list)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = df.withWatermark(self.ts_col, self.watermark) if df.isStreaming else df
+        return (
+            src.groupBy(F.window(self.ts_col, self.window, self.slide), *self.keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                *self.keys,
+                F.col("cnt"),
+            )
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

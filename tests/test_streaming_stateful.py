@@ -412,3 +412,52 @@ def test_quota_sample_caps_per_key_across_triggers(spark, dirs):
     }
     assert streamed == batch
     assert streamed == {("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2)}
+
+
+def test_sliding_window_counts_stream_matches_batch(spark, dirs):
+    """SlidingCountOp (1h window / 15m slide): each event lands in 4
+    overlapping windows; a burst straddling a tumbling boundary shows
+    its true peak in SOME sliding window. Streamed append-mode output
+    (windows closed by the watermark) must equal the batch twin run on
+    the same rows, window-for-window."""
+
+    def ts_batch(rows):
+        return spark.createDataFrame(
+            [(i, "e", f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(rows)],
+            "event_id long, event_type string, ts string",
+        ).select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    # burst 9:50-10:10 straddles the 10:00 tumbling boundary
+    rows1 = [(9, 50), (9, 55), (10, 5), (10, 10), (12, 0)]
+    rows2 = [(12, 30), (15, 0)]  # advance the watermark past every window
+    op = O.SlidingCountOp("slide", ts_col="ts", window="1 hour", slide="15 minutes")
+    job = RainStormJob(O.identity(), op)
+    _write(ts_batch(rows1), dirs["src"])
+    q = job.start_stream(
+        spark, dirs["src"], TS_SCHEMA, dirs["ckpt"], sink_dir=dirs["sink"], query_name="slide"
+    )
+    try:
+        q.processAllAvailable()
+        _write(ts_batch(rows2), dirs["src"])
+        q.processAllAvailable()
+        _write(ts_batch([(18, 0)]), dirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        str(r["window_start"]): r["cnt"]
+        for r in spark.read.parquet(dirs["sink"]).collect()
+    }
+    batch = {
+        str(r["window_start"]): r["cnt"]
+        for r in op(ts_batch(rows1 + rows2 + [(18, 0)])).collect()
+    }
+    # every window the stream closed matches the batch twin exactly
+    assert streamed, "stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch[k] == v, (k, v, batch.get(k))
+    # the burst's true peak (4 events in 9:30-10:30-ish sliding frames)
+    # is visible: some closed window counts all 4 burst events
+    assert max(streamed.values()) >= 4, streamed
+    # and each event really fans out into window/slide = 4 windows
+    assert sum(batch.values()) == 4 * len(rows1 + rows2 + [(18, 0)])
