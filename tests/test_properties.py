@@ -343,3 +343,61 @@ def test_label_propagation_matches_python_for_any_graph(spark, edges, rounds):
             new[u] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         lab = new
     assert got == lab
+
+
+# -- merge_pairs_disjoint == sequential merge_pair, any disjoint batch ------
+
+_sym = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=10), min_size=1, max_size=12
+)
+
+
+@st.composite
+def _disjoint_rules(draw):
+    """1-4 merge rules over pairwise-DISJOINT symbols (the
+    merge_pairs_disjoint soundness precondition)."""
+    syms = draw(
+        st.lists(_sym, min_size=2, max_size=8, unique=True)
+    )
+    rules = []
+    for i in range(0, len(syms) - 1, 2):
+        rules.append((syms[i], syms[i + 1]))
+    return rules[: draw(st.integers(1, max(1, len(rules))))]
+
+
+def _py_greedy_merge(word: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+@given(words=_words, rules=_disjoint_rules())
+@settings(**SETTINGS)
+def test_merge_pairs_disjoint_equals_sequential_for_any_batch(spark, words, rules):
+    """The single-fold batched merge must equal applying the rules
+    SEQUENTIALLY (greedy left-to-right, one rule at a time) for any
+    word and any symbol-disjoint rule batch — the soundness claim the
+    batched BPE trainer's exactness proof leans on."""
+    from distributed_file_system_with_stream_processing_spark.operators import bpe as B
+
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", F.split("word", "").alias("syms")
+    )
+    got = {
+        r["word"]: list(r["m"])
+        for r in df.select(
+            "word", B.merge_pairs_disjoint(F.col("syms"), rules).alias("m")
+        ).collect()
+    }
+    for w in set(words):
+        expect = list(w)
+        for a, b in rules:
+            expect = _py_greedy_merge(expect, a, b)
+        assert got[w] == expect, (w, rules, got[w], expect)
