@@ -139,6 +139,12 @@ AUDITED = [
     "docs_kn_perplexity_bucketed",
     "embedding_dim_variance",
     "corpus_cross_entropy",
+    # round-5 additions
+    "docs_interp_perplexity_bucketed",
+    "events_peak_rate",
+    "simhash_threshold_sweep",
+    "embedding_label_drift",
+    "orders_monthly_growth",
 ]
 
 JOIN_KINDS = (

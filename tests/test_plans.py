@@ -341,3 +341,22 @@ def test_explicit_broadcasts_survive_disabled_estimator(spark):
         assert plan.count("BroadcastHashJoin") >= 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_events_peak_rate_single_exchange_window_agg_fusion(spark):
+    """events_peak_rate's plan claim: the RANGE-frame window and the
+    per-user max/count run on ONE user_id Exchange — the groupBy key
+    equals the window partition key, so Catalyst reuses the
+    distribution instead of reshuffling between the two stages."""
+    df = QUERIES["events_peak_rate"](spark, SF_SMOKE)
+    df.collect()
+    plan = executed_plan(df)
+    # the finalized AdaptiveSparkPlan prints final + initial sections;
+    # the invariant must hold per section: exactly as many user_id
+    # Exchanges as Window operators (one each)
+    n_win = plan.count("Window [count")
+    n_ex = plan.count("Exchange hashpartitioning(user_id")
+    assert n_win >= 1 and n_ex == n_win, (n_ex, n_win, plan)
+    # partial agg present above the window (map-side max before any
+    # further movement)
+    assert "partial_max" in plan, plan
