@@ -165,6 +165,7 @@ def main() -> None:
         "simhash_threshold_sweep",
         "embedding_label_drift",
         "orders_monthly_growth",
+        "corpus_vocab_growth",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -361,11 +361,127 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_vocab_growth
+
+_VG_K = 8
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative docs, tokens
+    and DISTINCT vocabulary at ``_VG_K`` doc-id checkpoints — the
+    companion diagnostic to ``corpus_zipf_fit`` (Zipf says how mass
+    concentrates; Heaps says how fast NEW types keep arriving, the
+    curve a tokenizer-vocab-budget or dedup owner reads to see
+    whether a corpus is still yielding novelty or has gone to
+    mirrors).
+
+    Scale-correct checkpointing: checkpoints are VALUE-based doc-id
+    cutpoints (min + span·k/K, exact integer arithmetic) — NOT
+    count-based ranks, which would need a global row_number sort
+    (single-partition window, the 100 TB anti-shape). Each doc/term
+    contributes to its suffix of checkpoints via
+    ``explode(sequence(k_first, K))`` (the cumulative-curve trick from
+    simhash_threshold_sweep), so the whole curve is two grouped
+    aggregations: one doc-scale (docs/tokens per k), one vocab-scale
+    (first-occurrence doc per term → new types per k). The (min, max)
+    pair rides a 1-row BuildRight broadcast.
+
+    Exactness: every output column is an exact integer; k_first =
+    floor((id - min)·K / span) + 1 in both engines (integer ops).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from pyspark.sql.functions import broadcast
+
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    per_doc = toks.select("doc_id", F.size("ws").cast("long").alias("n_tok"))
+    stats = per_doc.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    k_first = (
+        (F.col("doc_id") - F.col("mn")) * _VG_K / span
+    ).cast("long") + 1
+    doc_curve = (
+        per_doc.crossJoin(broadcast(stats))
+        .select(
+            "n_tok",
+            F.explode(F.sequence(k_first, F.lit(_VG_K))).alias("checkpoint"),
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    first = (
+        toks.select("doc_id", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower("w").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    vocab_curve = (
+        first.crossJoin(broadcast(stats))
+        .select(F.explode(F.sequence(k_first, F.lit(_VG_K))).alias("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return (
+        doc_curve.join(vocab_curve, "checkpoint", "left")
+        .select(
+            F.col("checkpoint").cast("long").alias("checkpoint"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        )
+    )
+
+
+CORPUS_VOCAB_GROWTH_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+per_doc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM toks),
+stats AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM per_doc),
+dk AS (
+    SELECT p.n_tok, u.k AS checkpoint
+    FROM per_doc p CROSS JOIN stats s
+    JOIN (SELECT unnest(range(1, {_VG_K + 1})) AS k) u
+      ON u.k >= CAST(floor((p.doc_id - s.mn) * {_VG_K} / (s.mx - s.mn + 1)) AS BIGINT) + 1
+),
+doc_curve AS (
+    SELECT checkpoint, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM dk GROUP BY checkpoint
+),
+first AS (
+    SELECT lower(w) AS term, min(doc_id) AS doc_id
+    FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+    GROUP BY lower(w)
+),
+vk AS (
+    SELECT u.k AS checkpoint, count(*) AS vocab
+    FROM first f CROSS JOIN stats s
+    JOIN (SELECT unnest(range(1, {_VG_K + 1})) AS k) u
+      ON u.k >= CAST(floor((f.doc_id - s.mn) * {_VG_K} / (s.mx - s.mn + 1)) AS BIGINT) + 1
+    GROUP BY u.k
+)
+SELECT CAST(d.checkpoint AS BIGINT) AS checkpoint,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+FROM doc_curve d LEFT JOIN vk v ON d.checkpoint = v.checkpoint
+"""
+
+
 QUERIES = {
     "events_peak_rate": events_peak_rate,
     "simhash_threshold_sweep": simhash_threshold_sweep,
     "embedding_label_drift": embedding_label_drift,
     "orders_monthly_growth": orders_monthly_growth,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 ORACLES = {
@@ -373,4 +489,5 @@ ORACLES = {
     "simhash_threshold_sweep": SIMHASH_THRESHOLD_SWEEP_SQL,
     "embedding_label_drift": _drift_sql(),
     "orders_monthly_growth": ORDERS_MONTHLY_GROWTH_SQL,
+    "corpus_vocab_growth": CORPUS_VOCAB_GROWTH_SQL,
 }

@@ -84,6 +84,7 @@ _FRONT = [
     "simhash_threshold_sweep",
     "embedding_label_drift",
     "orders_monthly_growth",
+    "corpus_vocab_growth",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

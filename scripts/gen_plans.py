@@ -145,6 +145,7 @@ AUDITED = [
     "simhash_threshold_sweep",
     "embedding_label_drift",
     "orders_monthly_growth",
+    "corpus_vocab_growth",
 ]
 
 JOIN_KINDS = (
