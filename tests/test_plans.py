@@ -158,6 +158,13 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # broadcast (crossJoin(broadcast(vocab))) that
         # docs_bigram_perplexity carries — identical BuildRight shape
         "corpus_cross_entropy",
+        # |labels|²-row centroid self-join on a strict inequality —
+        # a METADATA-scale (10×10) non-equi join; the corpus is
+        # touched once upstream in the label-keyed partial agg
+        "embedding_label_drift",
+        # the Heaps-curve (min, max) stats pair rides the same 1-row
+        # BuildRight broadcast shape, twice (doc curve + vocab curve)
+        "corpus_vocab_growth",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
