@@ -146,8 +146,18 @@ def main() -> None:
         "estimator disabled).",
         "",
     ]
-    with open(os.path.join(os.path.dirname(__file__), "..", "SHUFFLES.md"), "w") as f:
-        f.write("\n".join(lines))
+    path = os.path.join(os.path.dirname(__file__), "..", "SHUFFLES.md")
+    # preserve hand-written trailing sections (the sf1 rehearsal
+    # record) across regenerations — everything from the first manual
+    # "## sf1" heading onward is re-appended verbatim
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## sf1")
+        if idx != -1:
+            manual = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + manual)
     print(f"wrote SHUFFLES.md with {len(rows)} queries")
     spark.stop()
 
