@@ -866,7 +866,14 @@ def effective_tokens_totals(spark: SparkSession, edge_sink, census_sink) -> Data
     through the SAME core as the registered batch query
     (plans/llm_ops6.effective_tokens_from_edges) — so streamed totals
     equal the batch ``docs_effective_tokens`` on the docs ingested so
-    far, exactly (pinned in tests/test_rainstorm_streaming.py)."""
+    far, exactly (pinned in tests/test_rainstorm_streaming.py).
+
+    The census keeps the ``text`` column so the totals pass re-derives
+    n_tok through the shared batch core (equality by construction).
+    At 100 TB a deployment drops ``text`` from the census and sums the
+    stored ``n_tok`` instead — the per-batch upsert already computes
+    it; the only cost is maintaining the (trivial) sum formula in two
+    places instead of one."""
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops6 import (
         effective_tokens_from_edges,
     )
