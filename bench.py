@@ -166,6 +166,9 @@ def main() -> None:
         "embedding_label_drift",
         "orders_monthly_growth",
         "corpus_vocab_growth",
+        "events_time_to_convert",
+        "docs_duplicate_text_topk",
+        "embedding_cosine_histogram",
     ]
     headline = [q for q in headline if q in QUERIES]
 

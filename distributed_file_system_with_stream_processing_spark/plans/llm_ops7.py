@@ -476,12 +476,210 @@ FROM doc_curve d LEFT JOIN vk v ON d.checkpoint = v.checkpoint
 """
 
 
+# ---------------------------------------------------------------------------
+# events_time_to_convert
+
+_TTC_BUCKET_S = 3600
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: for every user whose first
+    'purchase' follows their first 'view', the view→purchase delay
+    bucketed by hour — the funnel-velocity readout
+    ``events_user_funnel`` (pure conditional counts) cannot answer:
+    not WHETHER users convert but HOW LONG conversion takes, the
+    number an activation experiment actually moves.
+
+    Semantics: first_view = min event time with type 'view';
+    conversion = min purchase time ≥ first_view (purchases BEFORE the
+    first view don't count — re-purchase after discovery does).
+    Bucket = floor(delay_seconds / 3600) on exact integer epoch
+    seconds.
+
+    100 TB shape: one user-keyed partial agg (first view), one
+    user-keyed conditional min over the purchase slice joined back on
+    user_id (both sides user-partitioned — AQE plans a single
+    co-partitioned join), then a ≤hundreds-row bucket rollup. No
+    windows, no corpus-scale state.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("first_view"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("pts")
+    )
+    conv = (
+        purch.join(fv, "user_id")
+        .filter(F.col("pts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("pts") - F.col("first_view")).alias("delay_s")
+        )
+    )
+    return (
+        conv.groupBy(
+            (F.col("delay_s") / _TTC_BUCKET_S).cast("long").alias("delay_hours")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EVENTS_TIME_TO_CONVERT_SQL = f"""
+WITH fv AS (
+    SELECT user_id, min(epoch_us(ts) // 1000000) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT e.user_id,
+           min(epoch_us(e.ts) // 1000000 - f.first_view) AS delay_s
+    FROM events e JOIN fv f USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) // 1000000 >= f.first_view
+    GROUP BY e.user_id
+)
+SELECT CAST(floor(delay_s / {_TTC_BUCKET_S}) AS BIGINT) AS delay_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM conv GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_duplicate_text_topk
+
+_DUP_TOPK = 20
+
+
+def docs_duplicate_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_DUP_TOPK`` most-copied exact texts: (text_md5, n_copies,
+    min_doc_id) for every text occurring more than once, largest
+    groups first — the "what exactly is being mirrored" drill-down a
+    dedup owner opens after ``dedup_exact`` reports the rate; the md5
+    key (not the text) keeps the output row width metadata-scale even
+    when the duplicated payloads are megabytes.
+
+    Exactness: md5 is engine-identical on identical bytes; counts and
+    min ids exact integers; ordering (n_copies desc, text_md5 asc)
+    fully deterministic.
+
+    100 TB shape: one hash-keyed partial-agg shuffle (the dedup_exact
+    census) + a top-k sort on the duplicate groups only (dup-group
+    scale, not corpus scale).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    groups = (
+        d.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return groups.orderBy(
+        F.desc("n_copies"), F.asc("text_md5")
+    ).limit(_DUP_TOPK)
+
+
+DOCS_DUPLICATE_TEXT_SQL = f"""
+WITH g AS (
+    SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS min_doc_id
+    FROM documents GROUP BY md5(text)
+)
+SELECT text_md5, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(min_doc_id AS BIGINT) AS min_doc_id
+FROM g WHERE n_copies > 1
+ORDER BY n_copies DESC, text_md5 LIMIT {_DUP_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_histogram
+
+_CH_BINS = 16
+
+
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of query↔base cosine similarities over the standard
+    probe set (vec_id < 10 vs the rest): the embedding-space SHAPE
+    diagnostic — an anisotropic ("collapsed-cone") space piles mass
+    in the top bins and ruins both ANN pruning and cosine thresholds
+    before any individual query looks wrong. ``_CH_BINS`` equal bins
+    over [-1, 1]; bin = least(floor((cos+1)·bins/2), bins-1).
+
+    Exactness: the cosine is the established bit-lockstep sequential
+    dot/norm (ann_cosine_topk's); floor on IDENTICAL double bits
+    gives identical bins, so the output is integer-only — no rounding
+    tolerance anywhere.
+
+    100 TB shape: the queries-broadcast brute pass (BuildRight BNLJ,
+    base never shuffles) + a bins-sized rollup. The histogram costs
+    one scan of the base per probe set.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import (
+        vector as V,
+    )
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    b = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("base_id"), F.col("v").alias("bv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("bv"), lambda a, c: a * c),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    cos = dot / (F.sqrt(V.sq_norm(F.col("qv"))) * F.sqrt(V.sq_norm(F.col("bv"))))
+    bin_ = F.least(
+        F.floor((cos + 1.0) * _CH_BINS / 2).cast("long"),
+        F.lit(_CH_BINS - 1),
+    )
+    return (
+        b.crossJoin(broadcast(q))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _cosine_hist_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _DOT,
+    )
+
+    dot = _DOT.format(a="qv", b="bv")
+    nrm = "sqrt(list_sum(list_transform({x}, a -> a * a)))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+b AS (SELECT vec_id AS base_id, v AS bv FROM e WHERE vec_id >= 10),
+s AS (
+    SELECT least(CAST(floor(({dot} / ({nrm.format(x='qv')} * {nrm.format(x='bv')}) + 1.0)
+                 * {_CH_BINS} / 2) AS BIGINT), {_CH_BINS - 1}) AS bin
+    FROM b CROSS JOIN q
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM s GROUP BY bin
+"""
+
+
 QUERIES = {
     "events_peak_rate": events_peak_rate,
     "simhash_threshold_sweep": simhash_threshold_sweep,
     "embedding_label_drift": embedding_label_drift,
     "orders_monthly_growth": orders_monthly_growth,
     "corpus_vocab_growth": corpus_vocab_growth,
+    "events_time_to_convert": events_time_to_convert,
+    "docs_duplicate_text_topk": docs_duplicate_text_topk,
+    "embedding_cosine_histogram": embedding_cosine_histogram,
 }
 
 ORACLES = {
@@ -490,4 +688,7 @@ ORACLES = {
     "embedding_label_drift": _drift_sql(),
     "orders_monthly_growth": ORDERS_MONTHLY_GROWTH_SQL,
     "corpus_vocab_growth": CORPUS_VOCAB_GROWTH_SQL,
+    "events_time_to_convert": EVENTS_TIME_TO_CONVERT_SQL,
+    "docs_duplicate_text_topk": DOCS_DUPLICATE_TEXT_SQL,
+    "embedding_cosine_histogram": _cosine_hist_sql(),
 }

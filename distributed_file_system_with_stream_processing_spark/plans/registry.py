@@ -85,6 +85,9 @@ _FRONT = [
     "embedding_label_drift",
     "orders_monthly_growth",
     "corpus_vocab_growth",
+    "events_time_to_convert",
+    "docs_duplicate_text_topk",
+    "embedding_cosine_histogram",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

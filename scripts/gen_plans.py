@@ -146,6 +146,9 @@ AUDITED = [
     "embedding_label_drift",
     "orders_monthly_growth",
     "corpus_vocab_growth",
+    "events_time_to_convert",
+    "docs_duplicate_text_topk",
+    "embedding_cosine_histogram",
 ]
 
 JOIN_KINDS = (

@@ -165,6 +165,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # the Heaps-curve (min, max) stats pair rides the same 1-row
         # BuildRight broadcast shape, twice (doc curve + vocab curve)
         "corpus_vocab_growth",
+        # the cosine histogram is the ann_cosine_topk queries-broadcast
+        # brute pass feeding a bins-sized rollup — same BuildRight shape
+        "embedding_cosine_histogram",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
