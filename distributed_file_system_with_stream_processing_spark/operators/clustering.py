@@ -791,3 +791,74 @@ def opq_train(
         books = _pq_fit_codebooks(re_, m, sub, codes, 1, init_books=books)
     re_.unpersist()
     return rot, books, trace
+
+
+def ivf_index_prepare(
+    vecs: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell) — trained-IVF cell assignment for INDEX rows, the
+    pure-map half shared by ``ivf_trained_ann``'s base side and the
+    streaming serving twin (streaming/rainstorm.ann_indexed_stream):
+    centroids are literals, so assignment shuffles nothing and the
+    prepared rows upsert straight into a cell-bucketed index."""
+    e = vecs.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    return _spread(e).selectExpr(
+        "id", "v", f"CAST({_argmin_expr('v', cents)} AS INT) AS cell"
+    )
+
+
+def ivf_index_query(
+    queries: DataFrame,
+    cents: list[list[float]],
+    index: DataFrame,
+    k: int = 5,
+    probe_cells: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` LOWER-id neighbors of every query vector from a
+    prepared (id, v, cell) index, probing ``probe_cells`` nearest
+    cells — the serve half of the train-offline/serve-online IVF
+    split. The ``base_id < query_id`` predicate makes the result a
+    pure function of the (queries ∪ index) id set regardless of how
+    rows arrived, which is exactly what makes the streaming twin's
+    final state equal this batch recipe when ids arrive
+    non-decreasing (the semdedup_indexed_stream parity argument).
+
+    Deterministic: cosine is the bit-lockstep sequential dot; ties
+    break (sim desc, neighbor_id asc); sim rounds once at 6 dp.
+
+    100 TB shape: query cells explode ``probe_cells``-fold (a map),
+    then ONE cell equi-join against the index (micro-batch-sized
+    query side broadcast) + a per-query top-k window on the candidate
+    set. The index never reshuffles.
+    """
+    e = queries.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    structs = ",".join(
+        f"named_struct('d', {_dist_sq('v', c)}, 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    probe = (
+        f"transform(slice(array_sort(array({structs})), 1, {probe_cells}), s -> s.c)"
+    )
+    qc = e.selectExpr(
+        "id AS query_id", "v AS qv", f"explode(CAST({probe} AS array<int>)) AS cell"
+    )
+    idx = index.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("bv"), "cell"
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        idx.join(broadcast(qc), "cell")
+        .filter(F.col("neighbor_id") < F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )

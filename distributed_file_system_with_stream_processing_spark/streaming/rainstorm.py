@@ -1004,3 +1004,81 @@ def effective_tokens_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_indexed_stream(
+    vec_stream: DataFrame,
+    cents: list[list[float]],
+    index_sink,
+    result_sink,
+    checkpoint_dir: str,
+    k: int = 5,
+    probe_cells: int = 3,
+) -> StreamingQuery:
+    """Streaming indexed ANN serving — the RETRIEVAL twin of
+    ``semdedup_indexed_stream``'s train-offline/serve-online stance:
+    centroids train offline (operators/clustering.kmeans_fit); each
+    arriving vector is BOTH a query (top-``k`` cosine neighbors among
+    everything already indexed, probing ``probe_cells`` trained
+    cells) and an index addition (its cell-assigned row upserts into
+    the cell-bucketed index for every later arrival to probe).
+
+    Per micro-batch (foreachBatch):
+      1. prepare the batch (argmin cell assignment — pure map,
+         operators/clustering.ivf_index_prepare);
+      2. probe = index snapshot ∪ the prepared batch, so WITHIN-batch
+         lower-id neighbors are visible (the semdedup probe rule);
+      3. results (query_id, neighbor_id, sim, rank) upsert under a
+         ``query_id|rank`` key; the prepared batch upserts into the
+         index — both idempotent, so at-least-once replay is
+         exactly-once end to end.
+
+    Parity (pinned in tests): with ids non-decreasing across batches,
+    the final result state equals the batch
+    ``clustering.ivf_index_query`` over the full prepared set —
+    the ``neighbor_id < query_id`` predicate makes the answer a pure
+    function of the id set, not of batch boundaries.
+
+    100 TB shape: per batch, one pure-map assignment + one cell
+    equi-join probing only the batch's cells (micro-batch side
+    broadcast) + a per-query top-k window; the index rewrite touches
+    only the buckets the batch's ids hash into (KeyedUpsertSink).
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        clustering as C,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prepared = C.ivf_index_prepare(batch_df, cents)
+        prepared.persist()
+        try:
+            try:
+                idx = index_sink.snapshot(spark).select("id", "v", "cell")
+                probe = idx.unionByName(prepared.select("id", "v", "cell"))
+            except FileNotFoundError:
+                probe = prepared.select("id", "v", "cell")
+            results = C.ivf_index_query(
+                batch_df, cents, probe, k=k, probe_cells=probe_cells
+            ).select(
+                F.concat_ws("|", "query_id", "rank").alias("qr"),
+                "query_id",
+                "neighbor_id",
+                "sim",
+                "rank",
+                F.lit(batch_id).alias("_ord"),
+            )
+            result_sink.apply_batch(results, batch_id)
+            index_sink.apply_batch(
+                prepared.select("id", "v", "cell", F.lit(batch_id).alias("_ord")),
+                batch_id,
+            )
+        finally:
+            prepared.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

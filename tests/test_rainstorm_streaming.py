@@ -1085,3 +1085,76 @@ def test_effective_tokens_stream_matches_batch_at_boundaries(spark, tmp_path):
     store.append("docs", spark.createDataFrame(slices[2], schema))
     drain()
     assert streamed() == batch_expected(docs)
+
+
+def test_ann_indexed_stream_matches_batch_recipe(spark, tmp_path):
+    """Streaming indexed-ANN serving: vectors arrive in id-ordered
+    micro-batches; each gets its top-k lower-id neighbors from the
+    maintained cell-bucketed index (within-batch lower ids included).
+    Final result state must equal the batch ivf_index_query over the
+    full prepared set — the neighbor_id < query_id rule makes the
+    answer independent of batch boundaries."""
+    from pyspark.sql import functions as FN
+
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        clustering as C,
+    )
+    from distributed_file_system_with_stream_processing_spark.sinks.upsert import (
+        KeyedUpsertSink,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        ann_indexed_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(120)
+    )
+    cents = C.kmeans_fit(emb, k=8, iters=2)
+    rows = emb.collect()
+    batches = [rows[:40], rows[40:80], rows[80:]]
+
+    src = str(tmp_path / "src")
+    index_sink = KeyedUpsertSink(str(tmp_path / "idx"), key="id", order_col="_ord")
+    result_sink = KeyedUpsertSink(str(tmp_path / "res"), key="qr", order_col="_ord")
+    schema = "vec_id long, embedding array<float>"
+
+    def drain():
+        q = ann_indexed_stream(
+            spark.readStream.schema(schema).parquet(src),
+            cents,
+            index_sink=index_sink,
+            result_sink=result_sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            k=5,
+            probe_cells=3,
+        )
+        q.awaitTermination(240)
+        q.stop()
+
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+    streamed = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in result_sink.snapshot(spark)
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .collect()
+    )
+    full = spark.createDataFrame(rows, schema)
+    expected = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in C.ivf_index_query(
+            full, cents, C.ivf_index_prepare(full, cents), k=5, probe_cells=3
+        ).collect()
+    )
+    assert streamed == expected and len(streamed) > 50
+    # every neighbor strictly precedes its query in id order
+    assert all(n < q for q, _, n, _ in streamed)
