@@ -169,6 +169,7 @@ def main() -> None:
         "events_time_to_convert",
         "docs_duplicate_text_topk",
         "embedding_cosine_histogram",
+        "embedding_knn_graph",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -671,6 +671,96 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM s GROUP BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_knn_graph
+
+_KNN_G_K = 3
+_KNN_G_CELLS = 16
+
+
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-CELL k-nearest-neighbor GRAPH over trained k-means
+    cells: every vector gets its top-``_KNN_G_K`` cosine neighbors
+    from its own cell — the candidate structure SemDeDup-style
+    semantic curation and graph-clustering passes are built on (the
+    per-cell restriction is the standard scale bound: Σ|cell|² work
+    instead of n², the semdedup_kmeans economics with a kNN output
+    instead of a keep/drop verdict).
+
+    Fully oracled end to end: the DuckDB twin chains the shared
+    unrolled-Lloyd CTE (llm_ops2._kmeans_oracle_parts, trained on ALL
+    vectors) into the own-cell self-join + exact cosine top-k, so the
+    driver hash covers training, assignment, and ranking. Cell
+    assignment is the streaming serving twin's code path
+    (operators/clustering.ivf_index_prepare).
+
+    100 TB shape: Lloyd metadata shuffles + ONE corpus shuffle on
+    ``cell`` for the self-join + the per-query top-k window; at scale
+    the cell count grows with the corpus (SemDeDup's 50k cells on
+    LAION) so cells stay bounded.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import (
+        vector as V,
+    )
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        clustering as C,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = C.kmeans_fit(emb, k=_KNN_G_CELLS, iters=_KM_ITERS)
+    assigned = C.ivf_index_prepare(emb, cents)
+    a = assigned.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("bv"), "cell"
+    )
+    sim = V.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_G_K)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )
+
+
+def _knn_graph_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _DOT,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+        _kmeans_oracle_parts,
+    )
+
+    dot = _DOT
+    return (
+        ",\n".join(_kmeans_oracle_parts(_KNN_G_CELLS, _KM_ITERS))
+        + f""",
+sim AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {dot.format(a='a.v', b='b.v')} /
+           (sqrt({dot.format(a='a.v', b='a.v')}) * sqrt({dot.format(a='b.v', b='b.v')})) AS s
+    FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id <> b.vec_id),
+rk AS (
+    SELECT query_id, neighbor_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM sim)
+SELECT query_id, neighbor_id, round(s, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_KNN_G_K}
+"""
+    )
+
+
 QUERIES = {
     "events_peak_rate": events_peak_rate,
     "simhash_threshold_sweep": simhash_threshold_sweep,
@@ -680,6 +770,7 @@ QUERIES = {
     "events_time_to_convert": events_time_to_convert,
     "docs_duplicate_text_topk": docs_duplicate_text_topk,
     "embedding_cosine_histogram": embedding_cosine_histogram,
+    "embedding_knn_graph": embedding_knn_graph,
 }
 
 ORACLES = {
@@ -691,4 +782,5 @@ ORACLES = {
     "events_time_to_convert": EVENTS_TIME_TO_CONVERT_SQL,
     "docs_duplicate_text_topk": DOCS_DUPLICATE_TEXT_SQL,
     "embedding_cosine_histogram": _cosine_hist_sql(),
+    "embedding_knn_graph": _knn_graph_sql(),
 }

@@ -88,6 +88,7 @@ _FRONT = [
     "events_time_to_convert",
     "docs_duplicate_text_topk",
     "embedding_cosine_histogram",
+    "embedding_knn_graph",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -149,6 +149,7 @@ AUDITED = [
     "events_time_to_convert",
     "docs_duplicate_text_topk",
     "embedding_cosine_histogram",
+    "embedding_knn_graph",
 ]
 
 JOIN_KINDS = (
