@@ -103,6 +103,31 @@ def ngram_jaccard_pairs(
     sizes. This is the standard frequency-pruning step in web-scale
     near-dup pipelines; None (default) keeps exact semantics.
     """
+    return (
+        ngram_jaccard_all_pairs(df, id_col, text_col, n, max_doc_freq)
+        .orderBy(F.desc("_j"), F.asc("doc_id_a"), F.asc("doc_id_b"))
+        .limit(top_k)
+        .drop("_j")
+    )
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EVERY co-shingled doc pair with its n-gram Jaccard — the
+    un-truncated pair table behind ``ngram_jaccard_pairs`` (which adds
+    the deterministic top-k). Columns: (doc_id_a, doc_id_b, jaccard
+    rounded 6dp, _j unrounded for downstream ordering/binning).
+
+    Exposed for pipeline-QA passes (the LSH recall audit joins this
+    ground-truth set against the MinHash candidate set); the
+    ``max_doc_freq`` blowup guard and its lower-bound semantics are
+    documented on ``ngram_jaccard_pairs``.
+    """
     sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # explode_outer + null filter: see _exploded_shingles
@@ -140,9 +165,6 @@ def ngram_jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
             jac.alias("_j"),
         )
-        .orderBy(F.desc("_j"), F.asc("doc_id_a"), F.asc("doc_id_b"))
-        .limit(top_k)
-        .drop("_j")
     )
 
 

@@ -732,7 +732,10 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_sql() -> str:
+def _knn_graph_cte() -> str:
+    """The full within-cell kNN CTE chain ending in ``rk(query_id,
+    neighbor_id, s, rank)`` — shared with llm_ops8's hubness oracle
+    (same trained cells, same ranking, different epilogue)."""
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
         _DOT,
     )
@@ -754,7 +757,14 @@ rk AS (
     SELECT query_id, neighbor_id, s,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY s DESC, neighbor_id ASC) AS rank
-    FROM sim)
+    FROM sim)"""
+    )
+
+
+def _knn_graph_sql() -> str:
+    return (
+        _knn_graph_cte()
+        + f"""
 SELECT query_id, neighbor_id, round(s, 6) AS sim, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {_KNN_G_K}
 """

@@ -22,6 +22,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops5,
     llm_ops6,
     llm_ops7,
+    llm_ops8,
     rainstorm_queries,
 )
 
@@ -40,6 +41,7 @@ _MODULES = (
     llm_ops5,
     llm_ops6,
     llm_ops7,
+    llm_ops8,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -89,6 +91,14 @@ _FRONT = [
     "docs_duplicate_text_topk",
     "embedding_cosine_histogram",
     "embedding_knn_graph",
+    "lsh_recall_curve",
+    "customer_cohort_ltv",
+    "events_dau_mau",
+    "orders_priority_mix_shift",
+    "embedding_hubness",
+    "events_user_gaps",
+    "docs_quality_dup_lift",
+    "embedding_db_index",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -168,6 +168,10 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # the cosine histogram is the ann_cosine_topk queries-broadcast
         # brute pass feeding a bins-sized rollup — same BuildRight shape
         "embedding_cosine_histogram",
+        # Davies-Bouldin: the embedding_label_drift |labels|²-row
+        # centroid self-join shape (strict-inequality non-equi join on
+        # the METADATA-scale centroid table; corpus touched once)
+        "embedding_db_index",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
