@@ -170,6 +170,23 @@ def main() -> None:
         "docs_duplicate_text_topk",
         "embedding_cosine_histogram",
         "embedding_knn_graph",
+        "lsh_recall_curve",
+        "customer_cohort_ltv",
+        "events_dau_mau",
+        "orders_priority_mix_shift",
+        "embedding_hubness",
+        "events_user_gaps",
+        "docs_quality_dup_lift",
+        "embedding_db_index",
+        "session_path_topk",
+        "minhash_threshold_sweep",
+        "quality_ppl_correlation",
+        "part_return_rates",
+        "docs_char_class_profile",
+        "ann_recall_audit",
+        "docs_dedup_survivor_quality",
+        "source_token_entropy",
+        "customer_order_frequency",
     ]
     headline = [q for q in headline if q in QUERIES]
 

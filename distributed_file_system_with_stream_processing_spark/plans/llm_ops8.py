@@ -720,6 +720,840 @@ FROM rk WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# session_path_topk
+
+_PATH_GAP_S = 1800
+_PATH_TOPK = 20
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PATH_TOPK`` three-step event-type paths WITHIN sessions
+    (30-min inactivity splits, ``events_sessionize``'s exact
+    semantics) — session path mining: the transition matrix gives
+    one-step probabilities; this surfaces the actual multi-step
+    journeys ("view > view > purchase" vs "view > error > view") that
+    funnel design reads.
+
+    Determinism: in-session order is (ts, event_id) — the established
+    sessionize tie-break — so lead() sees one well-defined successor
+    everywhere; counts are exact integers and the top-k orders by
+    (n desc, path asc).
+
+    100 TB shape: ONE shuffle on user_id; the session flag, the
+    running-sum session id, and both lead()s all run inside that
+    partitioning (window keys share the user_id prefix — no second
+    corpus Exchange), then a paths-cardinality rollup (≤ |types|³)
+    and a metadata-scale top-k.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > _PATH_GAP_S), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        sessions.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(ws).alias("t2"),
+            F.lead("event_type", 2).over(ws).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(F.concat_ws(" > ", "t1", "t2", "t3").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+SESSION_PATH_TOPK_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w) > {_PATH_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+steps AS (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER ws AS t2,
+           lead(event_type, 2) OVER ws AS t3
+    FROM sessions
+    WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path, CAST(count(*) AS BIGINT) AS n
+FROM steps WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {_PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_threshold_sweep
+
+_MH_SWEEP_HASHES = 12
+_MH_SWEEP_MIN_AGREE = 6
+
+
+def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate pricing curve for the MinHash path: for each
+    signature-agreement threshold m in ``_MH_SWEEP_MIN_AGREE``..12
+    (est. Jaccard m/12 = 0.5..1.0), how many docs keep-first MinHash
+    dedup would drop and how many candidate pairs qualify — the
+    ``simhash_threshold_sweep`` decision table for the OTHER
+    registered dedup backbone, so a dedup owner can price both from
+    one artifact each.
+
+    Cumulative counts from ONE candidate pass (the
+    explode(sequence(lo, hi)) trick): each dropped doc contributes a
+    row for every threshold ≤ its MAXIMUM pair agreement; same for
+    pairs. Agreement recovers exactly from the registered pair
+    table's 6-dp estimate (round(est·12) — est is round(a/12, 6), and
+    the 6-dp grid is fine enough that a/12 round-trips for a ≤ 12).
+
+    100 TB shape: the banded (band, key) equi-join (never all-pairs)
+    + two pair-scale aggregations + a 7-row output.
+    """
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=_MH_SWEEP_HASHES,
+        bands=6,
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(F.col("est_jaccard") * _MH_SWEEP_HASHES).cast("long").alias("agree"),
+    )
+    pairs = pairs.filter(F.col("agree") >= _MH_SWEEP_MIN_AGREE).persist()
+    lo = F.lit(_MH_SWEEP_MIN_AGREE)
+    dropped = (
+        pairs.groupBy(F.col("doc_id_b").alias("drop_id"))
+        .agg(F.max("agree").alias("ma"))
+        .select(F.explode(F.sequence(lo, F.col("ma"))).alias("min_agree"))
+        .groupBy("min_agree")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    pair_curve = (
+        pairs.select(F.explode(F.sequence(lo, F.col("agree"))).alias("min_agree"))
+        .groupBy("min_agree")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    grid = spark.range(_MH_SWEEP_MIN_AGREE, _MH_SWEEP_HASHES + 1).select(
+        F.col("id").cast("int").alias("min_agree")
+    )
+    return (
+        grid.join(dropped, "min_agree", "left")
+        .join(pair_curve, "min_agree", "left")
+        .select(
+            F.col("min_agree").cast("long").alias("min_agree"),
+            F.round(
+                F.col("min_agree") / F.lit(float(_MH_SWEEP_HASHES)), 6
+            ).alias("est_jaccard_threshold"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def _minhash_sweep_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _MINHASH_PAIRS_BODY,
+    )
+
+    lo, hi = _MH_SWEEP_MIN_AGREE, _MH_SWEEP_HASHES
+    return (
+        _MINHASH_PAIRS_BODY
+        + f""",
+ag AS (
+    SELECT da, db,
+           list_sum(list_transform(range(1, {hi + 1}),
+               i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS agree
+    FROM cand
+),
+agf AS (SELECT da, db, agree FROM ag WHERE agree >= {lo}),
+mx AS (SELECT db AS drop_id, max(agree) AS ma FROM agf GROUP BY db),
+dropped AS (
+    SELECT t.m AS min_agree, count(*) AS n_dropped
+    FROM mx JOIN (SELECT unnest(range({lo}, {hi + 1})) AS m) t ON t.m <= mx.ma
+    GROUP BY t.m
+),
+pc AS (
+    SELECT t.m AS min_agree, count(*) AS n_pairs
+    FROM agf JOIN (SELECT unnest(range({lo}, {hi + 1})) AS m) t ON t.m <= agf.agree
+    GROUP BY t.m
+)
+SELECT CAST(g.m AS BIGINT) AS min_agree,
+       round(g.m / CAST({hi} AS DOUBLE), 6) AS est_jaccard_threshold,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM (SELECT unnest(range({lo}, {hi + 1})) AS m) g
+LEFT JOIN dropped d ON g.m = d.min_agree
+LEFT JOIN pc ON g.m = pc.min_agree
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_ppl_correlation
+
+_QPC_MICRO = 1_000_000
+
+
+def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the two registered per-doc quality
+    signals — heuristic quality score vs unigram-LM log-loss — the
+    "are my filters redundant" audit: r near −1 means the cheap
+    heuristic already orders docs like the LM does (skip the LM pass
+    at ingest); r near 0 means they prune different mass and both
+    earn their place in the curation funnel.
+
+    Exactness: per-doc log-loss uses ``docs_unigram_perplexity``'s
+    exact discipline (per-term log-prob micro-quantized ONCE, exact
+    integer doc fold), then BOTH per-doc scalars quantize to micro
+    ints (x = avg log-loss, y = heuristic quality); the five Pearson
+    sums (Σx, Σy, Σxy, Σx², Σy²) are exact integer folds in
+    DECIMAL(38,0) ↔ HUGEINT, and r's numerator/denominator evaluate
+    on exact integers lowered to double once, rounding at 6 dp.
+
+    100 TB shape: the perplexity backbone's three shuffles ((doc,
+    term) tf, term counts, doc fold) + a doc_id-co-partitioned join
+    to the scan-side quality scalars + a 1-row total fold. The corpus
+    total is the allow-listed 1-row BuildRight broadcast.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "text", T.words(F.col("text")).alias("ws"))
+    ex = (
+        toks.select("doc_id", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    l_mu = F.round(
+        F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _QPC_MICRO
+    ).cast("long")
+    xs = (
+        tf.join(ct, "term")
+        .crossJoin(broadcast(n_tot))
+        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+        .select(
+            "doc_id",
+            F.round(
+                -(F.col("_s").cast("double") / F.col("n_tokens"))
+            ).cast("long").alias("x"),
+        )
+    )
+    ws = T.words(F.col("text"))
+    ys = d.select(
+        "doc_id",
+        F.round(
+            T.quality_score(
+                F.size(ws).cast("long"),
+                T.stopword_ratio(ws),
+                T.punct_ratio(F.col("text")),
+            )
+            * _QPC_MICRO
+        ).cast("long").alias("y"),
+    )
+    j = xs.join(ys, "doc_id")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - dec("sx") * dec("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - dec("sy") * dec("sy")).cast("double")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+def _quality_ppl_corr_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+
+    return rf"""
+WITH toks AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+ex AS (SELECT doc_id, lower(unnest(ws)) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
+nc AS (SELECT sum(ctot) AS n_corpus FROM ct),
+xs AS (
+    SELECT tf.doc_id,
+           CAST(round(-(CAST(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
+                                                    * {_QPC_MICRO}) AS BIGINT)) AS DOUBLE)
+                        / sum(tf.tf))) AS BIGINT) AS x
+    FROM tf JOIN ct USING (term) CROSS JOIN nc
+    GROUP BY tf.doc_id
+),
+ys AS (
+    SELECT doc_id,
+           CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+                CAST(0.25 AS DOUBLE)
+                + CAST(0.002 AS DOUBLE) * CAST(len(ws) AS BIGINT)
+                + CAST(1.2 AS DOUBLE) * (CASE WHEN len(ws) > 0
+                     THEN CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE) / len(ws)
+                     ELSE CAST(0.0 AS DOUBLE) END)
+                - CAST(3.0 AS DOUBLE) * (CASE WHEN length(text) > 0
+                     THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE CAST(0.0 AS DOUBLE) END)))
+                * {_QPC_MICRO}) AS BIGINT) AS y
+    FROM toks
+),
+j AS (SELECT x, y FROM xs JOIN ys USING (doc_id)),
+s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+       6) AS pearson_r
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_return_rates
+
+_RR_MIN_SUPPORT = 50
+_RR_TOPK = 15
+
+
+def part_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate screen by part brand: the ``_RR_TOPK`` brands with
+    the highest share of returned line items (l_returnflag = 'R'),
+    with a minimum-support floor so one-item brands can't top the
+    list — the supply-chain quality-control cut that q10 (who
+    returned) and supplier_fulfillment_lag (how late) don't answer:
+    WHAT is coming back.
+
+    Exactness: counts exact integers; rate divides once; ordering
+    (rate desc unrounded, brand asc) is deterministic because the
+    rate is a ratio of exact integers — identical double bits in
+    both engines.
+
+    100 TB shape: lineitem scans with only 3 columns; part is the
+    standard broadcast dim; one partial-agg shuffle on p_brand
+    (≤ dozens of groups); the top-k sorts the tiny aggregate.
+    """
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("long").alias("n_returned"),
+        )
+        .filter(F.col("n_items") >= _RR_MIN_SUPPORT)
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_items")
+    return (
+        agg.select(
+            "p_brand", "n_items", "n_returned", rate.alias("_r")
+        )
+        .orderBy(F.desc("_r"), F.asc("p_brand"))
+        .limit(_RR_TOPK)
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            F.round("_r", 6).alias("return_rate"),
+        )
+    )
+
+
+PART_RETURN_RATES_SQL = f"""
+WITH agg AS (
+    SELECT p.p_brand, count(*) AS n_items,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    HAVING count(*) >= {_RR_MIN_SUPPORT}
+)
+SELECT p_brand, CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_returned AS BIGINT) AS n_returned,
+       round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate
+FROM agg
+ORDER BY CAST(n_returned AS DOUBLE) / n_items DESC, p_brand ASC
+LIMIT {_RR_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_char_class_profile
+
+
+def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language: shares of
+    alphabetic / digit / whitespace / punctuation / other characters
+    — the cheap encoding-health screen that catches mojibake, wrongly
+    routed markup, and numeric-table pages (digit share spikes)
+    before any tokenizer sees them.
+
+    Exactness: per-class counts come from length-after-strip deltas
+    (exact integers, the punct_ratio technique, one regexp per
+    class); shares divide the per-lang integer totals once, rounded
+    at 6 dp.
+
+    100 TB shape: a scan-side projection (5 integer columns per doc)
+    into one partial-agg shuffle on lang (≤ dozens of groups) — the
+    map side collapses each partition to |langs| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_all = F.length("text")
+
+    def n_class(pat: str):
+        return n_all - F.length(F.regexp_replace(F.col("text"), pat, ""))
+
+    per = d.select(
+        "lang",
+        n_all.cast("long").alias("nc"),
+        n_class(r"[A-Za-z]").cast("long").alias("na"),
+        n_class(r"[0-9]").cast("long").alias("nd"),
+        n_class(r"\s").cast("long").alias("nw"),
+        n_class(r"[.,!?;:]").cast("long").alias("np"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("nc").alias("n_chars"),
+        F.sum("na").alias("a"),
+        F.sum("nd").alias("d"),
+        F.sum("nw").alias("w"),
+        F.sum("np").alias("p"),
+    )
+    share = lambda c: F.round(F.col(c).cast("double") / F.col("n_chars"), 6)  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_chars",
+        share("a").alias("alpha_share"),
+        share("d").alias("digit_share"),
+        share("w").alias("space_share"),
+        share("p").alias("punct_share"),
+        F.round(
+            (F.col("n_chars") - F.col("a") - F.col("d") - F.col("w") - F.col("p"))
+            .cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("other_share"),
+    )
+
+
+DOCS_CHAR_CLASS_SQL = r"""
+WITH per AS (
+    SELECT lang, length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+           length(text) - length(regexp_replace(text, '\s', '', 'g')) AS nw,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+    FROM documents
+),
+agg AS (
+    SELECT lang, sum(nc) AS n_chars, sum(na) AS a, sum(nd) AS d,
+           sum(nw) AS w, sum(np) AS p
+    FROM per GROUP BY lang
+)
+SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(a AS DOUBLE) / n_chars, 6) AS alpha_share,
+       round(CAST(d AS DOUBLE) / n_chars, 6) AS digit_share,
+       round(CAST(w AS DOUBLE) / n_chars, 6) AS space_share,
+       round(CAST(p AS DOUBLE) / n_chars, 6) AS punct_share,
+       round(CAST(n_chars - a - d - w - p AS DOUBLE) / n_chars, 6) AS other_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_audit
+
+_ARA_K = 5
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the trained-IVF ANN path against the
+    exact brute-force top-5 — the ANN counterpart of
+    ``lsh_recall_curve``: both registered retrieval paths
+    (``ann_ivf_trained``, ``ann_cosine_topk``) are oracled
+    individually; this query grades one against the other and is
+    itself oracled END TO END (the DuckDB twin chains the
+    unrolled-Lloyd + probe-3 CTE into the exact-rank CTE and computes
+    the same intersection), so the driver hash covers the entire
+    audit: training, probing, both rankings, and the recall join.
+
+    The test suite pins a recall floor (tests/test_ann.py); this
+    surfaces the full per-query distribution as a first-class output
+    — which probe sets are under-served, not just the mean.
+
+    Exactness: both top-5 sets are deterministic (bit-lockstep cosine,
+    (sim desc, id) tie-break); hits and recall are exact integer
+    counts and one rounded ratio.
+
+    100 TB shape: the two proven ANN shapes (base never shuffles;
+    queries broadcast) + a |Q|·k-row join — audit cost is the two
+    retrievals, the comparison is metadata-scale.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        clustering as C,
+        similarity as S,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids_below=10, k=_ARA_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = C.ivf_trained_ann(
+        emb,
+        n_cells=16,
+        iters=_KM_ITERS,
+        probe_cells=3,
+        query_ids_below=10,
+        k=_ARA_K,
+        dim=64,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _DOT
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        ANN_IVF_TRAINED_SQL,
+    )
+
+    body = ANN_IVF_TRAINED_SQL.split("SELECT query_id, neighbor_id, round")[0]
+    return (
+        body
+        + f""",
+q2 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 10),
+ex_sim AS (
+    SELECT q2.query_id, f.vec_id AS neighbor_id,
+           {_DOT.format(a='qv', b='f.v')} /
+           (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='f.v', b='f.v')})) AS s
+    FROM q2 CROSS JOIN fin f),
+ex_rk AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM ex_sim)
+SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM (SELECT query_id, neighbor_id FROM ex_rk WHERE rank <= {_ARA_K}) ex
+LEFT JOIN (SELECT query_id, neighbor_id FROM rk WHERE rank <= {_ARA_K}) iv
+  USING (query_id, neighbor_id)
+GROUP BY ex.query_id
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_dedup_survivor_quality
+
+
+def docs_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does keep-FIRST dedup keep the BEST copy? Over every NEAR-dup
+    cluster (MinHash-LSH candidate pairs -> connected components, the
+    registered ``dedup_clusters`` backbone): how often the kept doc
+    (min doc_id per cluster - the keep-first canonical) is the
+    (tied-)highest-quality member, and the average quality regret
+    (best-member quality minus kept quality) - the policy audit that
+    decides whether keep-first should become keep-best BEFORE a
+    100 TB dedup run burns the better variant. (Exact-dup groups are
+    useless here: byte-identical copies tie on every text-derived
+    score by construction - near-dup clusters are where the policy
+    actually bites.)
+
+    Exactness: per-doc quality micro-quantizes once (the established
+    heuristic); clusters come from the proven deterministic CC; kept
+    quality is min_by/arg_min on the UNIQUE doc id; the regret sum is
+    an exact integer fold and the two ratios divide once. A corpus
+    with no clusters reports the vacuous (1.0 share, 0.0 regret) -
+    never NULL (the driver's value-hash cannot order NULLs).
+
+    100 TB shape: the minhash-banding + large-star/small-star CC
+    recipe (diameter-independent, the semantic_dedup economics), one
+    cluster-keyed agg over the CLUSTER-member-scale table (quality
+    scalars ride along as one integer), then a 1-row fold.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(d)
+    cc = D.connected_components(pairs)
+    ws = T.words(F.col("text"))
+    qual = d.select(
+        "doc_id",
+        F.round(
+            T.quality_score(
+                F.size(ws).cast("long"),
+                T.stopword_ratio(ws),
+                T.punct_ratio(F.col("text")),
+            )
+            * 1_000_000
+        ).cast("long").alias("q_mu"),
+    )
+    members = cc.join(qual, cc.node == qual.doc_id).select(
+        "cluster_id", "doc_id", "q_mu"
+    )
+    return survivor_fold(members)
+
+
+def survivor_fold(members: DataFrame) -> DataFrame:
+    """The keep-first-vs-keep-best fold over (cluster_id, doc_id,
+    q_mu) membership rows - split out so planted-fixture tests can
+    feed explicit clusters with known quality and assert exact
+    share/regret values."""
+    groups = members.groupBy("cluster_id").agg(
+        F.min_by("q_mu", "doc_id").alias("kept_q"),
+        F.max("q_mu").alias("best_q"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.round(
+                F.sum((F.col("kept_q") == F.col("best_q")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ),
+            F.lit(1.0),
+        ).alias("kept_best_share"),
+        F.coalesce(
+            F.round(
+                F.sum(F.col("best_q") - F.col("kept_q")).cast("double")
+                / 1_000_000
+                / F.count(F.lit(1)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("avg_quality_regret"),
+    )
+
+
+_QUALITY_MU_SQL = r"""CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+                CAST(0.25 AS DOUBLE)
+                + CAST(0.002 AS DOUBLE) * CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+                + CAST(1.2 AS DOUBLE) * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
+                     THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), x -> list_contains(['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE)
+                          / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                     ELSE CAST(0.0 AS DOUBLE) END)
+                - CAST(3.0 AS DOUBLE) * (CASE WHEN length(text) > 0
+                     THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE CAST(0.0 AS DOUBLE) END)))
+                * 1000000) AS BIGINT)"""
+
+
+def _survivor_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        DEDUP_CLUSTERS_SQL,
+    )
+
+    body = DEDUP_CLUSTERS_SQL.split("SELECT node AS doc_id")[0]
+    return (
+        body
+        + f""",
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT doc_id, {_QUALITY_MU_SQL} AS q_mu FROM documents),
+g AS (
+    SELECT cc.cluster_id,
+           arg_min(q.q_mu, cc.node) AS kept_q,
+           max(q.q_mu) AS best_q
+    FROM cc JOIN q ON cc.node = q.doc_id
+    GROUP BY cc.cluster_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       coalesce(round(CAST(sum(CASE WHEN kept_q = best_q THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6), 1.0) AS kept_best_share,
+       coalesce(round(CAST(sum(best_q - kept_q) AS DOUBLE) / 1000000 / count(*), 6),
+                0.0) AS avg_quality_regret
+FROM g
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_token_entropy
+
+_STE_NANO = 1_000_000_000
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (plus
+    type/token counts) — the lexical-diversity number behind the
+    temperature-mix decision: a source whose entropy is far below its
+    size (boilerplate, templated pages) contributes fewer effective
+    bits than its token count suggests; the per-source complement of
+    ``docs_kl_by_source``'s drift-from-corpus view.
+
+    Order-free exactness (the chi-square/contingency discipline):
+    each term's −p·ln p contribution is computed from exact integer
+    (count, total) inputs in one fixed double sequence and
+    nano-quantized PER TERM, so the per-source reduction is an exact
+    integer sum — no global double accumulation. Entropy = Σ/1e9,
+    rounded once.
+
+    100 TB shape: one (source, term) partial-agg shuffle (the tfidf
+    backbone's key), per-source totals derive from the TERM table
+    (no second corpus pass) and join back broadcast; output is
+    |sources| rows.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ex = (
+        d.select("source", F.explode_outer(T.words(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("source", F.lower("w").alias("term"))
+    )
+    tc = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    contrib = F.round(-(p * F.log(p)) * _STE_NANO).cast("long")
+    ent = (
+        tc.join(broadcast(totals), "source")
+        .select("source", contrib.alias("e_nano"))
+        .groupBy("source")
+        .agg(F.sum("e_nano").alias("s"))
+    )
+    return totals.join(ent, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("s").cast("double") / _STE_NANO, 6).alias("entropy"),
+    )
+
+
+SOURCE_TOKEN_ENTROPY_SQL = rf"""
+WITH ex AS (
+    SELECT source, lower(w) AS term
+    FROM (SELECT source,
+                 unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          FROM documents)
+),
+tc AS (SELECT source, term, count(*) AS c FROM ex GROUP BY source, term),
+totals AS (
+    SELECT source, sum(c) AS n_tokens, count(*) AS n_types
+    FROM tc GROUP BY source
+),
+ent AS (
+    SELECT tc.source,
+           sum(CAST(round(-(CAST(tc.c AS DOUBLE) / t.n_tokens
+                            * ln(CAST(tc.c AS DOUBLE) / t.n_tokens))
+                          * {_STE_NANO}) AS BIGINT)) AS s
+    FROM tc JOIN totals t USING (source)
+    GROUP BY tc.source
+)
+SELECT t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       round(CAST(e.s AS DOUBLE) / {_STE_NANO}, 6) AS entropy
+FROM totals t JOIN ent e USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_order_frequency
+
+
+def customer_order_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer frequency histogram with share — the
+    repeat-purchase distribution (one-timers vs regulars) that the
+    RFM segmentation summarizes into quartiles; the raw curve is what
+    a retention team plots first.
+
+    Exactness: two exact integer rollups; share divides the integer
+    totals once (window over the tiny histogram).
+
+    100 TB shape: one custkey partial-agg shuffle, then a histogram
+    rollup on the per-customer counts (≤ hundreds of distinct
+    frequencies) — metadata-scale output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    hist = per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    share = F.col("n_customers").cast("double") / F.sum("n_customers").over(
+        Window.partitionBy()
+    )
+    return hist.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "n_customers",
+        F.round(share, 6).alias("share"),
+    )
+
+
+CUSTOMER_ORDER_FREQ_SQL = """
+WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+h AS (SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY n_orders)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(n_customers AS DOUBLE) / sum(n_customers) OVER (), 6) AS share
+FROM h
+"""
+
+
 QUERIES = {
     "lsh_recall_curve": lsh_recall_curve,
     "customer_cohort_ltv": customer_cohort_ltv,
@@ -729,6 +1563,15 @@ QUERIES = {
     "events_user_gaps": events_user_gaps,
     "docs_quality_dup_lift": docs_quality_dup_lift,
     "embedding_db_index": embedding_db_index,
+    "session_path_topk": session_path_topk,
+    "minhash_threshold_sweep": minhash_threshold_sweep,
+    "quality_ppl_correlation": quality_ppl_correlation,
+    "part_return_rates": part_return_rates,
+    "docs_char_class_profile": docs_char_class_profile,
+    "ann_recall_audit": ann_recall_audit,
+    "docs_dedup_survivor_quality": docs_dedup_survivor_quality,
+    "source_token_entropy": source_token_entropy,
+    "customer_order_frequency": customer_order_frequency,
 }
 
 ORACLES = {
@@ -740,4 +1583,13 @@ ORACLES = {
     "events_user_gaps": EVENTS_USER_GAPS_SQL,
     "docs_quality_dup_lift": DOCS_QUALITY_DUP_LIFT_SQL,
     "embedding_db_index": _db_index_sql(),
+    "session_path_topk": SESSION_PATH_TOPK_SQL,
+    "minhash_threshold_sweep": _minhash_sweep_sql(),
+    "quality_ppl_correlation": _quality_ppl_corr_sql(),
+    "part_return_rates": PART_RETURN_RATES_SQL,
+    "docs_char_class_profile": DOCS_CHAR_CLASS_SQL,
+    "ann_recall_audit": _ann_recall_sql(),
+    "docs_dedup_survivor_quality": _survivor_sql(),
+    "source_token_entropy": SOURCE_TOKEN_ENTROPY_SQL,
+    "customer_order_frequency": CUSTOMER_ORDER_FREQ_SQL,
 }

@@ -99,6 +99,15 @@ _FRONT = [
     "events_user_gaps",
     "docs_quality_dup_lift",
     "embedding_db_index",
+    "session_path_topk",
+    "minhash_threshold_sweep",
+    "quality_ppl_correlation",
+    "part_return_rates",
+    "docs_char_class_profile",
+    "ann_recall_audit",
+    "docs_dedup_survivor_quality",
+    "source_token_entropy",
+    "customer_order_frequency",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -1,0 +1,180 @@
+"""Semantic properties of the round-5 pipeline-QA / product-analytics
+ops (llm_ops8) — oracle parity in test_queries proves arithmetic
+equivalence; these pin the *meaning*: the recall curves really measure
+recall, the sweeps are monotone, the audits respect their bounds, and
+the histograms conserve totals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_file_system_with_stream_processing_spark.plans import llm_ops8 as M
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_lsh_recall_curve_bounds(spark):
+    rows = M.lsh_recall_curve(spark, SF_SMOKE).collect()
+    assert rows, "fixture should contain co-shingled pairs"
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert 0.0 <= r["recall"] <= 1.0
+    # the top bin is exact/near-exact duplicates — banding must catch
+    # essentially all of them (theory: P(collide | j≈1) ≈ 1)
+    top = max(rows, key=lambda r: r["bin"])
+    assert top["bin"] >= 8, "fixture should contain near-identical pairs"
+    assert top["recall"] >= 0.9, top
+
+
+def test_minhash_threshold_sweep_monotone(spark):
+    rows = sorted(
+        M.minhash_threshold_sweep(spark, SF_SMOKE).collect(),
+        key=lambda r: r["min_agree"],
+    )
+    assert [r["min_agree"] for r in rows] == list(range(6, 13))
+    for a, b in zip(rows, rows[1:]):
+        # raising the threshold can only drop fewer docs / keep fewer pairs
+        assert b["n_dropped"] <= a["n_dropped"]
+        assert b["n_pairs"] <= a["n_pairs"]
+    assert rows[0]["n_pairs"] > 0, "fixture should contain candidates at 0.5"
+
+
+def test_ann_recall_audit_consistency(spark):
+    rows = M.ann_recall_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # the standard probe set
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    # same floor test_ann pins for the underlying IVF path
+    assert mean >= 0.3, mean
+
+
+def test_dedup_survivor_quality_bounds(spark):
+    r = M.docs_dedup_survivor_quality(spark, SF_SMOKE).collect()[0]
+    assert r["n_groups"] > 0, "fixture should contain near-dup clusters"
+    assert 0.0 <= r["kept_best_share"] <= 1.0
+    assert r["avg_quality_regret"] >= 0.0
+
+
+def test_survivor_fold_planted(spark):
+    """Exact expected values on planted clusters:
+    - cluster 10: kept (doc 1) IS the best (q 900000 > 800000)
+    - cluster 20: kept (doc 3) is WORSE by 0.25 (500000 vs 750000)
+    → share 0.5, regret (0 + 0.25)/2 = 0.125."""
+    rows = [
+        (10, 1, 900_000),
+        (10, 2, 800_000),
+        (20, 3, 500_000),
+        (20, 4, 750_000),
+    ]
+    d = spark.createDataFrame(rows, "cluster_id long, doc_id long, q_mu long")
+    r = M.survivor_fold(d).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["kept_best_share"] == 0.5
+    assert r["avg_quality_regret"] == 0.125
+
+
+def test_survivor_fold_empty_is_vacuous(spark):
+    """No clusters → (0, 1.0, 0.0), never NULL (the driver's
+    value-hash compare cannot order NULLs against numbers)."""
+    d = spark.createDataFrame([], "cluster_id long, doc_id long, q_mu long")
+    r = M.survivor_fold(d).collect()[0]
+    assert r["n_groups"] == 0
+    assert r["kept_best_share"] == 1.0
+    assert r["avg_quality_regret"] == 0.0
+
+
+def test_source_token_entropy_bounds(spark):
+    import math
+
+    for r in M.source_token_entropy(spark, SF_SMOKE).collect():
+        # 0 ≤ H ≤ ln(V); +1e-3 slack for the per-term nano quantization
+        assert -1e-3 <= r["entropy"] <= math.log(r["n_types"]) + 1e-3, r
+        assert r["n_types"] <= r["n_tokens"]
+
+
+def test_events_dau_mau_bounds(spark):
+    rows = M.events_dau_mau(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # daily actives can't exceed monthly actives
+        assert r["avg_dau"] <= r["mau"] + 1e-9
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_customer_cohort_ltv_conserves_orders(spark):
+    out = M.customer_cohort_ltv(spark, SF_SMOKE)
+    total = out.agg(F.sum("n_orders")).collect()[0][0]
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert total == n_orders
+    # age 0 exists for every cohort (the first order itself)
+    ages = {
+        r["cohort_month"]: r["min_age"]
+        for r in out.groupBy("cohort_month")
+        .agg(F.min("age_months").alias("min_age"))
+        .collect()
+    }
+    assert all(a == 0 for a in ages.values()), ages
+
+
+def test_customer_order_frequency_conserves_customers(spark):
+    out = M.customer_order_frequency(spark, SF_SMOKE)
+    rows = out.collect()
+    total_customers = sum(r["n_customers"] for r in rows)
+    distinct = (
+        load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert total_customers == distinct
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_embedding_hubness_conserves_vectors_and_edges(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops7 as L7
+
+    rows = M.embedding_hubness(spark, SF_SMOKE).collect()
+    n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_vec
+    n_edges = L7.embedding_knn_graph(spark, SF_SMOKE).count()
+    assert sum(r["in_degree"] * r["n_vectors"] for r in rows) == n_edges
+
+
+def test_session_path_topk_shape(spark):
+    rows = M.session_path_topk(spark, SF_SMOKE).collect()
+    assert rows
+    types = {
+        r["event_type"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        steps = r["path"].split(" > ")
+        assert len(steps) == 3 and all(s in types for s in steps), r
+        assert r["n"] >= 1
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_quality_dup_lift_independence_identity(spark):
+    """Σ over cells of n·lift-weight identity: per row, expected =
+    row_tot·col_tot/total, and Σ expected == Σ observed == total."""
+    rows = M.docs_quality_dup_lift(spark, SF_SMOKE).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert total == n_docs
+    for r in rows:
+        assert r["lift"] > 0.0
+
+
+def test_priority_mix_shares_sum_to_one(spark):
+    rows = M.orders_priority_mix_shift(spark, SF_SMOKE).collect()
+    by_month: dict[int, float] = {}
+    for r in rows:
+        by_month[r["month"]] = by_month.get(r["month"], 0.0) + r["share"]
+    assert by_month
+    for m, s in by_month.items():
+        assert abs(s - 1.0) < 1e-4, (m, s)

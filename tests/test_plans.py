@@ -172,6 +172,14 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # centroid self-join shape (strict-inequality non-equi join on
         # the METADATA-scale centroid table; corpus touched once)
         "embedding_db_index",
+        # inherits docs_unigram_perplexity's 1-row corpus-token-total
+        # BuildRight broadcast (the same LM backbone feeds the x side
+        # of the correlation)
+        "quality_ppl_correlation",
+        # runs BOTH ANN paths: inherits ann_cosine_topk's
+        # queries-broadcast brute pass and ann_ivf_trained's
+        # centroid-probe shapes
+        "ann_recall_audit",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
