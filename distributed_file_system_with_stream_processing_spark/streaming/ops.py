@@ -312,7 +312,111 @@ class SlidingCountOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp
+@dataclass
+class SessionPathOp:
+    """Per-user streaming SESSION-PATH mining — the streaming twin of
+    the batch ``session_path_topk`` (plans/llm_ops8): per-user state
+    holds the last-two event types of the OPEN session plus its last
+    event time; each trigger sorts its arrivals by (ts, event_id),
+    splits on the 30-min inactivity gap (including the gap against the
+    remembered cross-trigger tail), slides a 3-window over each
+    session run, and emits the trigger's 3-step path deltas
+    (user_id, path, delta).
+
+    Extends TransitionCountOp's sequence-continuation shape from
+    pairs to triples AND adds the session-boundary reset — the state
+    is still O(1) per key (two strings + one long), yet the summed
+    deltas equal the batch lead()/lead(2) in-session path counts
+    when arrival order respects per-user event time (the id-ordered
+    contract the chaining ops document).
+
+    Batch twin (``__call__`` on a bounded df) runs the sessionize +
+    double-lead window directly and aggregates per (user, path) — the
+    plan the streaming deltas converge to.
+    """
+
+    name: str
+    user_col: str = "user_id"
+    type_col: str = "event_type"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    gap_s: int = 1800
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.user_col).orderBy(self.ts_col, self.id_col)
+        sec = F.col(self.ts_col).cast("long")
+        gap = sec - F.lag(sec).over(w)
+        flagged = df.withColumn(
+            "_new", F.when(gap.isNull() | (gap > self.gap_s), 1).otherwise(0)
+        )
+        sess = flagged.withColumn(
+            "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        ws = Window.partitionBy(self.user_col, "_sid").orderBy(
+            self.ts_col, self.id_col
+        )
+        return (
+            sess.select(
+                F.col(self.user_col).alias("user_id"),
+                F.col(self.type_col).alias("t1"),
+                F.lead(self.type_col, 1).over(ws).alias("t2"),
+                F.lead(self.type_col, 2).over(ws).alias("t3"),
+            )
+            .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+            .groupBy(
+                "user_id", F.concat_ws(" > ", "t1", "t2", "t3").alias("path")
+            )
+            .agg(F.count(F.lit(1)).alias("delta"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tcol, tscol, idcol = self.type_col, self.ts_col, self.id_col
+        gap_s = self.gap_s
+        out_schema = "user_id long, path string, delta long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=["user_id", "path", "delta"])
+                return
+            pdf = pd.concat(parts).sort_values([tscol, idcol])
+            t2, t1, last_sec = state.get if state.exists else (None, None, None)
+            tail = [t for t in (t2, t1) if t is not None]
+            counts: dict[str, int] = {}
+            for t, ts in zip(pdf[tcol], pdf[tscol]):
+                sec = int(ts.timestamp())
+                if last_sec is not None and sec - last_sec > gap_s:
+                    tail = []  # inactivity split: the open session closed
+                tail.append(t)
+                if len(tail) == 3:
+                    p = " > ".join(tail)
+                    counts[p] = counts.get(p, 0) + 1
+                    tail = tail[1:]
+                last_sec = sec
+            pad = [None] * (2 - len(tail)) + tail
+            state.update((pad[0], pad[1], last_sec))
+            yield pd.DataFrame(
+                [(key[0], p, n) for p, n in sorted(counts.items())],
+                columns=["user_id", "path", "delta"],
+            )
+
+        return df.groupBy(self.user_col).applyInPandasWithState(
+            update,
+            out_schema,
+            "t2 string, t1 string, last_sec long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -461,3 +461,70 @@ def test_sliding_window_counts_stream_matches_batch(spark, dirs):
     assert max(streamed.values()) >= 4, streamed
     # and each event really fans out into window/slide = 4 windows
     assert sum(batch.values()) == 4 * len(rows1 + rows2 + [(18, 0)])
+
+
+def test_session_path_state_spans_triggers_and_splits_sessions(spark, dirs):
+    """SessionPathOp: the per-user (last-two-types, last-ts) state must
+    (a) complete a 3-step path whose first two steps arrived in the
+    PREVIOUS trigger, and (b) reset at a 30-min inactivity gap — so the
+    summed streamed deltas equal the batch sessionize + double-lead
+    counts, and the cross-gap triple must NOT appear."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # user 1: view,click | trigger boundary | purchase (cross-trigger
+    # triple view>click>purchase), then a 40-min gap, then view,click,
+    # view (fresh session triple view>click>view; NO purchase>·>· path
+    # may bridge the gap)
+    rows1 = [
+        (0, "view", at(0), 1),
+        (1, "click", at(1), 1),
+        (2, "view", at(0), 2),
+    ]
+    rows2 = [
+        (3, "purchase", at(2), 1),
+        (4, "view", at(45), 1),
+        (5, "click", at(46), 1),
+        (6, "view", at(47), 1),
+        (7, "click", at(1), 2),
+        (8, "error", at(2), 2),
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.SessionPathOp("paths")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("paths_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from paths_stream").collect():
+            k = (r["user_id"], r["path"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+
+    batch = {
+        (r["user_id"], r["path"]): r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    # the cross-trigger triple completed from remembered state
+    assert got[(1, "view > click > purchase")] == 1
+    # the fresh post-gap session produced its own triple...
+    assert got[(1, "view > click > view")] == 1
+    # ...and nothing bridged the 40-min gap
+    assert not any("purchase > view" in p for (_, p) in got), got
