@@ -187,6 +187,9 @@ def main() -> None:
         "docs_dedup_survivor_quality",
         "source_token_entropy",
         "customer_order_frequency",
+        "query_likelihood_topk",
+        "docs_token_percentiles_by_lang",
+        "docs_template_shingles",
     ]
     headline = [q for q in headline if q in QUERIES]
 

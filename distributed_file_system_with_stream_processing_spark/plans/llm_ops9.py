@@ -1,0 +1,341 @@
+"""Round-5 tail II: query-likelihood retrieval, exact sizing
+percentiles, and boilerplate detection.
+
+Same contract as ``llm_ops``…``llm_ops8``: declarative DataFrame plans
+(JVM expressions only) with DuckDB oracles mirroring the exact
+arithmetic, so value hashes match without tolerances.
+
+Ops here (all oracled):
+- ``query_likelihood_topk`` — Dirichlet-smoothed query-likelihood
+  retrieval (Ponte & Croft 1998; Zhai & Lafferty 2001 smoothing):
+  the third classical lexical ranking function, completing the
+  retrieval family (BM25, TF-IDF, dense cosine, RRF/interp fusion).
+- ``docs_token_percentiles_by_lang`` — EXACT discrete p50/p90/p99 of
+  per-doc token counts by language: the sizing table sequence-packing
+  and context-window budgeting read (percentile_approx twins exist;
+  this is the exact-integer variant).
+- ``docs_template_shingles`` — per-source highest-doc-frequency
+  3-shingle and its doc coverage: the boilerplate/template detector
+  (a source whose top shingle covers most docs is navigation chrome,
+  not prose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import spread
+from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# query_likelihood_topk
+
+_QL_QUERIES_BELOW = 10  # the retrieval family's query-table convention
+_QL_QTERMS = 6
+_QL_K = 5
+_QL_MU = 100.0  # Dirichlet pseudo-count (Zhai-Lafferty; small corpus)
+_QL_MICRO = 1_000_000
+
+
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval: rank base docs
+    by log P(q|d) with P(t|d) = (tf + μ·P(t|C)) / (dl + μ) — the
+    language-modeling ranking function (Ponte & Croft 1998; Dirichlet
+    prior per Zhai & Lafferty 2001), completing the lexical retrieval
+    family next to BM25 and TF-IDF. Standard matched-terms-only
+    decomposition: log P(q|d) = Σ_{t∈q∩d} log(1 + tf/(μ·P(t|C)))
+    + |q|·log(μ/(dl+μ)), so only matched postings are scored and the
+    per-doc length norm is one closed-form term — docs sharing no
+    term with the query are not ranked (the BM25 convention). The
+    per-query constant Σ_{t∈q} log P(t|C) is dropped (the standard
+    rank-equivalent form — it also sidesteps −∞ for query terms the
+    base corpus never contains), so ``ql_score`` orders docs exactly
+    as log P(q|d) does per query but is not itself a log-probability.
+
+    Exactness: both summands micro-quantize from exact integer inputs
+    (tf, cf, total corpus length, dl are integers; each log evaluates
+    in one fixed double sequence and rounds ONCE), so the per-(query,
+    doc) score is an exact integer sum — ranking ties break on
+    doc_id; the reported score divides back once at 6 dp.
+
+    100 TB shape: the bm25_retrieval_topk census exactly — postings
+    backbone [shuffle 1], collection-frequency fold on the term key
+    [shuffle 2], query-term table broadcasts into the postings join,
+    corpus total rides the 1-row BuildRight broadcast, integer score
+    agg [shuffle 3], per-query top-k window.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    qterms = (
+        toks.filter(F.col("doc_id") < _QL_QUERIES_BELOW)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode_outer(F.slice("ws", 1, _QL_QTERMS)).alias("w"),
+        )
+        .filter(F.col("w").isNotNull())
+        .select("query_id", F.lower(F.col("w")).alias("term"))
+        .distinct()
+    )
+    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    base = toks.filter(F.col("doc_id") >= _QL_QUERIES_BELOW)
+    postings = (
+        base.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = postings.agg(F.sum("tf").alias("clen"))
+    # matched-term gain: log(1 + tf·clen / (μ·cf)) — tf/(μ·P(t|C))
+    # with P(t|C) = cf/clen, evaluated in this exact sequence
+    matched = (
+        postings.join(broadcast(qterms), "term")
+        .join(broadcast(cf), "term")
+        .crossJoin(broadcast(total))
+    )
+    gain_mu = F.round(
+        F.log(
+            1.0
+            + (F.col("tf") * F.col("clen"))
+            / (F.lit(_QL_MU) * F.col("cf"))
+        )
+        * _QL_MICRO
+    ).cast("long")
+    scored = (
+        matched.select("query_id", "doc_id", "dl", gain_mu.alias("_g"))
+        .groupBy("query_id", "doc_id", "dl")
+        .agg(F.sum("_g").alias("_gs"))
+    )
+    # per-doc length norm: |q| · round(log(μ/(dl+μ))·1e6)
+    norm_mu = F.round(
+        F.log(F.lit(_QL_MU) / (F.col("dl") + F.lit(_QL_MU))) * _QL_MICRO
+    ).cast("long")
+    final = scored.join(broadcast(nq), "query_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("_gs") + F.col("nq") * norm_mu).alias("_s"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= _QL_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("_s").cast("double") / _QL_MICRO, 6).alias("ql_score"),
+            "rank",
+        )
+    )
+
+
+def _ql_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+
+    return rf"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, lower(w) AS term
+    FROM (SELECT doc_id, unnest(ws[1:{_QL_QTERMS}]) AS w
+          FROM toks WHERE doc_id < {_QL_QUERIES_BELOW})
+),
+nq AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY query_id),
+base AS (SELECT doc_id, ws FROM toks WHERE doc_id >= {_QL_QUERIES_BELOW}),
+postings AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM (SELECT doc_id, len(ws) AS dl, lower(unnest(ws)) AS term FROM base)
+    GROUP BY doc_id, dl, term
+),
+cf AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY term),
+total AS (SELECT sum(tf) AS clen FROM postings),
+scored AS (
+    SELECT p.query_id, p.doc_id, p.dl, sum(p.g) AS gs
+    FROM (
+        SELECT q.query_id, po.doc_id, po.dl,
+               CAST(round(ln(1.0 + (po.tf * t.clen)
+                                   / ({_QL_MU} * c.cf)) * {_QL_MICRO}) AS BIGINT) AS g
+        FROM postings po
+        JOIN qterms q USING (term)
+        JOIN cf c USING (term)
+        CROSS JOIN total t
+    ) p
+    GROUP BY p.query_id, p.doc_id, p.dl
+),
+final AS (
+    SELECT s.query_id, s.doc_id,
+           s.gs + n.nq * CAST(round(ln({_QL_MU} / (s.dl + {_QL_MU}))
+                                    * {_QL_MICRO}) AS BIGINT) AS sc
+    FROM scored s JOIN nq n USING (query_id)
+),
+rk AS (
+    SELECT query_id, doc_id, sc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sc DESC, doc_id ASC) AS rank
+    FROM final
+)
+SELECT query_id, doc_id,
+       round(CAST(sc AS DOUBLE) / {_QL_MICRO}, 6) AS ql_score,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_QL_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_token_percentiles_by_lang
+
+_PCT_QS = (50, 90, 99)
+
+
+def docs_token_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete token-count percentiles (p50/p90/p99) per
+    language — the sizing table sequence packing and context-window
+    budgeting read. ``order_percentiles_approx`` ships the GK-sketch
+    path (the 100 TB default); this is its exact-integer twin at the
+    percentile_disc definition: the value at row ⌈q·n⌉ of the sorted
+    list — every output an actual corpus value, exact in both
+    engines (no interpolation, no floats until never).
+
+    Determinism: ranked by (n_tok, doc_id) — the value at a fixed
+    rank is invariant to tie order, the doc_id key just pins the sort
+    for engine parity.
+
+    100 TB shape: one lang-keyed shuffle; the rank window and the
+    conditional min-at-rank fold reuse its partitioning (window key ==
+    groupBy key); output |langs| rows. The honest caveat lives in
+    ``order_percentiles_approx``: a single skewed lang partition sorts
+    on one reducer — that is WHY the sketch twin is the scale
+    default and this one is the exact auditor.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", "doc_id", F.size(T.words(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    ranked = per.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for q in _PCT_QS:
+        at = F.ceil(F.col("n") * q / 100.0).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("rn") == at, F.col("n_tok"))).alias(f"p{q}_tokens")
+        )
+    return ranked.groupBy("lang").agg(*aggs)
+
+
+DOCS_TOKEN_PCT_SQL = rf"""
+WITH per AS (
+    SELECT lang, doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+ranked AS (
+    SELECT lang, n_tok,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM per
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"min(CASE WHEN rn = CAST(ceil(n * {q} / 100.0) AS BIGINT) THEN n_tok END) AS p{q}_tokens"
+           for q in _PCT_QS
+       )}
+FROM ranked GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_template_shingles
+
+
+def docs_template_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: per source, the 3-shingle appearing in
+    the MOST documents and the share of the source's docs containing
+    it — a source whose top shingle covers most docs is emitting
+    template chrome (headers, navigation, legal footers), the
+    pattern repetition scoring (per-doc) can't see because it is
+    cross-doc. The drill-down behind ``docs_neardup_rate_by_source``:
+    not whether a source self-copies, but WHAT string it stamps
+    everywhere.
+
+    Exactness: shingle doc-frequencies are exact integers (shingle
+    sets are per-doc distinct); the top-1 window orders by (df desc,
+    shingle asc) — fully deterministic; coverage divides once at 6 dp.
+
+    100 TB shape: one (source, shingle) partial-agg shuffle (high
+    cardinality, well spread — the dedup backbone's key shape), a
+    per-source top-1 window over the shingle-df aggregate (source
+    cardinality partitions), and a broadcast join of per-source doc
+    counts.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = d.select("source", "doc_id", T.shingles(F.col("text"), 3).alias("sh"))
+    ex = (
+        sh.select("source", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    dfreq = ex.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("s"))
+    top = (
+        dfreq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("s").alias("top_shingle"), F.col("df").alias("shingle_df"))
+    )
+    return top.join(broadcast(nd), "source").select(
+        "source",
+        "top_shingle",
+        "shingle_df",
+        "n_docs",
+        F.round(F.col("shingle_df").cast("double") / F.col("n_docs"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def _template_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+
+    return rf"""
+WITH sh AS (
+    SELECT source, doc_id,
+           list_distinct(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                                    i -> array_to_string(ws[i:i+2], ' '))
+                ELSE [] END) AS sh
+    FROM (SELECT source, doc_id, {_WS} AS ws FROM documents)
+),
+ex AS (SELECT source, unnest(sh) AS s FROM sh),
+dfreq AS (SELECT source, s, count(*) AS df FROM ex GROUP BY source, s),
+nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+rk AS (
+    SELECT source, s, df,
+           row_number() OVER (PARTITION BY source ORDER BY df DESC, s ASC) AS rn
+    FROM dfreq
+)
+SELECT r.source, r.s AS top_shingle, CAST(r.df AS BIGINT) AS shingle_df,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       round(CAST(r.df AS DOUBLE) / n.n_docs, 6) AS coverage
+FROM rk r JOIN nd n USING (source) WHERE r.rn = 1
+"""
+
+
+QUERIES = {
+    "query_likelihood_topk": query_likelihood_topk,
+    "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
+    "docs_template_shingles": docs_template_shingles,
+}
+
+ORACLES = {
+    "query_likelihood_topk": _ql_sql(),
+    "docs_token_percentiles_by_lang": DOCS_TOKEN_PCT_SQL,
+    "docs_template_shingles": _template_sql(),
+}

@@ -23,6 +23,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops6,
     llm_ops7,
     llm_ops8,
+    llm_ops9,
     rainstorm_queries,
 )
 
@@ -42,6 +43,7 @@ _MODULES = (
     llm_ops6,
     llm_ops7,
     llm_ops8,
+    llm_ops9,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -108,6 +110,9 @@ _FRONT = [
     "docs_dedup_survivor_quality",
     "source_token_entropy",
     "customer_order_frequency",
+    "query_likelihood_topk",
+    "docs_token_percentiles_by_lang",
+    "docs_template_shingles",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

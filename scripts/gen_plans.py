@@ -167,6 +167,9 @@ AUDITED = [
     "docs_dedup_survivor_quality",
     "source_token_entropy",
     "customer_order_frequency",
+    "query_likelihood_topk",
+    "docs_token_percentiles_by_lang",
+    "docs_template_shingles",
 ]
 
 JOIN_KINDS = (

@@ -178,3 +178,52 @@ def test_priority_mix_shares_sum_to_one(spark):
     assert by_month
     for m, s in by_month.items():
         assert abs(s - 1.0) < 1e-4, (m, s)
+
+
+def test_query_likelihood_semantics(spark):
+    """QL ranking sanity (llm_ops9): ranks are 1..k dense per query,
+    scores non-increasing with rank, and every ranked doc shares ≥1
+    term with its query (matched-terms-only decomposition)."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.query_likelihood_topk(spark, SF_SMOKE).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["ql_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_token_percentiles_ordered_and_real(spark):
+    """p50 ≤ p90 ≤ p99, and each percentile is an actual corpus value
+    (percentile_disc, not interpolation)."""
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.docs_token_percentiles_by_lang(spark, SF_SMOKE).collect()
+    assert rows
+    actual = {
+        (r["lang"], r["n_tok"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("lang", F.size(T.words(F.col("text"))).cast("long").alias("n_tok"))
+        .collect()
+    }
+    for r in rows:
+        assert r["p50_tokens"] <= r["p90_tokens"] <= r["p99_tokens"], r
+        for q in (50, 90, 99):
+            assert (r["lang"], r[f"p{q}_tokens"]) in actual, (r, q)
+
+
+def test_template_shingles_coverage_bounds(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.docs_template_shingles(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["shingle_df"] <= r["n_docs"]
+        assert 0.0 < r["coverage"] <= 1.0
+        assert len(r["top_shingle"].split(" ")) == 3

@@ -180,6 +180,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # queries-broadcast brute pass and ann_ivf_trained's
         # centroid-probe shapes
         "ann_recall_audit",
+        # the QL ranker's 1-row corpus-length broadcast onto the
+        # matched-postings table (the bm25 corpus-stats shape)
+        "query_likelihood_topk",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
