@@ -190,6 +190,8 @@ def main() -> None:
         "query_likelihood_topk",
         "docs_token_percentiles_by_lang",
         "docs_template_shingles",
+        "events_ab_conversion",
+        "events_ab_value_ttest",
     ]
     headline = [q for q in headline if q in QUERIES]
 

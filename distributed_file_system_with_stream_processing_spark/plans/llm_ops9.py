@@ -328,14 +328,229 @@ FROM rk r JOIN nd n USING (source) WHERE r.rn = 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# events_ab_conversion / events_ab_value_ttest
+
+_AB_MICRO = 1_000_000
+
+
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users split into control /
+    treatment by the portable key hash (the docs_train_val_split
+    discipline - hash 'ab|user_id', stable under re-runs and
+    independent of behavior), user-level purchase conversion per arm,
+    and the pooled two-proportion z-score - the primitive every
+    experimentation platform computes before anyone trusts a lift
+    number. On a hash split the true lift is 0 by construction, so
+    the z-score doubles as an A/A sanity check of the pipeline.
+
+    Exactness: arm assignment and user-level conversion are exact
+    integer folds; the 2x2 (arm, converted) table pivots into ONE row
+    by conditional aggregation (no join); rates and the z statistic
+    evaluate in one fixed double sequence over exact integers, each
+    rounded once at 6 dp.
+
+    100 TB shape: one user_id partial-agg shuffle (user-level fold),
+    then a 1-row conditional aggregate - no second corpus pass, no
+    broadcast, no window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = T.hash32(F.concat(F.lit("ab|"), F.col("user_id"))) % 2
+    users = (
+        e.select("user_id", arm.alias("arm"),
+                 (F.col("event_type") == "purchase").cast("int").alias("p"))
+        .groupBy("user_id", "arm")
+        .agg(F.max("p").alias("conv"))
+    )
+    t = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    # se = 0 iff pooled conversion is 0 or 1 (the small-fixture A/A
+    # degenerate case): the lift is 0 there too, so z reports 0.0 -
+    # never NULL/inf (the driver hash cannot order NULLs)
+    z = F.when(se > 0, F.round((p1 - p0) / se, 6)).otherwise(F.lit(0.0))
+    return t.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        z.alias("z_score"),
+    )
+
+
+EVENTS_AB_CONVERSION_SQL = """
+WITH u AS (
+    SELECT user_id,
+           ('0x' || substr(md5('ab|' || user_id), 1, 8))::BIGINT % 2 AS arm,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c1
+    FROM u
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treatment,
+       CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+            THEN round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6)
+            ELSE 0.0 END AS z_score
+FROM t
+"""
+
+
+def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t readout on per-user event value - the
+    continuous-metric companion of ``events_ab_conversion`` (same
+    portable hash split): per-user value totals micro-quantize per
+    EVENT (exact integer user folds), each arm collects (n, sum,
+    sum-of-squares) with the squares in DECIMAL(38,0) <-> HUGEINT,
+    and the t statistic + Welch-Satterthwaite df evaluate in one
+    fixed double sequence over those exact integers. A/A by
+    construction (hash split), so |t| large means the pipeline - not
+    the product - is broken.
+
+    100 TB shape: one user_id partial-agg shuffle, then a 1-row
+    conditional aggregate; the squares stay integer till the final
+    1-row expression.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = T.hash32(F.concat(F.lit("ab|"), F.col("user_id"))) % 2
+    users = (
+        e.select(
+            "user_id",
+            arm.alias("arm"),
+            F.round(F.col("value") * _AB_MICRO).cast("long").alias("v_mu"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("v_mu").alias("x"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, dec("x") * dec("x"))).alias("q0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, dec("x") * dec("x"))).alias("q1"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / _AB_MICRO / F.col(n)  # noqa: E731
+
+    def var(q, s, n):
+        # sample variance in value units: (q - s^2/n) / (n-1) / 1e12
+        return (
+            (F.col(q).cast("double") - F.col(s).cast("double") * F.col(s) / F.col(n))
+            / (F.col(n) - 1)
+            / (float(_AB_MICRO) * _AB_MICRO)
+        )
+
+    v0, v1 = var("q0", "s0", "n0"), var("q1", "s1", "n1")
+    se2 = v0 / F.col("n0") + v1 / F.col("n1")
+    # degenerate guards (constant-valued or <2-user arm): report 0.0,
+    # never NULL/inf - the small-fixture A/A case. Nested whens so the
+    # (n-1) divisions inside se2 are never evaluated for 1-user arms.
+    arms_ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    tstat = F.when(
+        arms_ok,
+        F.when(
+            se2 > 0, F.round((m("s1", "n1") - m("s0", "n0")) / F.sqrt(se2), 6)
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    dfw = F.when(
+        arms_ok,
+        F.when(
+            se2 > 0,
+            F.round(
+                (se2 * se2)
+                / (
+                    (v0 / F.col("n0")) * (v0 / F.col("n0")) / (F.col("n0") - 1)
+                    + (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+                ),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(m("s0", "n0"), 6).alias("mean_control"),
+        F.round(m("s1", "n1"), 6).alias("mean_treatment"),
+        tstat.alias("t_stat"),
+        dfw.alias("welch_df"),
+    )
+
+
+EVENTS_AB_TTEST_SQL = f"""
+WITH u AS (
+    SELECT user_id,
+           ('0x' || substr(md5('ab|' || user_id), 1, 8))::BIGINT % 2 AS arm,
+           sum(CAST(round(value * {_AB_MICRO}) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS s0,
+           sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x END) AS q0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS s1,
+           sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x END) AS q1
+    FROM u
+),
+v AS (
+    SELECT n0, n1, s0, s1,
+           CASE WHEN n0 > 1 THEN (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                                 / (n0 - 1) / {float(_AB_MICRO) * _AB_MICRO} END AS v0,
+           CASE WHEN n1 > 1 THEN (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                                 / (n1 - 1) / {float(_AB_MICRO) * _AB_MICRO} END AS v1
+    FROM t
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+       round(CAST(s0 AS DOUBLE) / {_AB_MICRO} / n0, 6) AS mean_control,
+       round(CAST(s1 AS DOUBLE) / {_AB_MICRO} / n1, 6) AS mean_treatment,
+       CASE WHEN n0 > 1 AND n1 > 1 AND (v0 / n0 + v1 / n1) > 0
+            THEN round((CAST(s1 AS DOUBLE) / {_AB_MICRO} / n1
+                        - CAST(s0 AS DOUBLE) / {_AB_MICRO} / n0)
+                       / sqrt(v0 / n0 + v1 / n1), 6)
+            ELSE 0.0 END AS t_stat,
+       CASE WHEN n0 > 1 AND n1 > 1 AND (v0 / n0 + v1 / n1) > 0
+            THEN round((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                       / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                          + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
+            ELSE 0.0 END AS welch_df
+FROM v
+"""
+
+
 QUERIES = {
     "query_likelihood_topk": query_likelihood_topk,
     "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
     "docs_template_shingles": docs_template_shingles,
+    "events_ab_conversion": events_ab_conversion,
+    "events_ab_value_ttest": events_ab_value_ttest,
 }
 
 ORACLES = {
     "query_likelihood_topk": _ql_sql(),
     "docs_token_percentiles_by_lang": DOCS_TOKEN_PCT_SQL,
     "docs_template_shingles": _template_sql(),
+    "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
+    "events_ab_value_ttest": EVENTS_AB_TTEST_SQL,
 }

@@ -113,6 +113,8 @@ _FRONT = [
     "query_likelihood_topk",
     "docs_token_percentiles_by_lang",
     "docs_template_shingles",
+    "events_ab_conversion",
+    "events_ab_value_ttest",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -170,6 +170,8 @@ AUDITED = [
     "query_likelihood_topk",
     "docs_token_percentiles_by_lang",
     "docs_template_shingles",
+    "events_ab_conversion",
+    "events_ab_value_ttest",
 ]
 
 JOIN_KINDS = (

@@ -227,3 +227,30 @@ def test_template_shingles_coverage_bounds(spark):
         assert 1 <= r["shingle_df"] <= r["n_docs"]
         assert 0.0 < r["coverage"] <= 1.0
         assert len(r["top_shingle"].split(" ")) == 3
+
+
+def test_ab_readouts_are_aa_sane(spark):
+    """The hash split is an A/A by construction: outputs are single
+    NULL-free rows, rates in [0,1], arms together cover all users,
+    and the Welch df lies between min(n)-1 and n0+n1-2."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    conv = M9.events_ab_conversion(spark, SF_SMOKE).collect()
+    assert len(conv) == 1
+    r = conv[0]
+    assert all(v is not None for v in r)
+    users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert r["n_control"] + r["n_treatment"] == users
+    assert 0.0 <= r["rate_control"] <= 1.0 and 0.0 <= r["rate_treatment"] <= 1.0
+    assert r["conv_control"] <= r["n_control"]
+    assert r["conv_treatment"] <= r["n_treatment"]
+
+    tt = M9.events_ab_value_ttest(spark, SF_SMOKE).collect()[0]
+    assert all(v is not None for v in tt)
+    assert tt["n_control"] + tt["n_treatment"] == users
+    if tt["welch_df"] > 0:
+        lo = min(tt["n_control"], tt["n_treatment"]) - 1
+        hi = tt["n_control"] + tt["n_treatment"] - 2
+        assert lo - 1e-6 <= tt["welch_df"] <= hi + 1e-6, tt
