@@ -49,6 +49,25 @@ QUERIES_UNDER_TEST = [
     "q1_pricing_summary",
     "q9_nation_profit",
     "q21_sole_returner",
+    # round-5 late-phase additions: the new heavy audits — graded at
+    # 10× with the same plan-shape + scaling questions. Mirror-heavy
+    # regime note applies doubly: lsh_recall_curve and the survivor
+    # audit are PAIR-driven (expect ~100× pair growth, sublinear wall
+    # only because the df-cap/banding bound fan-out), the rest are
+    # row-driven (expect ≤ ~10×).
+    "lsh_recall_curve",
+    "ann_recall_audit",
+    "embedding_hubness",
+    "embedding_knn_graph",
+    "embedding_db_index",
+    "quality_ppl_correlation",
+    "docs_dedup_survivor_quality",
+    "query_likelihood_topk",
+    "source_token_entropy",
+    "docs_template_shingles",
+    "session_path_topk",
+    "minhash_threshold_sweep",
+    "docs_quality_dup_lift",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
