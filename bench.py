@@ -192,6 +192,7 @@ def main() -> None:
         "docs_template_shingles",
         "events_ab_conversion",
         "events_ab_value_ttest",
+        "ann_probe_recall_curve",
     ]
     headline = [q for q in headline if q in QUERIES]
 

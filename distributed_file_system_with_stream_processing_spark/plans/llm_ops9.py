@@ -539,12 +539,162 @@ FROM v
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# ann_probe_recall_curve
+
+_PRC_CELLS = 16
+_PRC_MAXPROBE = 4
+_PRC_K = 5
+
+
+def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-budget tuning curve: candidate recall of the trained
+    cells as a function of the probe count (1..4) - for each exact
+    top-5 neighbor, the rank of ITS cell in the query's
+    distance-ordered cell list says the minimum nprobe that reaches
+    it, and one cumulative rollup prices every probe budget from one
+    pass (the lsh_recall_curve economics applied to the ANN index).
+    This is THE number an IVF operator tunes first: registered
+    ann_ivf_trained fixes nprobe=3; this query shows what 1, 2, and 4
+    would have bought.
+
+    Exactness: cell training/assignment is the proven bit-stable
+    k-means pipeline (same seeds, same integer sums); cell ranking
+    orders by (dist, cell) on lockstep doubles; the exact top-5 is
+    the deterministic brute ranking; counts are exact integers and
+    recall divides once at 6 dp.
+
+    100 TB shape: Lloyd metadata passes + the queries-broadcast brute
+    pass (the audit's ground truth - base never shuffles) + a
+    |Q|*k-row reachability join against the |Q|*maxprobe cell-rank
+    table; the 1-row truth total rides the allow-listed BuildRight
+    broadcast; output is 4 rows.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators import (
+        clustering as C,
+        similarity as S,
+    )
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+    )
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v"))
+    base = e.filter(F.col("id") >= 10)
+    cents = C.kmeans_fit(base, id_col="id", vec_col="v", k=_PRC_CELLS, iters=_KM_ITERS)
+    base_cells = spread(base).selectExpr(
+        "id AS neighbor_id", f"{C._argmin_expr('v', cents)} AS cell"
+    )
+    structs = ",".join(
+        f"named_struct('d', {C._dist_sq('v', c)}, 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    qr = e.filter(F.col("id") < 10).selectExpr(
+        "id AS query_id",
+        f"posexplode(transform(slice(array_sort(array({structs})), 1, {_PRC_MAXPROBE}),"
+        " s -> s.c)) AS (pos, cell)",
+    ).select("query_id", (F.col("pos") + 1).alias("proberank"), "cell")
+    exact = S.cosine_topk(emb, query_ids_below=10, k=_PRC_K).select(
+        "query_id", "neighbor_id"
+    )
+    reach = (
+        exact.join(base_cells, "neighbor_id")
+        .join(broadcast(qr), ["query_id", "cell"], "left")
+        .select("proberank")
+    )
+    found = (
+        reach.filter(F.col("proberank").isNotNull())
+        .select(
+            F.explode(
+                F.sequence(F.col("proberank"), F.lit(_PRC_MAXPROBE))
+            ).alias("probe")
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    grid = spark.range(1, _PRC_MAXPROBE + 1).select(F.col("id").cast("int").alias("probe"))
+    return (
+        grid.join(found, "probe", "left")
+        .crossJoin(broadcast(n_true))
+        .select(
+            F.col("probe").cast("long").alias("probe"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.round(
+                F.coalesce("n_found", F.lit(0)).cast("double") / F.col("n_true"), 6
+            ).alias("candidate_recall"),
+        )
+    )
+
+
+def _probe_recall_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _DOT
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+        _km_dist,
+        _kmeans_oracle_parts,
+    )
+
+    parts = _kmeans_oracle_parts(_PRC_CELLS, _KM_ITERS, e_where=" WHERE vec_id >= 10")
+    return (
+        ",\n".join(parts)
+        + f""",
+qr AS (
+    SELECT query_id, cell, rn AS proberank FROM (
+        SELECT q.vec_id AS query_id, s.c AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_km_dist('q.v', 's.v')}, s.c) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN c{_KM_ITERS} s)
+    WHERE rn <= {_PRC_MAXPROBE}),
+q2 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 10),
+ex_sim AS (
+    SELECT q2.query_id, f.vec_id AS neighbor_id, f.c AS cell,
+           {_DOT.format(a='qv', b='f.v')} /
+           (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='f.v', b='f.v')})) AS s
+    FROM q2 CROSS JOIN fin f),
+ex_rk AS (
+    SELECT query_id, neighbor_id, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM ex_sim),
+ex AS (SELECT query_id, neighbor_id, cell FROM ex_rk WHERE rank <= {_PRC_K}),
+reach AS (
+    SELECT q.proberank
+    FROM ex LEFT JOIN qr q ON ex.query_id = q.query_id AND ex.cell = q.cell
+),
+found AS (
+    SELECT t.p AS probe, count(*) AS n_found
+    FROM reach r JOIN (SELECT unnest(range(1, {_PRC_MAXPROBE + 1})) AS p) t
+      ON r.proberank IS NOT NULL AND t.p >= r.proberank
+    GROUP BY t.p
+),
+nt AS (SELECT count(*) AS n_true FROM ex)
+SELECT CAST(g.p AS BIGINT) AS probe,
+       CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+       CAST(nt.n_true AS BIGINT) AS n_true,
+       round(CAST(coalesce(f.n_found, 0) AS DOUBLE) / nt.n_true, 6) AS candidate_recall
+FROM (SELECT unnest(range(1, {_PRC_MAXPROBE + 1})) AS p) g
+LEFT JOIN found f ON g.p = f.probe
+CROSS JOIN nt
+"""
+    )
+
+
 QUERIES = {
     "query_likelihood_topk": query_likelihood_topk,
     "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
     "docs_template_shingles": docs_template_shingles,
     "events_ab_conversion": events_ab_conversion,
     "events_ab_value_ttest": events_ab_value_ttest,
+    "ann_probe_recall_curve": ann_probe_recall_curve,
 }
 
 ORACLES = {
@@ -553,4 +703,5 @@ ORACLES = {
     "docs_template_shingles": _template_sql(),
     "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
     "events_ab_value_ttest": EVENTS_AB_TTEST_SQL,
+    "ann_probe_recall_curve": _probe_recall_sql(),
 }

@@ -115,6 +115,7 @@ _FRONT = [
     "docs_template_shingles",
     "events_ab_conversion",
     "events_ab_value_ttest",
+    "ann_probe_recall_curve",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

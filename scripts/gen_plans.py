@@ -172,6 +172,7 @@ AUDITED = [
     "docs_template_shingles",
     "events_ab_conversion",
     "events_ab_value_ttest",
+    "ann_probe_recall_curve",
 ]
 
 JOIN_KINDS = (

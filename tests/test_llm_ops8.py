@@ -254,3 +254,21 @@ def test_ab_readouts_are_aa_sane(spark):
         lo = min(tt["n_control"], tt["n_treatment"]) - 1
         hi = tt["n_control"] + tt["n_treatment"] - 2
         assert lo - 1e-6 <= tt["welch_df"] <= hi + 1e-6, tt
+
+
+def test_probe_recall_curve_monotone(spark):
+    """Candidate recall is non-decreasing in the probe budget, probe 4
+    reaches at least the registered nprobe=3 recall, and counts are
+    conserved (n_true = |Q|·k)."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = sorted(
+        M9.ann_probe_recall_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["probe"],
+    )
+    assert [r["probe"] for r in rows] == [1, 2, 3, 4]
+    assert all(r["n_true"] == 50 for r in rows)
+    recalls = [r["candidate_recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    assert recalls[0] > 0.0, "probe 1 must reach some true neighbors"

@@ -183,6 +183,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # the QL ranker's 1-row corpus-length broadcast onto the
         # matched-postings table (the bm25 corpus-stats shape)
         "query_likelihood_topk",
+        # probe curve: inherits the queries-broadcast brute pass + the
+        # 1-row truth-total BuildRight broadcast
+        "ann_probe_recall_curve",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
