@@ -193,6 +193,8 @@ def main() -> None:
         "events_ab_conversion",
         "events_ab_value_ttest",
         "ann_probe_recall_curve",
+        "ivf_cell_balance",
+        "shingle_df_histogram",
     ]
     headline = [q for q in headline if q in QUERIES]
 

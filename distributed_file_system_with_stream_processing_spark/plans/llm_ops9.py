@@ -688,6 +688,152 @@ CROSS JOIN nt
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_balance
+
+_ICB_CELLS = 16
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-population table of the trained IVF index (same cells as
+    ``ann_ivf_trained``): per-cell vector count, share, and the ratio
+    to the ideal uniform share — the index-health diagnostic an ANN
+    operator watches because cell imbalance IS query-latency variance
+    (a probe that lands in a 10x-overfull cell does 10x the re-rank
+    work) and the empirical input to the probe-budget choice
+    ``ann_probe_recall_curve`` prices.
+
+    Exactness: training/assignment are the proven bit-stable k-means
+    pipeline; counts exact integers; share and balance divide once at
+    6 dp (balance = count·k/n — >1 overfull, <1 underfull).
+
+    100 TB shape: Lloyd metadata passes + ONE cell-keyed partial agg
+    over the pure-map assignment (centroids are literals — the
+    assignment stage shuffles nothing); output is k rows.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v"))
+    base = e.filter(F.col("id") >= 10)
+    cents = C.kmeans_fit(base, id_col="id", vec_col="v", k=_ICB_CELLS, iters=_KM_ITERS)
+    cells = spread(base).selectExpr(f"{C._argmin_expr('v', cents)} AS cell")
+    agg = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    return agg.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / total, 6).alias("share"),
+        F.round(
+            F.col("n_vectors").cast("double") * _ICB_CELLS / total, 6
+        ).alias("balance"),
+    )
+
+
+def _cell_balance_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _KM_ITERS,
+        _kmeans_oracle_parts,
+    )
+
+    parts = _kmeans_oracle_parts(_ICB_CELLS, _KM_ITERS, e_where=" WHERE vec_id >= 10")
+    return (
+        ",\n".join(parts)
+        + f""",
+agg AS (SELECT c AS cell, count(*) AS n_vectors FROM fin GROUP BY c)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER (), 6) AS share,
+       round(CAST(n_vectors AS DOUBLE) * {_ICB_CELLS} / sum(n_vectors) OVER (), 6) AS balance
+FROM agg
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle_df_histogram
+
+_SDH_CAP = 50  # the registered dedup_ngram_jaccard doc-frequency cap
+
+
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency distribution of 3-shingles in log2 buckets, with
+    each bucket's share of POSTINGS mass and the cumulative share the
+    registered df≤50 stop-shingle cap (``_SDH_CAP``) would drop — the measured
+    justification for the dedup family's quadratic-blowup guard (a
+    shingle in f docs contributes C(f,2) join pairs; this table shows
+    how much signal mass the cap trades for that bound).
+
+    Exactness: doc frequencies are exact integers (shingle sets are
+    per-doc distinct); bucket = floor(log2(df)) computed as integer
+    bit-length arithmetic is unavailable, so log2 on the exact double
+    int is floor'd identically in both engines; postings mass sums
+    exact integers; shares divide once at 6 dp.
+
+    100 TB shape: one (shingle) partial-agg shuffle (high cardinality,
+    well spread) + a ≤32-row bucket rollup with windows on the tiny
+    aggregate.
+    """
+    from distributed_file_system_with_stream_processing_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = _exploded_shingles(d, "doc_id", "text", 3)
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    bucket = F.floor(F.log2(F.col("df").cast("double"))).cast("long")
+    agg = dfreq.groupBy(bucket.alias("df_bucket")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("postings"),
+        F.sum(F.when(F.col("df") > _SDH_CAP, F.col("df")).otherwise(0)).alias(
+            "postings_over_cap"
+        ),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "df_bucket",
+        "n_shingles",
+        F.col("postings").cast("long").alias("postings"),
+        F.round(F.col("postings").cast("double") / F.sum("postings").over(w), 6).alias(
+            "mass_share"
+        ),
+        F.round(
+            F.col("postings_over_cap").cast("double") / F.sum("postings").over(w), 6
+        ).alias("capped_mass_share"),
+    )
+
+
+def _shingle_df_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _duck_shingles,
+    )
+
+    return f"""
+WITH sh AS ({_duck_shingles(3)}),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+agg AS (
+    SELECT CAST(floor(log2(CAST(df AS DOUBLE))) AS BIGINT) AS df_bucket,
+           count(*) AS n_shingles,
+           sum(df) AS postings,
+           sum(CASE WHEN df > {_SDH_CAP} THEN df ELSE 0 END) AS postings_over_cap
+    FROM dfreq GROUP BY 1
+)
+SELECT df_bucket, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(postings AS BIGINT) AS postings,
+       round(CAST(postings AS DOUBLE) / sum(postings) OVER (), 6) AS mass_share,
+       round(CAST(postings_over_cap AS DOUBLE) / sum(postings) OVER (), 6) AS capped_mass_share
+FROM agg
+"""
+
+
 QUERIES = {
     "query_likelihood_topk": query_likelihood_topk,
     "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
@@ -695,6 +841,8 @@ QUERIES = {
     "events_ab_conversion": events_ab_conversion,
     "events_ab_value_ttest": events_ab_value_ttest,
     "ann_probe_recall_curve": ann_probe_recall_curve,
+    "ivf_cell_balance": ivf_cell_balance,
+    "shingle_df_histogram": shingle_df_histogram,
 }
 
 ORACLES = {
@@ -704,4 +852,6 @@ ORACLES = {
     "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
     "events_ab_value_ttest": EVENTS_AB_TTEST_SQL,
     "ann_probe_recall_curve": _probe_recall_sql(),
+    "ivf_cell_balance": _cell_balance_sql(),
+    "shingle_df_histogram": _shingle_df_sql(),
 }

@@ -116,6 +116,8 @@ _FRONT = [
     "events_ab_conversion",
     "events_ab_value_ttest",
     "ann_probe_recall_curve",
+    "ivf_cell_balance",
+    "shingle_df_histogram",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

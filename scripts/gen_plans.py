@@ -173,6 +173,8 @@ AUDITED = [
     "events_ab_conversion",
     "events_ab_value_ttest",
     "ann_probe_recall_curve",
+    "ivf_cell_balance",
+    "shingle_df_histogram",
 ]
 
 JOIN_KINDS = (

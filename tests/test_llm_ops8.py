@@ -272,3 +272,33 @@ def test_probe_recall_curve_monotone(spark):
     assert recalls == sorted(recalls)
     assert all(0.0 <= x <= 1.0 for x in recalls)
     assert recalls[0] > 0.0, "probe 1 must reach some true neighbors"
+
+
+def test_ivf_cell_balance_conserves(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.ivf_cell_balance(spark, SF_SMOKE).collect()
+    base = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") >= 10)
+        .count()
+    )
+    assert sum(r["n_vectors"] for r in rows) == base
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # balance = share * k: consistent to rounding
+        assert abs(r["balance"] - r["share"] * M9._ICB_CELLS) < 1e-4
+
+
+def test_shingle_df_histogram_mass_identities(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.shingle_df_histogram(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["mass_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # buckets below the cap (df ≤ 50 ⇒ bucket ≤ 5) drop nothing
+        if r["df_bucket"] <= 4:
+            assert r["capped_mass_share"] == 0.0, r
+        assert 0.0 <= r["capped_mass_share"] <= r["mass_share"] + 1e-9
+        assert r["postings"] >= r["n_shingles"]  # df ≥ 1 each
