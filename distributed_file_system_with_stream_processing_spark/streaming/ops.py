@@ -416,7 +416,92 @@ class SessionPathOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp
+@dataclass
+class AbMonitorOp:
+    """Streaming experiment monitor — the sequential twin of the
+    batch ``events_ab_conversion`` readout (plans/llm_ops9): per-user
+    state is two booleans (counted-into-arm?, converted?), each
+    trigger emits arm-level DELTAS (user joined arm, user converted
+    for the first time), and the running per-arm totals downstream
+    are exactly the batch hash-split conversion table at every
+    trigger boundary — the "watch the z-score move as data arrives"
+    surface every experimentation platform serves, with the
+    first-conversion-only rule enforced by state (a re-purchasing
+    user must not inflate the numerator twice).
+
+    Arm assignment replicates the batch portable hash bit-for-bit
+    (first 8 md5 hex chars of 'ab|user_id' mod 2 — functions.text.
+    hash32's contract) in pandas, so streamed and batch arms agree by
+    construction.
+
+    Batch twin (``__call__`` on a bounded df) computes the per-user
+    (arm, converted) table directly.
+    """
+
+    name: str
+    user_col: str = "user_id"
+    type_col: str = "event_type"
+    convert_type: str = "purchase"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        arm = T.hash32(F.concat(F.lit("ab|"), F.col(self.user_col))) % 2
+        return (
+            df.select(
+                F.col(self.user_col).alias("user_id"),
+                arm.alias("arm"),
+                (F.col(self.type_col) == self.convert_type).cast("int").alias("p"),
+            )
+            .groupBy("user_id", "arm")
+            .agg(F.max("p").cast("long").alias("converted"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tcol, conv_type = self.type_col, self.convert_type
+        out_schema = "user_id long, arm long, d_user long, d_conv long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=["user_id", "arm", "d_user", "d_conv"])
+                return
+            pdf = pd.concat(parts)
+            counted, converted = state.get if state.exists else (0, 0)
+            d_user = 0 if counted else 1
+            batch_conv = int((pdf[tcol] == conv_type).any())
+            d_conv = 1 if (batch_conv and not converted) else 0
+            state.update((1, max(converted, batch_conv)))
+            if d_user or d_conv:
+                arm = (
+                    int(hashlib.md5(f"ab|{key[0]}".encode()).hexdigest()[:8], 16) % 2
+                )
+                yield pd.DataFrame(
+                    [(key[0], arm, d_user, d_conv)],
+                    columns=["user_id", "arm", "d_user", "d_conv"],
+                )
+            else:
+                yield pd.DataFrame([], columns=["user_id", "arm", "d_user", "d_conv"])
+
+        return df.groupBy(self.user_col).applyInPandasWithState(
+            update,
+            out_schema,
+            "counted int, converted int",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -528,3 +528,57 @@ def test_session_path_state_spans_triggers_and_splits_sessions(spark, dirs):
     assert got[(1, "view > click > view")] == 1
     # ...and nothing bridged the 40-min gap
     assert not any("purchase > view" in p for (_, p) in got), got
+
+
+def test_ab_monitor_counts_users_and_first_conversions_once(spark, dirs):
+    """AbMonitorOp: per-user (counted, converted) state must emit each
+    user's arm-join delta exactly once and each user's FIRST
+    conversion exactly once across triggers — summed deltas equal the
+    batch hash-split per-user table, and a re-purchase adds nothing."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows1 = [
+        (0, "view", t0, 1),
+        (1, "purchase", t0, 2),   # user 2 converts in trigger 1
+        (2, "view", t0, 3),
+    ]
+    rows2 = [
+        (3, "purchase", t0, 1),   # user 1 converts in trigger 2
+        (4, "purchase", t0, 2),   # user 2 re-purchases: must add 0
+        (5, "view", t0, 4),       # user 4 joins late, never converts
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.AbMonitorOp("ab")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("ab_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        sums: dict[int, list[int]] = {}
+        for r in spark.sql("select * from ab_stream").collect():
+            cur = sums.setdefault(r["user_id"], [r["arm"], 0, 0])
+            assert cur[0] == r["arm"]
+            cur[1] += r["d_user"]
+            cur[2] += r["d_conv"]
+    finally:
+        q.stop()
+
+    batch = {
+        r["user_id"]: [r["arm"], 1, r["converted"]]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert sums == batch
+    # every user counted exactly once; user 2's re-purchase added 0
+    assert all(v[1] == 1 for v in sums.values())
+    assert sums[2][2] == 1 and sums[1][2] == 1 and sums[3][2] == 0 and sums[4][2] == 0
