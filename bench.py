@@ -195,6 +195,8 @@ def main() -> None:
         "ann_probe_recall_curve",
         "ivf_cell_balance",
         "shingle_df_histogram",
+        "docs_ppl_percentiles_by_source",
+        "source_neardup_matrix",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
 
@@ -834,6 +835,181 @@ FROM agg
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# docs_ppl_percentiles_by_source
+
+_PPS_QS = (50, 90)
+_PPS_MICRO = 1_000_000
+
+
+def docs_ppl_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT percentiles (p50/p90) of per-doc unigram-LM
+    log-loss — the threshold-setting table a CCNet-style perplexity
+    filter reads: the cutoff is chosen per source/domain (Wenzek et
+    al. split head/middle/tail AT per-bucket percentiles), so the
+    operational artifact is exactly this, not the global score list
+    ``docs_unigram_perplexity`` emits.
+
+    Exactness: per-doc log-loss micro-quantizes through the
+    established exact pipeline (per-term log-prob rounded once,
+    integer doc fold, one rounded division per doc); percentiles are
+    percentile_disc at row ⌈q·n⌉ over the integer score — every
+    output an actual corpus value; the display columns divide the
+    integers once at 6 dp.
+
+    100 TB shape: the perplexity backbone's three shuffles + one
+    source-keyed rank window over the (doc, score) table (the
+    percentile_disc shape, exact-auditor caveat documented on
+    docs_token_percentiles_by_lang); corpus total on the allow-listed
+    1-row broadcast.
+    """
+    from distributed_file_system_with_stream_processing_spark.functions import text as T
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "source", T.words(F.col("text")).alias("ws"))
+    ex = (
+        toks.select("doc_id", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    l_mu = F.round(
+        F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPS_MICRO
+    ).cast("long")
+    scored = (
+        tf.join(ct, "term")
+        .crossJoin(broadcast(n_tot))
+        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+        .select(
+            "doc_id",
+            F.round(
+                -(F.col("_s").cast("double") / F.col("n_tokens"))
+            ).cast("long").alias("ll_mu"),
+        )
+    )
+    per = scored.join(
+        toks.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("ll_mu", "doc_id")
+    ranked = per.select(
+        "source",
+        "ll_mu",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for q in _PPS_QS:
+        at = F.ceil(F.col("n") * q / 100.0).cast("long")
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("rn") == at, F.col("ll_mu"))).cast("double")
+                / _PPS_MICRO,
+                6,
+            ).alias(f"p{q}_logloss")
+        )
+    return ranked.groupBy("source").agg(*aggs)
+
+
+def _ppl_pct_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
+
+    pct = ", ".join(
+        f"round(CAST(min(CASE WHEN rn = CAST(ceil(n * {q} / 100.0) AS BIGINT)"
+        f" THEN ll_mu END) AS DOUBLE) / {_PPS_MICRO}, 6) AS p{q}_logloss"
+        for q in _PPS_QS
+    )
+    return rf"""
+WITH toks AS (SELECT doc_id, source, {_WS} AS ws FROM documents),
+ex AS (SELECT doc_id, lower(unnest(ws)) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
+nc AS (SELECT sum(ctot) AS n_corpus FROM ct),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(round(-(CAST(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
+                                                    * {_PPS_MICRO}) AS BIGINT)) AS DOUBLE)
+                        / sum(tf.tf))) AS BIGINT) AS ll_mu
+    FROM tf JOIN ct USING (term) CROSS JOIN nc
+    GROUP BY tf.doc_id
+),
+per AS (
+    SELECT t.source, s.ll_mu, s.doc_id
+    FROM scored s JOIN toks t USING (doc_id)
+),
+ranked AS (
+    SELECT source, ll_mu,
+           row_number() OVER (PARTITION BY source ORDER BY ll_mu, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM per
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, {pct}
+FROM ranked GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_neardup_matrix
+
+
+def source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-dup matrix: MinHash-LSH candidate pairs
+    rolled up by (source_a, source_b) — who mirrors whom at the
+    near-dup level, the fuzzy complement of ``cross_source_leakage``
+    (which catches only byte-identical text across sources). The
+    off-diagonal cells are the contamination/syndication map a mixing
+    owner reads before weighting sources independently.
+
+    Semantics: source pair is ordered lexicographically (least,
+    greatest) so a pair is one cell regardless of doc-id order; counts
+    are exact integers over the deterministic candidate set.
+
+    100 TB shape: the banded minhash self-join (never all-pairs) +
+    two broadcast-able doc→source attachments on the PAIR-scale table
+    + a |sources|²-cap rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs).select("doc_id_a", "doc_id_b")
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _source_neardup_sql() -> str:
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
+        _MINHASH_PAIRS_BODY,
+    )
+
+    return (
+        _MINHASH_PAIRS_BODY
+        + """,
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(x.source, y.source) AS source_a,
+       greatest(x.source, y.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN src x ON cand.da = x.doc_id
+JOIN src y ON cand.db = y.doc_id
+GROUP BY 1, 2
+"""
+    )
+
+
 QUERIES = {
     "query_likelihood_topk": query_likelihood_topk,
     "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
@@ -843,6 +1019,8 @@ QUERIES = {
     "ann_probe_recall_curve": ann_probe_recall_curve,
     "ivf_cell_balance": ivf_cell_balance,
     "shingle_df_histogram": shingle_df_histogram,
+    "docs_ppl_percentiles_by_source": docs_ppl_percentiles_by_source,
+    "source_neardup_matrix": source_neardup_matrix,
 }
 
 ORACLES = {
@@ -854,4 +1032,6 @@ ORACLES = {
     "ann_probe_recall_curve": _probe_recall_sql(),
     "ivf_cell_balance": _cell_balance_sql(),
     "shingle_df_histogram": _shingle_df_sql(),
+    "docs_ppl_percentiles_by_source": _ppl_pct_sql(),
+    "source_neardup_matrix": _source_neardup_sql(),
 }

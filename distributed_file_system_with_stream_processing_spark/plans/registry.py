@@ -118,6 +118,8 @@ _FRONT = [
     "ann_probe_recall_curve",
     "ivf_cell_balance",
     "shingle_df_histogram",
+    "docs_ppl_percentiles_by_source",
+    "source_neardup_matrix",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -175,6 +175,8 @@ AUDITED = [
     "ann_probe_recall_curve",
     "ivf_cell_balance",
     "shingle_df_histogram",
+    "docs_ppl_percentiles_by_source",
+    "source_neardup_matrix",
 ]
 
 JOIN_KINDS = (

@@ -302,3 +302,26 @@ def test_shingle_df_histogram_mass_identities(spark):
             assert r["capped_mass_share"] == 0.0, r
         assert 0.0 <= r["capped_mass_share"] <= r["mass_share"] + 1e-9
         assert r["postings"] >= r["n_shingles"]  # df ≥ 1 each
+
+
+def test_ppl_percentiles_ordered(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.docs_ppl_percentiles_by_source(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # log-loss is positive (probabilities < 1) and p50 ≤ p90
+        assert 0.0 < r["p50_logloss"] <= r["p90_logloss"], r
+
+
+def test_source_neardup_matrix_conserves_pairs(spark):
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.source_neardup_matrix(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["n_pairs"] for r in rows)
+    n_pairs = D.minhash_lsh_pairs(load_table(spark, SF_SMOKE, "documents")).count()
+    assert total == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]  # canonical cell ordering

@@ -186,6 +186,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # probe curve: inherits the queries-broadcast brute pass + the
         # 1-row truth-total BuildRight broadcast
         "ann_probe_recall_curve",
+        # inherits the perplexity backbone's 1-row corpus-token-total
+        # BuildRight broadcast
+        "docs_ppl_percentiles_by_source",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
