@@ -197,6 +197,9 @@ def main() -> None:
         "shingle_df_histogram",
         "docs_ppl_percentiles_by_source",
         "source_neardup_matrix",
+        "events_survival_curve",
+        "customer_revenue_gini",
+        "supplier_single_source_parts",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1010,6 +1010,209 @@ GROUP BY 1, 2
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# events_survival_curve
+
+_SURV_DAYS = (1, 3, 7, 14)
+
+
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve: the share of users whose activity span
+    (last event day − first event day) reaches at least d days, for
+    d ∈ {1, 3, 7, 14} — the retention headline the cohort matrix
+    summarizes per cohort and this collapses corpus-wide (S(d) is the
+    number product reviews quote: "day-7 retention").
+
+    Exactness: days are integer epoch-day floors; spans exact integer
+    differences; each user contributes to every threshold ≤ its span
+    via the filtered-literal-array explode (the cumulative-curve
+    trick on a non-contiguous grid); shares divide exact integers
+    once at 6 dp. The user total rides the allow-listed 1-row
+    BuildRight broadcast.
+
+    100 TB shape: one user_id partial-agg shuffle (first/last fold),
+    then a ≤4-row rollup — no window, no second corpus pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long")
+    spans = e.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("span_days")
+    )
+    tot = spans.agg(F.count(F.lit(1)).alias("n_users"))
+    thresholds = F.array(*[F.lit(d) for d in _SURV_DAYS])
+    curve = (
+        spans.select(
+            F.explode(
+                F.filter(thresholds, lambda t: t <= F.col("span_days"))
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_surviving"))
+    )
+    grid = spark.createDataFrame(
+        [(d,) for d in _SURV_DAYS], "day int"
+    )
+    return (
+        grid.join(curve, "day", "left")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.coalesce("n_surviving", F.lit(0)).cast("long").alias("n_surviving"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.coalesce("n_surviving", F.lit(0)).cast("double")
+                / F.col("n_users"),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+EVENTS_SURVIVAL_SQL = f"""
+WITH spans AS (
+    SELECT user_id,
+           max(epoch_us(ts) // 1000000 // 86400)
+           - min(epoch_us(ts) // 1000000 // 86400) AS span_days
+    FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS n_users FROM spans),
+curve AS (
+    SELECT t.d AS day, count(*) AS n_surviving
+    FROM spans s JOIN (SELECT unnest({list(_SURV_DAYS)}) AS d) t
+      ON t.d <= s.span_days
+    GROUP BY t.d
+)
+SELECT CAST(g.d AS BIGINT) AS day,
+       CAST(coalesce(c.n_surviving, 0) AS BIGINT) AS n_surviving,
+       CAST(tot.n_users AS BIGINT) AS n_users,
+       round(CAST(coalesce(c.n_surviving, 0) AS DOUBLE) / tot.n_users, 6) AS survival
+FROM (SELECT unnest({list(_SURV_DAYS)}) AS d) g
+LEFT JOIN curve c ON g.d = c.day
+CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_revenue_gini
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single
+    concentration number next to the Pareto top-k% shares and the
+    HHI: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenue sorted
+    ascending (the exact rank formula, no binning).
+
+    Exactness: revenue is exact integer cents per customer; ranks
+    come from a deterministic (cents, custkey) order; Σ rank·cents
+    folds in DECIMAL(38,0) ↔ HUGEINT; the final expression evaluates
+    once on exact integers and rounds at 6 dp.
+
+    100 TB shape: one custkey partial-agg shuffle, then a GLOBAL rank
+    over the per-customer table — the single-partition sort is this
+    query's honest cost (the percentile_disc caveat): it is the exact
+    AUDITOR; ``events_pareto_users``/``nation_revenue_hhi`` are the
+    scale-path concentration reads.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.select(
+        "cents", F.row_number().over(w).cast("long").alias("rk")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(dec("rk") * dec("cents")).alias("rs"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("rs").cast("double") / (n * F.col("s").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("s") / 100.0, 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+CUSTOMER_GINI_SQL = """
+WITH per AS (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS rk
+    FROM per
+),
+agg AS (
+    SELECT count(*) AS n, sum(cents) AS s,
+           sum(CAST(rk AS HUGEINT) * cents) AS rs
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(s / 100.0, 2) AS total_revenue,
+       round(2.0 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_single_source_parts
+
+
+def supplier_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk histogram: how many parts have been shipped
+    by exactly k distinct suppliers (k = 1 is the single-source risk
+    list every procurement review starts from), with each bucket's
+    share of the part population.
+
+    Exactness: distinct-supplier counts and the histogram are exact
+    integers; shares divide once at 6 dp (window over the tiny
+    histogram).
+
+    100 TB shape: one (partkey, suppkey) distinct shuffle, a partkey
+    rollup on the deduplicated (strictly smaller) set, then a
+    ≤|suppliers|-row histogram.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    per = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    hist = per.groupBy("n_suppliers").agg(F.count(F.lit(1)).alias("n_parts"))
+    share = F.col("n_parts").cast("double") / F.sum("n_parts").over(
+        Window.partitionBy()
+    )
+    return hist.select(
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        "n_parts",
+        F.round(share, 6).alias("share"),
+    )
+
+
+SUPPLIER_SINGLE_SOURCE_SQL = """
+WITH per AS (
+    SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_partkey
+),
+h AS (SELECT n_suppliers, count(*) AS n_parts FROM per GROUP BY n_suppliers)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       round(CAST(n_parts AS DOUBLE) / sum(n_parts) OVER (), 6) AS share
+FROM h
+"""
+
+
 QUERIES = {
     "query_likelihood_topk": query_likelihood_topk,
     "docs_token_percentiles_by_lang": docs_token_percentiles_by_lang,
@@ -1021,6 +1224,9 @@ QUERIES = {
     "shingle_df_histogram": shingle_df_histogram,
     "docs_ppl_percentiles_by_source": docs_ppl_percentiles_by_source,
     "source_neardup_matrix": source_neardup_matrix,
+    "events_survival_curve": events_survival_curve,
+    "customer_revenue_gini": customer_revenue_gini,
+    "supplier_single_source_parts": supplier_single_source_parts,
 }
 
 ORACLES = {
@@ -1034,4 +1240,7 @@ ORACLES = {
     "shingle_df_histogram": _shingle_df_sql(),
     "docs_ppl_percentiles_by_source": _ppl_pct_sql(),
     "source_neardup_matrix": _source_neardup_sql(),
+    "events_survival_curve": EVENTS_SURVIVAL_SQL,
+    "customer_revenue_gini": CUSTOMER_GINI_SQL,
+    "supplier_single_source_parts": SUPPLIER_SINGLE_SOURCE_SQL,
 }

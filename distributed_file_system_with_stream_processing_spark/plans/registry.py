@@ -120,6 +120,9 @@ _FRONT = [
     "shingle_df_histogram",
     "docs_ppl_percentiles_by_source",
     "source_neardup_matrix",
+    "events_survival_curve",
+    "customer_revenue_gini",
+    "supplier_single_source_parts",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

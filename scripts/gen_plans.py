@@ -177,6 +177,9 @@ AUDITED = [
     "shingle_df_histogram",
     "docs_ppl_percentiles_by_source",
     "source_neardup_matrix",
+    "events_survival_curve",
+    "customer_revenue_gini",
+    "supplier_single_source_parts",
 ]
 
 JOIN_KINDS = (

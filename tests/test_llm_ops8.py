@@ -325,3 +325,39 @@ def test_source_neardup_matrix_conserves_pairs(spark):
     assert total == n_pairs
     for r in rows:
         assert r["source_a"] <= r["source_b"]  # canonical cell ordering
+
+
+def test_survival_curve_monotone(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = sorted(
+        M9.events_survival_curve(spark, SF_SMOKE).collect(), key=lambda r: r["day"]
+    )
+    assert [r["day"] for r in rows] == [1, 3, 7, 14]
+    surv = [r["survival"] for r in rows]
+    assert surv == sorted(surv, reverse=True)  # survival only decays
+    users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert all(r["n_users"] == users for r in rows)
+    assert all(0.0 <= x <= 1.0 for x in surv)
+
+
+def test_gini_bounds_and_pareto_consistency(spark):
+    """0 ≤ G < 1, and G agrees in spirit with the Pareto read: if the
+    top decile holds more than 10% of value, G > 0."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    r = M9.customer_revenue_gini(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    assert r["n_customers"] > 0 and r["total_revenue"] > 0
+
+
+def test_single_source_histogram_conserves_parts(spark):
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops9 as M9
+
+    rows = M9.supplier_single_source_parts(spark, SF_SMOKE).collect()
+    total = sum(r["n_parts"] for r in rows)
+    parts = (
+        load_table(spark, SF_SMOKE, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert total == parts
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4

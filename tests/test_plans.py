@@ -189,6 +189,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # inherits the perplexity backbone's 1-row corpus-token-total
         # BuildRight broadcast
         "docs_ppl_percentiles_by_source",
+        # the survival curve's 1-row user-total broadcast onto the
+        # 4-row threshold grid
+        "events_survival_curve",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
