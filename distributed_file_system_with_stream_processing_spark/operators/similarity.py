@@ -182,6 +182,7 @@ def banded_neardup_pairs(
     bands: int = 8,
     rows_per_band: int = 8,
     dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Scale-safe embedding near-duplicate pairs: sign-LSH banding →
     band equi-join candidates → exact cosine verify (id_a < id_b).
@@ -194,12 +195,29 @@ def banded_neardup_pairs(
     vectors share every band, so recall 1.0 on true duplicates) and is
     pinned vs brute force in tests/test_ann.py.
 
+    ``bucket_cap`` (the shingle df≤50 stance applied to sign-LSH band
+    buckets): when set, a bucket pair is generated only if its
+    LOWER-id member ranks ≤ cap in the bucket's id order — i.e. the
+    cap lowest-id members act as the bucket's representatives and
+    pair with EVERYONE, everyone else pairs only with them. Per-bucket
+    fan-out drops from C(|bucket|,2) (quadratic — the sf1 rehearsal
+    measured a 311× pair inflation when mirrored replicas flooded
+    buckets) to ≤ cap·|bucket| (linear, the minimum that keeps every
+    member attached), and CC connectivity on true-duplicate floods is
+    PRESERVED: every member still pairs with representative #1 at
+    cosine 1. Deterministic (id order), mirrored by the oracle's
+    row_number CTE; recall vs the uncapped twin is pinned on planted
+    fixtures in tests/test_ann.py.
+
     100 TB shape: per-vector signature is a narrow map (bands ×
     rows_per_band dot products, whole-stage codegen); candidates come
     from an equi-join on (band_id, band_key) — high-cardinality keys
     (``rows_per_band`` bits per band; raise to 16 bits at petabyte
     corpus sizes), no crossJoin / broadcast of the table, per-bucket
-    fan-out C(bucket,2) bounded by band width. The brute-force twin
+    fan-out C(bucket,2) bounded by band width (and hard-capped at
+    C(bucket_cap,2) when set — the rank window shuffles on the same
+    (band_id, band_key) key the self-join needs, so the cap adds no
+    extra corpus Exchange). The brute-force twin
     ``cosine_neardup_pairs`` stays registered as
     ``embedding_neardup_exact`` — the correctness baseline.
     """
@@ -252,7 +270,19 @@ def banded_neardup_pairs(
         .filter(F.col("bk").isNotNull())
         .select("id", "v", "nrm", "bk.band_id", "bk.band_key")
     )
-    a = sig.select(
+    sig_a = sig
+    if bucket_cap is not None:
+        # Lower-id side only: rank within the bucket shuffles on the
+        # SAME (band_id, band_key) key the self-join uses, so the cap
+        # costs no extra corpus Exchange. The b-side stays full —
+        # every member keeps its link to the representatives.
+        wb = Window.partitionBy("band_id", "band_key").orderBy("id")
+        sig_a = (
+            sig.withColumn("_rnk", F.row_number().over(wb))
+            .filter(F.col("_rnk") <= bucket_cap)
+            .drop("_rnk")
+        )
+    a = sig_a.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
         "band_id", "band_key",
     )

@@ -669,7 +669,34 @@ def _planes_values_sql(dim: int, planes: int) -> str:
 
 # band_key bit r of band b comes from plane b·8+r — pid//8 groups,
 # 1<<(pid%8) weights, matching banded_neardup_pairs exactly
-EMBEDDING_NEARDUP_SQL = f"""
+def _banded_neardup_body(bucket_cap: int | None = None) -> str:
+    """CTE chain ``e → planes → bit → sig → cand → s`` — the oracle
+    twin of ``similarity.banded_neardup_pairs``. ``bucket_cap``
+    mirrors the operator's (band_id, band_key) bucket cap: a pair is
+    generated only if its LOWER-id member ranks ≤ cap in the bucket's
+    id order (row_number CTE, the deterministic id order both engines
+    share) — per-bucket fan-out ≤ cap·|bucket|, connectivity to the
+    representatives preserved."""
+    if bucket_cap is None:
+        cand = """cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sig a JOIN sig b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                         AND a.vec_id < b.vec_id
+)"""
+    else:
+        cand = f"""sigc AS (
+    SELECT vec_id, band_id, band_key,
+           row_number() OVER (PARTITION BY band_id, band_key
+                              ORDER BY vec_id) AS rnk
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sigc a JOIN sig b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                          AND a.vec_id < b.vec_id
+    WHERE a.rnk <= {bucket_cap}
+)"""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 planes(pid, pv) AS (VALUES
 {_planes_values_sql(64, 64)}
@@ -684,20 +711,22 @@ sig AS (
     SELECT vec_id, pid // 8 AS band_id, SUM(contrib) AS band_key
     FROM bit GROUP BY vec_id, pid // 8
 ),
-cand AS (
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM sig a JOIN sig b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                         AND a.vec_id < b.vec_id
-),
+{cand},
 s AS (
     SELECT c.id_a, c.id_b,
            {_DOT.format(a='ea.v', b='eb.v')} /
            (sqrt({_DOT.format(a='ea.v', b='ea.v')}) * sqrt({_DOT.format(a='eb.v', b='eb.v')})) AS sim
     FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
-)
+)"""
+
+
+EMBEDDING_NEARDUP_SQL = (
+    _banded_neardup_body()
+    + """
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
 """
+)
 
 
 # ann_lsh_bucketed: same portable-plane trick upgrades it from

@@ -451,13 +451,18 @@ def _km_dist(v: str, cv: str) -> str:
     )
 
 
-def _kmeans_oracle_parts(k: int, iters: int, e_where: str = "") -> list[str]:
+def _kmeans_oracle_parts(k: int | str, iters: int, e_where: str = "") -> list[str]:
     """The unrolled-Lloyd CTE chain ending in ``fin(vec_id, v, c)`` —
     shared by the kmeans-assign oracle, llm_ops3's SemDeDup-over-
     cells oracle, and the trained-IVF ANN oracle (same bit-stable
     pipeline, different epilogue). ``e_where`` restricts the training
     set (the IVF path trains on base vectors only); the final
-    centroid CTE is named ``c{iters}`` for epilogues that need it."""
+    centroid CTE is named ``c{iters}`` for epilogues that need it.
+
+    ``k`` may be a SQL scalar-subquery string (e.g. the ⌈√n⌉ rule the
+    kNN-graph family uses so cell count scales with the corpus); only
+    the seed CTE depends on k, so the rest of the chain is unchanged —
+    assignment cross-joins whatever seed rows exist."""
     sums = ", ".join(
         f"sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}"
         for i in range(_DIM)
@@ -473,11 +478,18 @@ def _kmeans_oracle_parts(k: int, iters: int, e_where: str = "") -> list[str]:
         FROM e CROSS JOIN {cents} s)
     WHERE rn = 1)"""
 
+    if isinstance(k, str):
+        seed = f"""seed AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+    FROM e
+    QUALIFY row_number() OVER (ORDER BY vec_id) <= ({k}))"""
+    else:
+        seed = f"""seed AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""
     parts = [
         f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{e_where})",
-        f"""seed AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+        seed,
     ]
     cents = "seed"
     for t in range(iters):
@@ -705,6 +717,9 @@ FROM pv GROUP BY label
 # semantic_dedup
 
 
+_SEM_DEDUP_BUCKET_CAP = 50
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): for
     every vector, its semantic-duplicate group and whether it is the
@@ -716,7 +731,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster via the left join + coalesce, so the output covers the
     WHOLE table (the downstream filter is just ``WHERE keep``).
 
-    Oracle: the near-dup SQL's candidate body + recursive-CTE
+    Pair-blowup bound: candidate generation runs with the band-bucket
+    cap (the shingle df≤50 stance applied to sign-LSH buckets): a
+    bucket pair is generated only if its lower-id member is among the
+    bucket's ``_SEM_DEDUP_BUCKET_CAP`` lowest ids, so per-bucket
+    fan-out is ≤ cap·|bucket| — LINEAR in bucket size, the minimum
+    that keeps every member attached — instead of C(|bucket|,2): the
+    10× rehearsal's mirrored replicas inflated uncapped pairs 311×
+    (21.7× wall) precisely because replica floods share every band.
+    Connectivity on true-duplicate floods is preserved (every member
+    still pairs with representative #1 at cosine 1, so the CC and the
+    keep-list are UNCHANGED for exact-dup floods); recall vs the
+    uncapped twin is pinned on planted fixtures (tests/test_ann.py).
+
+    Oracle: the capped near-dup candidate body + recursive-CTE
     transitive closure, the dedup_clusters pattern on embedding pairs.
     """
     from distributed_file_system_with_stream_processing_spark.operators import dedup as D
@@ -724,7 +752,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.banded_neardup_pairs(
-        emb, threshold=0.35, bands=8, rows_per_band=8, dim=64
+        emb, threshold=0.35, bands=8, rows_per_band=8, dim=64,
+        bucket_cap=_SEM_DEDUP_BUCKET_CAP,
     )
     cc = D.connected_components(pairs, src="id_a", dst="id_b")
     return (
@@ -740,10 +769,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_sql() -> str:
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
-        EMBEDDING_NEARDUP_SQL,
+        _banded_neardup_body,
     )
 
-    body = EMBEDDING_NEARDUP_SQL.rsplit("SELECT id_a, id_b", 1)[0].rstrip().rstrip(",")
+    body = _banded_neardup_body(bucket_cap=_SEM_DEDUP_BUCKET_CAP)
     return (
         body.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
         + """,

@@ -23,6 +23,8 @@ Ops here (all oracled):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -675,7 +677,23 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM s GROUP BY bin
 # embedding_knn_graph
 
 _KNN_G_K = 3
-_KNN_G_CELLS = 16
+# Dynamic cell count: cells = ⌈√n⌉ (both engines; see _knn_cells /
+# _KNN_CELLS_SQL). Fixing the cell count was the one measured scale
+# bug in the suite — Σ|cell|² pair work goes quadratic in the corpus
+# (7.4×/11.2× wall at the 10× rehearsal with 16 pinned cells); with
+# √n cells the per-cell population is √n, pair work is n^1.5/…
+# bounded, and at real scale the operator takes cells as an explicit
+# corpus-sized parameter (SemDeDup's 50k cells on LAION).
+_KNN_CELLS_SQL = "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e"
+
+
+def _knn_cells(n: int) -> int:
+    """⌈√n⌉ via integer isqrt — matches the oracle's ceil(sqrt(n))
+    exactly for every realistic n (IEEE sqrt is correctly rounded and
+    √(m²−1) sits ~1/(2m) below m, far beyond half-ULP, so the FP ceil
+    never disagrees with the integer one)."""
+    k = math.isqrt(max(n, 1))
+    return k + (1 if k * k < n else 0)
 
 
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,9 +713,12 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.ivf_index_prepare).
 
     100 TB shape: Lloyd metadata shuffles + ONE corpus shuffle on
-    ``cell`` for the self-join + the per-query top-k window; at scale
-    the cell count grows with the corpus (SemDeDup's 50k cells on
-    LAION) so cells stay bounded.
+    ``cell`` for the self-join + the per-query top-k window. The cell
+    count GROWS with the corpus — cells = ⌈√n⌉ in both engines (one
+    metadata count() job to size it), so per-cell population is ~√n
+    and the self-join fan-out is bounded; at real scale the operator
+    takes cells as an explicit corpus-sized parameter (SemDeDup's 50k
+    cells on LAION keep cells O(1)-sized, making pair work linear).
     """
     from distributed_file_system_with_stream_processing_spark.functions import (
         vector as V,
@@ -710,7 +731,8 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = C.kmeans_fit(emb, k=_KNN_G_CELLS, iters=_KM_ITERS)
+    cells = _knn_cells(emb.count())
+    cents = C.kmeans_fit(emb, k=cells, iters=_KM_ITERS)
     assigned = C.ivf_index_prepare(emb, cents)
     a = assigned.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
@@ -746,7 +768,7 @@ def _knn_graph_cte() -> str:
 
     dot = _DOT
     return (
-        ",\n".join(_kmeans_oracle_parts(_KNN_G_CELLS, _KM_ITERS))
+        ",\n".join(_kmeans_oracle_parts(_KNN_CELLS_SQL, _KM_ITERS))
         + f""",
 sim AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -838,7 +838,12 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_b",
         F.round(F.col("est_jaccard") * _MH_SWEEP_HASHES).cast("long").alias("agree"),
     )
-    pairs = pairs.filter(F.col("agree") >= _MH_SWEEP_MIN_AGREE).persist()
+    # No persist: the builder returns a lazy plan, so a persist here
+    # would pin the pair table in executor memory for the rest of the
+    # session (bench runs many queries per session). The post-filter
+    # table is small; recomputing it for the second aggregation is
+    # cheaper than the leak.
+    pairs = pairs.filter(F.col("agree") >= _MH_SWEEP_MIN_AGREE)
     lo = F.lit(_MH_SWEEP_MIN_AGREE)
     dropped = (
         pairs.groupBy(F.col("doc_id_b").alias("drop_id"))
@@ -992,9 +997,13 @@ def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt((n * F.col("sxx") - dec("sx") * dec("sx")).cast("double")) * F.sqrt(
         (n * F.col("syy") - dec("sy") * dec("sy")).cast("double")
     )
+    # Zero variance in either signal ⇒ r undefined ⇒ pin to 0.0 (the
+    # NULL-free output contract: the driver's value-hash cannot order
+    # NULLs). den > 0 is evaluated on the exact integer sums, so the
+    # guard itself never divides.
     return sums.select(
         F.col("n").cast("long").alias("n_docs"),
-        F.round(num / den, 6).alias("pearson_r"),
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("pearson_r"),
     )
 
 
@@ -1038,10 +1047,13 @@ s AS (
     FROM j
 )
 SELECT CAST(n AS BIGINT) AS n_docs,
-       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
-       6) AS pearson_r
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+            THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                          * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+                  6)
+            ELSE CAST(0.0 AS DOUBLE) END AS pearson_r
 FROM s
 """
 

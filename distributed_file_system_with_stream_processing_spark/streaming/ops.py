@@ -347,6 +347,12 @@ class SessionPathOp:
             return self.stream_apply(df)
         from pyspark.sql import Window
 
+        # Null contract (shared with stream_apply): a NULL event_type
+        # row does not exist — it neither extends a path nor moves the
+        # inactivity clock. Without this the twins diverge: concat_ws
+        # silently skips NULLs (emitting 2-step "3-paths") while the
+        # streaming ' > '.join raises on None.
+        df = df.filter(F.col(self.type_col).isNotNull())
         w = Window.partitionBy(self.user_col).orderBy(self.ts_col, self.id_col)
         sec = F.col(self.ts_col).cast("long")
         gap = sec - F.lag(sec).over(w)
@@ -386,7 +392,13 @@ class SessionPathOp:
             if not parts:
                 yield pd.DataFrame([], columns=["user_id", "path", "delta"])
                 return
+            # Null contract: drop NULL event_type rows entirely (see
+            # the batch twin) — they must not touch paths or last_sec.
             pdf = pd.concat(parts).sort_values([tscol, idcol])
+            pdf = pdf[pdf[tcol].notna()]
+            if not len(pdf):
+                yield pd.DataFrame([], columns=["user_id", "path", "delta"])
+                return
             t2, t1, last_sec = state.get if state.exists else (None, None, None)
             tail = [t for t in (t2, t1) if t is not None]
             counts: dict[str, int] = {}

@@ -8,6 +8,12 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
+
+# Make the usage line work as written: only scripts/ is on sys.path
+# when invoked as `python scripts/dev_check.py ...`, so the repo root
+# (for `tests` and the package) must be inserted explicitly.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
 

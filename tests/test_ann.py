@@ -546,3 +546,103 @@ def test_opq_alternating_recall_holds_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, recall
+
+
+# -- band-bucket cap (round-6 VERDICT item 3): the pair-blowup guard
+# -- for semantic_dedup. A planted flood of identical vectors shares
+# -- every band bucket, so the uncapped pair table is C(m,2) per band
+# -- while the capped one is linear — and connectivity to the flood's
+# -- representative must survive the cap.
+
+
+def _flood_emb(spark, n_flood: int = 12, n_rest: int = 8):
+    rows = [(i, _vec(7)) for i in range(n_flood)]  # identical flood
+    rows += [(100 + j, _vec(j * 100 + 3)) for j in range(n_rest)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bucket_cap_bounds_flood_pairs(spark):
+    """cap=3 on a 12-member identical flood: pair (a,b) survives iff
+    the lower id ranks ≤3 in the shared bucket ⇒ exactly the pairs
+    whose lower id ∈ {0,1,2} — 3·12−C(4,2) = 30 flood pairs instead
+    of C(12,2) = 66, and the surviving set is EXACTLY predictable."""
+    emb = _flood_emb(spark)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.banded_neardup_pairs(
+            emb, threshold=0.999, bands=4, rows_per_band=4, dim=16, bucket_cap=3
+        ).collect()
+        if r["id_a"] < 12 and r["id_b"] < 12
+    }
+    expected = {(a, b) for a in range(3) for b in range(a + 1, 12)}
+    assert capped == expected
+
+
+def test_bucket_cap_is_subset_and_disengages(spark):
+    """Capped ⊆ uncapped always; a cap at least as large as the
+    biggest bucket changes NOTHING (identity when disengaged) — the
+    guard only fires on genuine floods."""
+    emb = _flood_emb(spark)
+    unc = {
+        (r["id_a"], r["id_b"])
+        for r in S.banded_neardup_pairs(
+            emb, threshold=0.35, bands=4, rows_per_band=4, dim=16
+        ).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"])
+        for r in S.banded_neardup_pairs(
+            emb, threshold=0.35, bands=4, rows_per_band=4, dim=16, bucket_cap=3
+        ).collect()
+    }
+    assert cap <= unc
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in S.banded_neardup_pairs(
+            emb, threshold=0.35, bands=4, rows_per_band=4, dim=16, bucket_cap=1000
+        ).collect()
+    }
+    assert wide == unc
+
+
+def test_bucket_cap_preserves_flood_connectivity(spark):
+    """The CC downstream must still collapse an identical-vector
+    flood into ONE cluster under the cap: every member pairs with
+    representative #1 (cosine 1 ≥ threshold) even when the quadratic
+    middle is gone."""
+    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+
+    emb = _flood_emb(spark)
+    pairs = S.banded_neardup_pairs(
+        emb, threshold=0.999, bands=4, rows_per_band=4, dim=16, bucket_cap=3
+    )
+    cc = D.connected_components(pairs, src="id_a", dst="id_b")
+    got = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert {got[i] for i in range(12)} == {0}
+
+
+def test_bucket_cap_recall_pinned_on_near_dups(spark):
+    """Recall of the capped operator vs its uncapped twin on the
+    NEAR-dup (not just exact-dup) planted set: the flood plus slight
+    perturbations of it — the capped set must retain every pair that
+    connects a perturbed member to some rank-≤cap representative,
+    i.e. recall of flood-membership (does vector x get ANY edge into
+    the flood?) is 1.0."""
+    base = _vec(7)
+    rows = [(i, base) for i in range(10)]
+    rows += [
+        (50 + j, [v + (0.001 * (j + 1)) for v in base]) for j in range(5)
+    ]  # near-dups of the flood
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    unc = S.banded_neardup_pairs(
+        emb, threshold=0.99, bands=4, rows_per_band=4, dim=16
+    ).collect()
+    cap = S.banded_neardup_pairs(
+        emb, threshold=0.99, bands=4, rows_per_band=4, dim=16, bucket_cap=3
+    ).collect()
+    def touched(pairs):
+        t = set()
+        for r in pairs:
+            t.add(r["id_a"]); t.add(r["id_b"])
+        return t
+    assert touched(cap) == touched(unc)  # nobody orphaned by the cap

@@ -106,18 +106,18 @@ def test_registry_front_loads_unchecked_queries():
     names = list(R.QUERIES)
     assert names[: len(R._FRONT)] == R._FRONT
     assert len(R._FRONT) <= 50, len(R._FRONT)
-    # round 5 policy (r4 verdict item 2): any query whose plan or
-    # oracle changed since its last green driver row sorts first —
-    # the four gate_broadcast-edited queries, then this round's
-    # plan/oracle edits, then every round-5 addition
+    # round 6 policy (r5 verdict item 6): _FRONT = {no driver row yet}
+    # ∪ {plan/oracle changed since last green row}, nothing else — the
+    # r5 overflow to 51 entries cost supplier_single_source_parts its
+    # driver row, so it leads this round.
     must_front = {
-        # gate_broadcast plan edits postdate their r3 green rows
-        "minhash_jaccard_estimate", "minhash_containment",
-        "cross_source_leakage", "embedding_kmeans_assign",
-        # changed this round
-        "customer_rfm_segments", "ann_opq_topk",
-        "neardup_communities", "neardup_degree_stats",
-        "neardup_triangle_stats", "neardup_khop_reach",
-        "neardup_pagerank",
+        # unchecked: the query the r5 overflow rotated out
+        "supplier_single_source_parts",
+        # changed this round (r6)
+        "embedding_knn_graph",
+        "embedding_hubness",
+        "semantic_dedup",
+        "quality_ppl_correlation",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
+    assert R._FRONT[0] == "supplier_single_source_parts"

@@ -582,3 +582,57 @@ def test_ab_monitor_counts_users_and_first_conversions_once(spark, dirs):
     # every user counted exactly once; user 2's re-purchase added 0
     assert all(v[1] == 1 for v in sums.values())
     assert sums[2][2] == 1 and sums[1][2] == 1 and sums[3][2] == 0 and sums[4][2] == 0
+
+
+def test_session_path_null_event_type_contract(spark, dirs):
+    """Null contract (ADVICE r5): a NULL event_type row does not exist
+    for either twin — it must not extend a path, not reset or extend
+    the inactivity clock, and never crash the streaming join. Both
+    twins must equal the run with the null rows removed."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (0, "view", at(0), 1),
+        (1, None, at(1), 1),      # must vanish entirely
+        (2, "click", at(2), 1),
+        (3, None, at(3), 1),
+        (4, "purchase", at(4), 1),
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows, schema), dirs["src"])
+
+    op = O.SessionPathOp("paths_null")
+    batch = {
+        (r["user_id"], r["path"]): r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    clean = [r for r in rows if r[1] is not None]
+    batch_clean = {
+        (r["user_id"], r["path"]): r["delta"]
+        for r in op(spark.createDataFrame(clean, schema)).collect()
+    }
+    assert batch == batch_clean == {(1, "view > click > purchase"): 1}
+
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("paths_null_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from paths_null_stream").collect():
+            k = (r["user_id"], r["path"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+    assert got == batch
