@@ -62,6 +62,71 @@ def _argmin_expr(vec_col: str, cents: list[list[float]]) -> str:
     return f"array_min(array({structs})).c"
 
 
+# Above this many centroids the interpreted-HOF argmin becomes the
+# dominant cost (k struct subtrees × dim HOF ops per row ≈ 100 ns/op;
+# measured 17.9 s for ONE pass over 20k rows at k=142), so assignment
+# switches to the numpy kernel below. Below it, the HOF plan is fast
+# enough and keeps small-SF plans byte-identical to earlier rounds.
+_NP_ASSIGN_MIN_K = 33
+
+
+def _assign_np(df: DataFrame, cents: list[list[float]], out: str) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched numpy kernel —
+    BIT-IDENTICAL to ``_argmin_expr`` by construction:
+
+    - squared distance accumulates per-dim LEFT TO RIGHT — the numpy
+      loop adds one elementwise column at a time, so every row's fold
+      order equals the HOF's sequential ``aggregate`` (0.0 + t0 ≡ t0
+      for the non-negative squares, then (..+t_i)+t_{i+1});
+    - ties break to the LOWEST centroid id — np.argmin returns the
+      first minimum, matching the (d, c) struct ordering.
+
+    Vectorizing ACROSS ROWS instead of across dims preserves the
+    per-row IEEE order while recovering numpy speed: the same 20k×142
+    assignment that costs ~18 s interpreted runs in well under a
+    second. Equality with the HOF path is pinned in
+    tests/test_ann.py::test_np_assignment_matches_hof.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    carr = [np.asarray(c, dtype=np.float64) for c in cents]
+    schema = StructType(list(df.schema.fields) + [StructField(out, IntegerType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+            dists = np.empty((len(carr), vm.shape[0]), dtype=np.float64)
+            for j, c in enumerate(carr):
+                sq = vm - c
+                sq *= sq
+                acc = sq[:, 0].copy()
+                for d in range(1, sq.shape[1]):
+                    acc += sq[:, d]
+                dists[j] = acc
+            res = pdf.copy()
+            res[out] = np.argmin(dists, axis=0).astype("int32")
+            yield res
+
+    return df.mapInPandas(gen, schema)
+
+
+def assign_cells(df: DataFrame, cents: list[list[float]], out: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment for a (…, v) frame: the parsed HOF
+    expression below ``_NP_ASSIGN_MIN_K`` centroids (plan unchanged
+    from earlier rounds), the bit-identical numpy kernel above it —
+    the kernel choice never changes a single output bit, only the
+    wall clock, so oracles and driver hashes are invariant to it."""
+    if len(cents) >= _NP_ASSIGN_MIN_K:
+        return _assign_np(df, cents, out)
+    cols = [c for c in df.columns]
+    return df.selectExpr(
+        *cols, f"CAST({_argmin_expr('v', cents)} AS INT) AS {out}"
+    )
+
+
 def _init_centroids(e: DataFrame, k: int) -> list[list[float]]:
     """Deterministic seed: the k lowest-id vectors (metadata-scale
     collect — k·dim doubles, the MLlib centroid-on-driver model)."""
@@ -75,7 +140,7 @@ def _update_centroids(
     """One Lloyd update: assignment (pure map) + per-cluster exact
     integer component sums; means computed driver-side with the
     oracle-identical division sequence."""
-    assigned = e.selectExpr(f"{_argmin_expr('v', cents)} AS c", "v")
+    assigned = assign_cells(e.select("v"), cents, out="c").select("c", "v")
     sums = assigned.groupBy("c").agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -137,8 +202,8 @@ def kmeans_assign(
     output, so the oracle hash is float-free by construction."""
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     cents = kmeans_fit(emb, id_col, vec_col, k, iters, dim)
-    return _spread(e).selectExpr(
-        "id AS vec_id", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
+    return assign_cells(_spread(e), cents, out="cluster").selectExpr(
+        "id AS vec_id", "CAST(cluster AS BIGINT) AS cluster"
     )
 
 
@@ -805,9 +870,7 @@ def ivf_index_prepare(
     centroids are literals, so assignment shuffles nothing and the
     prepared rows upsert straight into a cell-bucketed index."""
     e = vecs.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    return _spread(e).selectExpr(
-        "id", "v", f"CAST({_argmin_expr('v', cents)} AS INT) AS cell"
-    )
+    return assign_cells(_spread(e), cents, out="cell")
 
 
 def ivf_index_query(

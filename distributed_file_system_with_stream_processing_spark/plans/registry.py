@@ -24,6 +24,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops7,
     llm_ops8,
     llm_ops9,
+    llm_ops10,
     rainstorm_queries,
 )
 
@@ -44,6 +45,7 @@ _MODULES = (
     llm_ops7,
     llm_ops8,
     llm_ops9,
+    llm_ops10,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -70,6 +72,18 @@ _FRONT = [
     "semantic_dedup",  # band-bucket pair cap (r5 verdict #3)
     "quality_ppl_correlation",  # zero-variance NULL guard (ADVICE r5)
     # 3. new round-6 queries (appended as they land)
+    "docs_stopword_profile",
+    "docs_hapax_by_source",
+    "docs_compression_proxy",
+    "docs_prefix_dup_rate",
+    "docs_casefold_dup_lift",
+    "docs_sentence_length_profile",
+    "events_retention_matrix",
+    "events_funnel_dropoff_time",
+    "events_burstiness",
+    "events_hour_entropy_by_type",
+    "events_lag1_autocorr",
+    "events_value_benford",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

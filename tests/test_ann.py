@@ -646,3 +646,50 @@ def test_bucket_cap_recall_pinned_on_near_dups(spark):
             t.add(r["id_a"]); t.add(r["id_b"])
         return t
     assert touched(cap) == touched(unc)  # nobody orphaned by the cap
+
+
+def test_np_assignment_matches_hof(spark):
+    """The numpy assignment kernel must be BIT-identical to the HOF
+    argmin on real vectors: same per-dim sequential accumulation,
+    same first-min tie-break. Run both kernels on the same centroids
+    (forcing each path explicitly) and demand zero mismatches."""
+    from pyspark.sql import functions as F
+
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = C._init_centroids(e, 40)  # above _NP_ASSIGN_MIN_K
+    hof = e.selectExpr(
+        "id", f"CAST({C._argmin_expr('v', cents)} AS INT) AS cell"
+    )
+    np_ = C._assign_np(e, cents, out="cell").select("id", "cell")
+    joined = hof.withColumnRenamed("cell", "a").join(
+        np_.withColumnRenamed("cell", "b"), "id"
+    )
+    assert joined.filter("a <> b").count() == 0
+    assert joined.count() == e.count()
+
+
+def test_assign_cells_gate_picks_kernel(spark):
+    """assign_cells must keep the parsed-HOF plan below the gate (no
+    Python stage — small-SF plans stay byte-identical to earlier
+    rounds) and switch to mapInPandas at or above it."""
+    from pyspark.sql import functions as F
+
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+    )
+    small = C.assign_cells(e, C._init_centroids(e, 8))
+    big = C.assign_cells(e, C._init_centroids(e, C._NP_ASSIGN_MIN_K))
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
