@@ -200,6 +200,32 @@ def main() -> None:
         "events_survival_curve",
         "customer_revenue_gini",
         "supplier_single_source_parts",
+        # round-6 additions
+        "docs_stopword_profile",
+        "docs_hapax_by_source",
+        "docs_compression_proxy",
+        "docs_prefix_dup_rate",
+        "docs_casefold_dup_lift",
+        "docs_sentence_length_profile",
+        "events_retention_matrix",
+        "events_funnel_dropoff_time",
+        "events_burstiness",
+        "events_hour_entropy_by_type",
+        "events_lag1_autocorr",
+        "events_value_benford",
+        "customer_revenue_gini_binned",
+        "supplier_part_concentration",
+        "part_brand_price_dispersion",
+        "customer_mktsegment_value_gap",
+        "supplier_acctbal_quartiles",
+        "orders_weekday_seasonality",
+        "nation_trade_balance",
+        "embedding_dim_kurtosis",
+        "embedding_centroid_shift",
+        "embedding_intrinsic_dim",
+        "docs_ngram_novelty_curve",
+        "docs_token_bigram_entropy",
+        "docs_numeric_density",
     ]
     headline = [q for q in headline if q in QUERIES]
 

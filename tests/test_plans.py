@@ -192,6 +192,13 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # the survival curve's 1-row user-total broadcast onto the
         # 4-row threshold grid
         "events_survival_curve",
+        # casefold lift: the raw-key and normalized-key 1-row dup
+        # totals cross-join into the single output row — two 1-row
+        # BuildRight broadcasts, zero fan-out
+        "docs_casefold_dup_lift",
+        # novelty curve: the 1-row max-doc-id broadcast attaches the
+        # decile denominator to every gram row (the tfidf N shape)
+        "docs_ngram_novelty_curve",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
