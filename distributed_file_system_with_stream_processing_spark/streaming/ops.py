@@ -513,7 +513,236 @@ class AbMonitorOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp
+@dataclass
+class BenfordMonitorOp:
+    """Streaming first-digit monitor — the sequential twin of the
+    batch ``events_value_benford`` histogram (plans/llm_ops10):
+    per-digit state is one running count; each trigger emits
+    (digit, delta) rows whose downstream running sums equal the batch
+    digit histogram at every trigger boundary — the always-on
+    synthetic-data/fraud canary (watch the distribution bend away
+    from Benford as a bad feed lands).
+
+    The digit replicates the batch rule bit-for-bit: the first
+    character of the DECIMAL STRING of exact integer cents
+    (round(value·100)), never float log10; non-positive cents are
+    dropped in both twins.
+
+    Batch twin (``__call__`` on a bounded df) computes the histogram
+    directly (digit, n_events).
+    """
+
+    name: str
+    value_col: str = "value"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        cents = F.round(F.col(self.value_col) * 100).cast("long")
+        return (
+            df.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .select(
+                F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("long")
+                .alias("digit")
+            )
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        vcol = self.value_col
+        out_schema = "digit long, delta long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=["digit", "delta"])
+                return
+            n = sum(len(p) for p in parts)
+            (total,) = state.get if state.exists else (0,)
+            state.update((total + n,))
+            yield pd.DataFrame([(key[0], n)], columns=["digit", "delta"])
+
+        cents = F.round(F.col(vcol) * 100).cast("long")
+        digits = (
+            df.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .select(
+                F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("long")
+                .alias("digit")
+            )
+        )
+        return digits.groupBy("digit").applyInPandasWithState(
+            update,
+            out_schema,
+            "total long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class RetentionMatrixOp:
+    """Streaming weekly-retention triangle — the incremental twin of
+    the batch ``events_retention_matrix`` (plans/llm_ops10): per-user
+    state is (cohort_week, seen-offset bitmask) — O(1), one long each
+    — and each trigger emits a (cohort_week, week_offset, +1) delta
+    the FIRST time a user is active at that offset, so the downstream
+    running sums equal the batch triangle at every trigger boundary
+    for offsets < 64 (the bitmask width; a year-plus of weekly
+    offsets).
+
+    Parity argument: weeks are tz-free integer epoch_sec // 604800 in
+    both twins; the cohort is the minimum week the STREAM has seen,
+    which equals the batch min when arrivals respect per-user event
+    time (the chaining ops' id-ordered contract). Offsets ≥ 64 are
+    dropped in the stream and, for parity, in the batch twin too
+    (documented cap).
+
+    Batch twin (``__call__``) computes the capped triangle directly.
+    """
+
+    name: str
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    max_offset: int = 64
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        sec = F.col(self.ts_col).cast("long")
+        uw = df.select(
+            F.col(self.user_col).alias("user_id"),
+            (sec / 604800).cast("long").alias("week"),
+        ).distinct()
+        cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+        return (
+            uw.join(cohort, "user_id")
+            .select(
+                "cohort_week",
+                (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            )
+            .filter(F.col("week_offset") < self.max_offset)
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tscol, cap = self.ts_col, self.max_offset
+        out_schema = "cohort_week long, week_offset long, delta long"
+        cols = ["cohort_week", "week_offset", "delta"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            weeks = sorted(
+                {int(ts.timestamp()) // 604800 for ts in pdf[tscol]}
+            )
+            cohort, mask = state.get if state.exists else (None, 0)
+            deltas: list[tuple[int, int, int]] = []
+            for wk in weeks:
+                if cohort is None:
+                    cohort = wk
+                off = wk - cohort
+                if 0 <= off < cap and not (mask >> off) & 1:
+                    mask |= 1 << off
+                    deltas.append((cohort, off, 1))
+            state.update((cohort, mask))
+            yield pd.DataFrame(deltas, columns=cols)
+
+        return df.groupBy(self.user_col).applyInPandasWithState(
+            update,
+            out_schema,
+            "cohort_week long, mask long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class PrefixDupGateOp:
+    """Streaming prefix-dup gate — the ingest-side twin of the batch
+    ``docs_prefix_dup_rate`` screen (plans/llm_ops10): keyed by the
+    32-char normalized prefix, per-key state is one seen-count; each
+    arriving doc emits (doc_id, prefix_seen_before) so the pipeline
+    can divert boilerplate-prefixed docs at ingest instead of
+    re-scanning the corpus. First-arrival-wins: with per-key ids
+    arriving non-decreasing (the substring_indexed_stream contract)
+    the kept set equals the batch min-doc_id-per-prefix rule.
+
+    Batch twin (``__call__``) marks every doc whose prefix has a
+    lower doc_id occurrence (keep = rank 1 in (prefix, doc_id)
+    order).
+    """
+
+    name: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    prefix_len: int = 32
+
+    def _pfx(self) -> Column:
+        return F.substring(
+            F.lower(F.trim(F.regexp_replace(F.col(self.text_col), r"\s+", " "))),
+            1,
+            self.prefix_len,
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("pfx").orderBy(self.id_col)
+        return (
+            df.select(F.col(self.id_col).alias("doc_id"), self._pfx().alias("pfx"))
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "keep")
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        idc = self.id_col
+        out_schema = "doc_id long, keep boolean"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=["doc_id", "keep"])
+                return
+            pdf = pd.concat(parts).sort_values(idc)
+            (seen,) = state.get if state.exists else (0,)
+            rows = []
+            for did in pdf[idc]:
+                rows.append((int(did), seen == 0))
+                seen += 1
+            state.update((seen,))
+            yield pd.DataFrame(rows, columns=["doc_id", "keep"])
+
+        keyed = df.select(F.col(idc), self._pfx().alias("pfx"))
+        return keyed.groupBy("pfx").applyInPandasWithState(
+            update,
+            out_schema,
+            "seen long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -636,3 +636,128 @@ def test_session_path_null_event_type_contract(spark, dirs):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_benford_monitor_deltas_equal_batch(spark, dirs):
+    """BenfordMonitorOp: summed per-digit deltas across two triggers
+    must equal the batch digit histogram, and the digit rule must be
+    the integer-cents-string rule (no float log10)."""
+    rows1 = [(0, "view", 1.23, 1), (1, "view", 45.0, 1), (2, "view", 0.19, 2)]
+    rows2 = [(3, "view", 120.5, 2), (4, "view", 0.0, 3), (5, "view", 9.99, 3)]
+    schema = "event_id long, event_type string, value double, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.BenfordMonitorOp("benford")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("benford_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[int, int] = {}
+        for r in spark.sql("select * from benford_stream").collect():
+            got[r["digit"]] = got.get(r["digit"], 0) + r["delta"]
+    finally:
+        q.stop()
+    batch = {
+        r["digit"]: r["n_events"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    # 1.23 -> 123 -> digit 1; 45.0 -> 4500 -> 4; 0.19 -> 19 -> 1;
+    # 120.5 -> 12050 -> 1; 0.0 dropped; 9.99 -> 999 -> 9
+    assert batch == {1: 3, 4: 1, 9: 1}
+
+
+def test_retention_matrix_stream_equals_batch(spark, dirs):
+    """RetentionMatrixOp: the summed (cohort, offset) deltas across
+    triggers equal the batch weekly triangle; a user re-appearing in
+    an already-seen week adds nothing (bitmask exactly-once)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows1 = [(0, "view", at(0), 1), (1, "view", at(1), 1), (2, "view", at(0), 2)]
+    rows2 = [
+        (3, "view", at(7), 1),   # user 1, offset 1
+        (4, "view", at(8), 1),   # same offset week — no new delta
+        (5, "view", at(21), 2),  # user 2, offset 3
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.RetentionMatrixOp("retmat")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("retmat_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from retmat_stream").collect():
+            k = (r["cohort_week"], r["week_offset"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+    batch = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    # both users share the cohort week; offsets {0,1} for u1, {0,3} u2
+    offsets = {k[1]: v for k, v in batch.items()}
+    assert offsets == {0: 2, 1: 1, 3: 1}
+
+
+def test_prefix_dup_gate_first_arrival_wins(spark, dirs):
+    """PrefixDupGateOp: the first doc of a prefix is kept, later ones
+    dropped — across trigger boundaries (state remembers the prefix),
+    matching the batch min-doc_id rule under id-ordered arrival."""
+    pfx_text = "shared prefix shared prefix shared "
+    rows1 = [(1, pfx_text + "tail one"), (2, "unique document body here")]
+    rows2 = [(3, pfx_text + "tail two"), (4, pfx_text + "tail three")]
+    schema = "doc_id long, text string"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.PrefixDupGateOp("pfxgate")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("pfxgate_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in spark.sql("select * from pfxgate_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch == {1: True, 2: True, 3: False, 4: False}
