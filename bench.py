@@ -226,6 +226,12 @@ def main() -> None:
         "docs_ngram_novelty_curve",
         "docs_token_bigram_entropy",
         "docs_numeric_density",
+        "events_type_cooccurrence_lift",
+        "events_peak_to_mean_by_user",
+        "events_quiet_hours",
+        "customer_order_value_trend",
+        "docs_word_length_profile",
+        "docs_first_word_concentration",
     ]
     headline = [q for q in headline if q in QUERIES]
 

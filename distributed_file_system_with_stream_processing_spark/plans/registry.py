@@ -27,6 +27,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops10,
     llm_ops11,
     llm_ops12,
+    llm_ops13,
     rainstorm_queries,
 )
 
@@ -50,6 +51,7 @@ _MODULES = (
     llm_ops10,
     llm_ops11,
     llm_ops12,
+    llm_ops13,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -101,6 +103,12 @@ _FRONT = [
     "docs_ngram_novelty_curve",
     "docs_token_bigram_entropy",
     "docs_numeric_density",
+    "events_type_cooccurrence_lift",
+    "events_peak_to_mean_by_user",
+    "events_quiet_hours",
+    "customer_order_value_trend",
+    "docs_word_length_profile",
+    "docs_first_word_concentration",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

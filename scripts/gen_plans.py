@@ -206,6 +206,12 @@ AUDITED = [
     "docs_ngram_novelty_curve",
     "docs_token_bigram_entropy",
     "docs_numeric_density",
+    "events_type_cooccurrence_lift",
+    "events_peak_to_mean_by_user",
+    "events_quiet_hours",
+    "customer_order_value_trend",
+    "docs_word_length_profile",
+    "docs_first_word_concentration",
 ]
 
 JOIN_KINDS = (

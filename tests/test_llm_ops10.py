@@ -209,3 +209,104 @@ def test_trade_balance_conserves_totals(spark):
     ).collect()[0][0]
     assert round(sum(r["export_revenue"] for r in out), 2) == round(exp_total / 100.0, 2)
     assert round(sum(r["import_spend"] for r in out), 2) == round(imp_total / 100.0, 2)
+
+
+def test_cooccurrence_lift_symmetric_support(spark):
+    """Pair support can't exceed either type's unit count, and lift
+    is positive for every observed pair."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops13 import (
+        events_type_cooccurrence_lift,
+    )
+
+    out = events_type_cooccurrence_lift(spark, SF01).collect()
+    assert out
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_units_both"] >= 1
+        assert r["lift"] > 0
+
+
+def test_peak_to_mean_conserves_users(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops13 import (
+        events_peak_to_mean_by_user,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = events_peak_to_mean_by_user(spark, SF01).collect()
+    n_users = load_table(spark, SF01, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in out) == n_users
+    # peak/mean >= 1 always, so bucket 0 (ratio < 0.5) and 1 are empty
+    assert all(r["ratio_bucket"] >= 2 for r in out)
+
+
+def test_quiet_hours_conserves_days(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops13 import events_quiet_hours
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    out = events_quiet_hours(spark, SF01).collect()
+    n_days = (
+        load_table(spark, SF01, "events")
+        .select((F2.col("ts").cast("long") / 86400).cast("long").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_days"] for r in out) == n_days
+    assert all(0 <= r["quiet_hours"] <= 24 for r in out)
+
+
+def test_order_trend_planted_slopes(spark):
+    """A customer with strictly rising order values classifies as
+    growing, strictly falling as declining, constant as flat — on a
+    planted orders table."""
+    import datetime as dt
+
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops13 as M
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # customer 1: +$10/order; customer 2: -$10/order; customer 3: flat
+    for i in range(4):
+        rows.append((100 + i, 1, "O", 100.0 + 10.0 * i, t0 + dt.timedelta(days=i), "1-URGENT"))
+        rows.append((200 + i, 2, "O", 200.0 - 10.0 * i, t0 + dt.timedelta(days=i), "1-URGENT"))
+        rows.append((300 + i, 3, "O", 50.0, t0 + dt.timedelta(days=i), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/orders.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "lineitem", "events", "documents", "embeddings"]:
+            spark.read.parquet(f"{SF}/{t}.parquet").limit(0).write.parquet(
+                f"{td}/{t}.parquet"
+            )
+        out = {
+            r["trend"]: r["n_customers"]
+            for r in M.customer_order_value_trend(spark, td).collect()
+        }
+    assert out == {"growing": 1, "declining": 1, "flat": 1}
+
+
+def test_word_length_profile_conserves_docs(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops13 import (
+        docs_word_length_profile,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = docs_word_length_profile(spark, SF).collect()
+    assert sum(r["n_docs"] for r in out) == load_table(spark, SF, "documents").count()
+    assert all(0 <= r["mean_len_bin"] <= 15 for r in out)
+
+
+def test_first_word_share_bounds(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops13 import (
+        docs_first_word_concentration,
+    )
+
+    for r in docs_first_word_concentration(spark, SF).collect():
+        assert 1 <= r["n_docs_opening"] <= r["n_docs"]
+        assert 0.0 < r["share"] <= 1.0

@@ -199,6 +199,9 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # novelty curve: the 1-row max-doc-id broadcast attaches the
         # decile denominator to every gram row (the tfidf N shape)
         "docs_ngram_novelty_curve",
+        # lift: the 1-row unit-total broadcast onto the C(|types|,2)-row
+        # pair table (the part_pair_lift shape on behavior)
+        "events_type_cooccurrence_lift",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
