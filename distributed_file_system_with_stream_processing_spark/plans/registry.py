@@ -28,6 +28,8 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops11,
     llm_ops12,
     llm_ops13,
+    llm_ops14,
+    llm_ops15,
     rainstorm_queries,
 )
 
@@ -52,6 +54,8 @@ _MODULES = (
     llm_ops11,
     llm_ops12,
     llm_ops13,
+    llm_ops14,
+    llm_ops15,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -109,6 +113,18 @@ _FRONT = [
     "customer_order_value_trend",
     "docs_word_length_profile",
     "docs_first_word_concentration",
+    "events_value_percentiles_by_type",
+    "events_first_last_type_matrix",
+    "customer_repeat_rate_by_nation",
+    "lineitem_quantity_price_corr",
+    "docs_vocab_overlap_matrix",
+    "orders_status_year_mix",
+    "events_error_adjacency",
+    "customer_acctbal_vs_spend_corr",
+    "part_size_price_slope",
+    "events_session_depth_histogram",
+    "docs_duplicate_prefix_topk",
+    "orders_value_cv_by_priority",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -212,6 +212,18 @@ AUDITED = [
     "customer_order_value_trend",
     "docs_word_length_profile",
     "docs_first_word_concentration",
+    "events_value_percentiles_by_type",
+    "events_first_last_type_matrix",
+    "customer_repeat_rate_by_nation",
+    "lineitem_quantity_price_corr",
+    "docs_vocab_overlap_matrix",
+    "orders_status_year_mix",
+    "events_error_adjacency",
+    "customer_acctbal_vs_spend_corr",
+    "part_size_price_slope",
+    "events_session_depth_histogram",
+    "docs_duplicate_prefix_topk",
+    "orders_value_cv_by_priority",
 ]
 
 JOIN_KINDS = (

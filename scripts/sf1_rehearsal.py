@@ -68,6 +68,19 @@ QUERIES_UNDER_TEST = [
     "session_path_topk",
     "minhash_threshold_sweep",
     "docs_quality_dup_lift",
+    # round-6 additions: the new heavy/pair-driven or training-backed
+    # entries — intrinsic dim shares the sqrt(n)-cell kNN economics,
+    # vocab overlap is the new term-keyed pair query, bigram entropy
+    # and the novelty curve are the new gram-explode queries, and the
+    # binned Gini is the new no-global-sort concentration path.
+    "embedding_intrinsic_dim",
+    "docs_vocab_overlap_matrix",
+    "docs_token_bigram_entropy",
+    "docs_ngram_novelty_curve",
+    "docs_compression_proxy",
+    "customer_revenue_gini_binned",
+    "events_type_cooccurrence_lift",
+    "events_retention_matrix",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
@@ -81,6 +94,12 @@ def executed_plan(df) -> str:
 
 
 def run_one(q, fn, spark, sf_dir: str):
+    # One DISCARDED warm pass before the timed runs: iterative
+    # driver-loop queries (CC, Lloyd) JIT-warm over several runs —
+    # measured 68.8 → 39.4 → 12.7 s for semantic_dedup at sf1 in one
+    # session — and a cold min-of-2 over-reports them 3-8×. The warm
+    # pass prices the PLAN, which is what the scale factor audits.
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     times = []
     plan = ""
     for _ in range(RUNS):

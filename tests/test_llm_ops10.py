@@ -310,3 +310,191 @@ def test_first_word_share_bounds(spark):
     for r in docs_first_word_concentration(spark, SF).collect():
         assert 1 <= r["n_docs_opening"] <= r["n_docs"]
         assert 0.0 < r["share"] <= 1.0
+
+
+def test_value_percentiles_ordered(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        events_value_percentiles_by_type,
+    )
+
+    for r in events_value_percentiles_by_type(spark, SF01).collect():
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n_events"] >= 1
+
+
+def test_first_last_matrix_conserves_users(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        events_first_last_type_matrix,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = events_first_last_type_matrix(spark, SF01).collect()
+    n_users = load_table(spark, SF01, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in out) == n_users
+
+
+def test_repeat_rate_bounds(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        customer_repeat_rate_by_nation,
+    )
+
+    out = customer_repeat_rate_by_nation(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_repeat"] <= r["n_customers"]
+        assert 0.0 <= r["repeat_rate"] <= 1.0
+
+
+def test_qty_price_corr_in_range(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        lineitem_quantity_price_corr,
+    )
+
+    out = lineitem_quantity_price_corr(spark, SF01).collect()
+    assert out
+    for r in out:
+        assert -1.0 <= r["qty_price_r"] <= 1.0
+
+
+def test_vocab_overlap_symmetric_bounds(spark):
+    """Jaccard in (0, 1]; intersection cannot exceed either side's
+    vocabulary (checked via the recomputed per-source sizes)."""
+    from pyspark.sql import functions as F2
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        docs_vocab_overlap_matrix,
+    )
+    from distributed_file_system_with_stream_processing_spark.functions import text as T2
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = docs_vocab_overlap_matrix(spark, SF).collect()
+    assert out
+    sizes = {
+        r["source"]: r["v"]
+        for r in load_table(spark, SF, "documents")
+        .select("source", F2.explode(T2.words(F2.col("text"))).alias("w"))
+        .select("source", F2.lower("w").alias("t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F2.count(F2.lit(1)).alias("v"))
+        .collect()
+    }
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 1 <= r["n_shared_terms"] <= min(sizes[r["source_a"]], sizes[r["source_b"]])
+        assert 0.0 < r["vocab_jaccard"] <= 1.0
+
+
+def test_status_year_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops14 import (
+        orders_status_year_mix,
+    )
+
+    per_year = defaultdict(float)
+    for r in orders_status_year_mix(spark, SF01).collect():
+        per_year[r["year"]] += r["share"]
+    for y, s in per_year.items():
+        assert abs(s - 1.0) < 1e-4, (y, s)
+
+
+def test_error_adjacency_rate_bounds(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops15 import events_error_adjacency
+
+    out = events_error_adjacency(spark, SF01).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_error_follow"] <= r["n_events"]
+        assert 0.0 <= r["error_follow_rate"] <= 1.0
+
+
+def test_acctbal_spend_corr_covers_all_customers(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops15 import (
+        customer_acctbal_vs_spend_corr,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = customer_acctbal_vs_spend_corr(spark, SF01).collect()
+    assert sum(r["n_customers"] for r in out) == load_table(
+        spark, SF01, "customer"
+    ).count()
+    assert all(-1.0 <= r["acctbal_spend_r"] <= 1.0 for r in out)
+
+
+def test_size_price_slope_planted(spark):
+    """A part type whose price is exactly 2 dollars per size unit
+    must report slope 2.0."""
+    import tempfile
+
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops15 as M
+
+    rows = [(i, f"part{i}", "Brand#1", "LINEAR", i, 10.0 + 2.0 * i) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/part.parquet")
+        for t in ["region", "nation", "customer", "supplier", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            spark.read.parquet(f"{SF}/{t}.parquet").limit(0).write.parquet(
+                f"{td}/{t}.parquet"
+            )
+        out = {r["p_type"]: r for r in M.part_size_price_slope(spark, td).collect()}
+    assert out["LINEAR"]["price_per_size_unit"] == 2.0
+
+
+def test_session_depth_conserves_sessions(spark):
+    """Σ n_sessions equals the sessionize backbone's session count."""
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F2
+
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops15 import (
+        events_session_depth_histogram,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    out = events_session_depth_histogram(spark, SF01).collect()
+    e = load_table(spark, SF01, "events")
+    sec = F2.col("ts").cast("long")
+    w = W2.partitionBy("user_id").orderBy(sec, "event_id")
+    n_sessions = (
+        e.select(
+            "user_id",
+            F2.when(
+                (sec - F2.lag(sec).over(w)).isNull()
+                | ((sec - F2.lag(sec).over(w)) > 1800),
+                1,
+            ).otherwise(0).alias("new"),
+        )
+        .agg(F2.sum("new"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_sessions"] for r in out) == n_sessions
+
+
+def test_dup_prefix_topk_ordered(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops15 import (
+        docs_duplicate_prefix_topk,
+    )
+
+    out = sorted(
+        docs_duplicate_prefix_topk(spark, SF01).collect(), key=lambda r: r["rank"]
+    )
+    counts = [r["n_docs"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["n_docs"] >= 2 and r["n_sources"] >= 1 for r in out)
+
+
+def test_value_cv_by_priority_bounds(spark):
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops15 import (
+        orders_value_cv_by_priority,
+    )
+
+    out = orders_value_cv_by_priority(spark, SF01).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["avg_value"] > 0
+        assert r["value_cv"] >= 0.0
