@@ -742,7 +742,99 @@ class PrefixDupGateOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp
+@dataclass
+class SessionDepthOp:
+    """Streaming session-depth histogram — the incremental twin of
+    the batch ``events_session_depth_histogram`` (plans/llm_ops15):
+    per-user state is (last event second, open-session depth) — O(1)
+    — and a (depth, +1) delta is emitted whenever a session CLOSES
+    (the next event arrives past the 30-min gap). The open session's
+    depth lives in state until its closing event arrives, so the
+    streamed histogram equals the batch one restricted to CLOSED
+    sessions — the parity test closes every session with a late
+    sentinel event and then demands exact equality.
+
+    Batch twin (``__call__``) runs the sessionize backbone and
+    reports ALL sessions (open tails included), matching the
+    registered batch query.
+    """
+
+    name: str
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    gap_s: int = 1800
+    cap: int = 20
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        sec = F.col(self.ts_col).cast("long")
+        w = Window.partitionBy(self.user_col).orderBy(F.asc("_s"), F.asc(self.id_col))
+        flagged = df.select(
+            self.user_col, self.id_col, sec.alias("_s")
+        ).withColumn(
+            "_new",
+            F.when(
+                (F.col("_s") - F.lag("_s").over(w)).isNull()
+                | ((F.col("_s") - F.lag("_s").over(w)) > self.gap_s),
+                1,
+            ).otherwise(0),
+        )
+        sess = flagged.withColumn(
+            "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        depth = sess.groupBy(self.user_col, "_sid").agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        return (
+            depth.select(
+                F.least(F.col("d"), F.lit(self.cap)).cast("long").alias("depth")
+            )
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tscol, idcol, gap_s, cap = self.ts_col, self.id_col, self.gap_s, self.cap
+        out_schema = "depth long, delta long"
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=["depth", "delta"])
+                return
+            pdf = pd.concat(parts).sort_values([tscol, idcol])
+            last_sec, depth = state.get if state.exists else (None, 0)
+            closed: dict[int, int] = {}
+            for ts in pdf[tscol]:
+                sec = int(ts.timestamp())
+                if last_sec is not None and sec - last_sec > gap_s:
+                    d = min(depth, cap)
+                    closed[d] = closed.get(d, 0) + 1
+                    depth = 0
+                depth += 1
+                last_sec = sec
+            state.update((last_sec, depth))
+            yield pd.DataFrame(
+                sorted(closed.items()), columns=["depth", "delta"]
+            )
+
+        return df.groupBy(self.user_col).applyInPandasWithState(
+            update,
+            out_schema,
+            "last_sec long, depth long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -761,3 +761,57 @@ def test_prefix_dup_gate_first_arrival_wins(spark, dirs):
         for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
     }
     assert got == batch == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_session_depth_stream_equals_batch_on_closed_sessions(spark, dirs):
+    """SessionDepthOp: with every session force-closed by a late
+    sentinel per user, the summed streamed (depth, delta) histogram
+    equals the batch twin MINUS the sentinel singletons — sessions
+    that span a trigger boundary must report their full depth."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # user 1: 3-event session split across triggers, then a 2-event
+    # session; user 2: a 1-event session. Sentinels at +10h close all.
+    rows1 = [(0, "view", at(0), 1), (1, "click", at(1), 1), (2, "view", at(0), 2)]
+    rows2 = [
+        (3, "purchase", at(2), 1),          # completes u1's 3-event session
+        (4, "view", at(60), 1), (5, "view", at(61), 1),  # u1 session 2 (depth 2)
+        (6, "sentinel", at(600), 1), (7, "sentinel", at(600), 2),
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.SessionDepthOp("sdepth")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("sdepth_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[int, int] = {}
+        for r in spark.sql("select * from sdepth_stream").collect():
+            got[r["depth"]] = got.get(r["depth"], 0) + r["delta"]
+    finally:
+        q.stop()
+
+    batch = {
+        r["depth"]: r["n_sessions"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # the batch twin also counts the two open sentinel sessions
+    # (depth 1 each); remove them for the closed-session comparison
+    batch[1] = batch.get(1, 0) - 2
+    batch = {k: v for k, v in batch.items() if v}
+    assert got == batch == {1: 1, 2: 1, 3: 1}
