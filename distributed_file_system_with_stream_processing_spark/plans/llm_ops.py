@@ -636,6 +636,26 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded near-dup pair list under the band-bucket cap
+    (``bucket_cap=50`` — the semantic_dedup guard as a first-class
+    output): pairs generate only when the lower-id member ranks ≤50
+    in its (band, key) bucket, bounding per-bucket fan-out to
+    cap·|bucket| (linear) while every member keeps its link to the
+    bucket's representatives. THE pair list to feed CC-based dedup at
+    duplication-dense scale — the uncapped ``embedding_neardup``
+    measured 20.6× wall at the mirror-heavy 10× rehearsal (pair count
+    is quadratic in replica density), the capped CC consumer 1.7×.
+    Oracle mirrors the rank CTE exactly; capped ⊆ uncapped and the
+    surviving pair set is pinned on planted floods in
+    tests/test_ann.py."""
+    return S.banded_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35, bands=8, rows_per_band=8, dim=64, bucket_cap=50,
+    )
+
+
+
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force O(n²) twin — the correctness baseline the banded
     operator's recall is pinned against (tests/test_ann.py). Not the
@@ -722,6 +742,14 @@ s AS (
 
 EMBEDDING_NEARDUP_SQL = (
     _banded_neardup_body()
+    + """
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
+"""
+)
+
+EMBEDDING_NEARDUP_CAPPED_SQL = (
+    _banded_neardup_body(bucket_cap=50)
     + """
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
@@ -1198,6 +1226,7 @@ QUERIES = {
     "multimodal_image_stats": multimodal_image_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_capped": embedding_neardup_capped,
     "embedding_neardup_exact": embedding_neardup_exact,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_bucketed": ann_ivf_bucketed,
@@ -1231,6 +1260,7 @@ ORACLES = {
     "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "embedding_neardup_capped": EMBEDDING_NEARDUP_CAPPED_SQL,
     "embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
 }

@@ -125,6 +125,7 @@ _FRONT = [
     "events_session_depth_histogram",
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
+    "embedding_neardup_capped",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -224,6 +224,7 @@ AUDITED = [
     "events_session_depth_histogram",
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
+    "embedding_neardup_capped",
 ]
 
 JOIN_KINDS = (
