@@ -245,6 +245,7 @@ def main() -> None:
         "docs_duplicate_prefix_topk",
         "orders_value_cv_by_priority",
         "embedding_neardup_capped",
+        "orders_reconciliation_audit",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -30,6 +30,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops13,
     llm_ops14,
     llm_ops15,
+    llm_ops16,
     rainstorm_queries,
 )
 
@@ -56,6 +57,7 @@ _MODULES = (
     llm_ops13,
     llm_ops14,
     llm_ops15,
+    llm_ops16,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -126,6 +128,7 @@ _FRONT = [
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
     "embedding_neardup_capped",
+    "orders_reconciliation_audit",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -834,7 +834,123 @@ class SessionDepthOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp
+@dataclass
+class ReconcileOp:
+    """Streaming header-vs-detail reconciliation — the incremental
+    twin of the batch ``orders_reconciliation_audit`` classification
+    (plans/llm_ops16): records arrive as a single interleaved stream
+    of order HEADERS (kind='H', carrying priority + header cents) and
+    LINE groups (kind='L', carrying line cents), in ANY order —
+    lines may precede their header. Per-order state is
+    (has_hdr, priority, hdr_cents, Σline_cents, n_lines) plus the
+    last emitted (priority, class); each trigger re-classifies the
+    order and emits RETRACTION deltas — (old_pri, old_cls, −1),
+    (new_pri, new_cls, +1) — so the downstream running sum per
+    (priority, class) equals the batch classification table at EVERY
+    trigger boundary, including the transient states (a header-less
+    line group counts as ORPHAN under the sentinel priority until its
+    header lands, then moves to its real bucket).
+
+    Classes: EMPTY (header, no lines), MATCHED (|Δ| ≤ tol cents),
+    MISMATCHED, ORPHAN (lines, no header). This is the streaming
+    analogue of the reference's merge-time replica audit
+    (synchronizer.go:75-139 collects per-replica appends and
+    reconciles them into one agreed order) applied across two tables
+    of the same logical entity.
+
+    Batch twin (``__call__``) computes the same (priority, class)
+    counts directly from a bounded df of the same record shape.
+    """
+
+    name: str
+    tol_cents: int = 1
+
+    _ORPHAN_PRI = "ORPHAN_LINEITEM"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        is_h = F.col("kind") == "H"
+        per = df.groupBy("order_key").agg(
+            F.max(is_h.cast("int")).alias("has_hdr"),
+            F.max(F.when(is_h, F.col("priority"))).alias("pri"),
+            F.max(F.when(is_h, F.col("cents"))).alias("hdr_c"),
+            F.coalesce(F.sum(F.when(~is_h, F.col("cents"))), F.lit(0)).alias("li_c"),
+            F.sum((~is_h).cast("int")).alias("n_lines"),
+        )
+        cls = (
+            F.when((F.col("has_hdr") == 1) & (F.col("n_lines") == 0), F.lit("EMPTY"))
+            .when(
+                (F.col("has_hdr") == 1)
+                & (F.abs(F.col("hdr_c") - F.col("li_c")) <= self.tol_cents),
+                F.lit("MATCHED"),
+            )
+            .when(F.col("has_hdr") == 1, F.lit("MISMATCHED"))
+            .otherwise(F.lit("ORPHAN"))
+        )
+        pri = F.when(F.col("has_hdr") == 1, F.col("pri")).otherwise(
+            F.lit(self._ORPHAN_PRI)
+        )
+        return (
+            per.select(pri.alias("priority"), cls.alias("cls"))
+            .groupBy("priority", "cls")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tol, orphan_pri = self.tol_cents, self._ORPHAN_PRI
+        cols = ["priority", "cls", "delta"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                has_hdr, pri, hdr_c, li_c, n_lines, prev_pri, prev_cls = state.get
+            else:
+                has_hdr, pri, hdr_c, li_c, n_lines, prev_pri, prev_cls = (
+                    0, None, 0, 0, 0, None, None,
+                )
+            hs = pdf[pdf["kind"] == "H"]
+            if len(hs):
+                has_hdr = 1
+                pri = str(hs["priority"].iloc[0])
+                hdr_c = int(hs["cents"].iloc[0])
+            ls = pdf[pdf["kind"] == "L"]
+            if len(ls):
+                li_c += int(ls["cents"].sum())
+                n_lines += len(ls)
+            if has_hdr and n_lines == 0:
+                cls = "EMPTY"
+            elif has_hdr:
+                cls = "MATCHED" if abs(hdr_c - li_c) <= tol else "MISMATCHED"
+            else:
+                cls = "ORPHAN"
+            out_pri = pri if has_hdr else orphan_pri
+            rows = []
+            if (prev_pri, prev_cls) != (out_pri, cls):
+                if prev_cls is not None:
+                    rows.append((prev_pri, prev_cls, -1))
+                rows.append((out_pri, cls, 1))
+            state.update((has_hdr, pri, hdr_c, li_c, n_lines, out_pri, cls))
+            yield pd.DataFrame(rows, columns=cols)
+
+        return df.groupBy("order_key").applyInPandasWithState(
+            update,
+            "priority string, cls string, delta long",
+            "has_hdr int, pri string, hdr_c long, li_c long, n_lines long, "
+            "prev_pri string, prev_cls string",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp | ReconcileOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

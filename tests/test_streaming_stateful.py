@@ -815,3 +815,121 @@ def test_session_depth_stream_equals_batch_on_closed_sessions(spark, dirs):
     batch[1] = batch.get(1, 0) - 2
     batch = {k: v for k, v in batch.items() if v}
     assert got == batch == {1: 1, 2: 1, 3: 1}
+
+
+def test_reconcile_stream_retracts_to_batch_classification(spark, dirs):
+    """ReconcileOp: the running (priority, class) delta sums equal the
+    batch classification table at EVERY trigger boundary — including
+    the out-of-order cases (a line group that precedes its header
+    counts as ORPHAN until the header lands, then RETRACTS into its
+    real priority bucket; an EMPTY header moves to MISMATCHED when a
+    bad line arrives; a MISMATCHED order moves to MATCHED when the
+    completing line closes the gap)."""
+    schema = "order_key long, kind string, priority string, cents long"
+    # trigger 1: order 1 header(100)+line(60) → MISMATCHED;
+    # order 2 line(40) with no header → ORPHAN; order 3 header → EMPTY
+    rows1 = [
+        (1, "H", "1-URGENT", 100),
+        (1, "L", None, 60),
+        (2, "L", None, 40),
+        (3, "H", "2-HIGH", 500),
+    ]
+    # trigger 2: order 1 completing line → MATCHED (retract MISMATCHED);
+    # order 2 header lands → MATCHED (retract ORPHAN); order 3 bad
+    # line → MISMATCHED (retract EMPTY)
+    rows2 = [
+        (1, "L", None, 40),
+        (2, "H", "1-URGENT", 40),
+        (3, "L", None, 10),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.ReconcileOp("recon")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("recon_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+
+    def sums():
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from recon_stream").collect():
+            k = (r["priority"], r["cls"])
+            got[k] = got.get(k, 0) + r["delta"]
+        return {k: v for k, v in got.items() if v}
+
+    def batch(df):
+        return {
+            (r["priority"], r["cls"]): r["n_orders"] for r in op(df).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        mid = sums()
+        assert mid == batch(spark.createDataFrame(rows1, schema))
+        assert mid == {
+            ("1-URGENT", "MISMATCHED"): 1,
+            ("ORPHAN_LINEITEM", "ORPHAN"): 1,
+            ("2-HIGH", "EMPTY"): 1,
+        }
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        end = sums()
+    finally:
+        q.stop()
+    assert end == batch(spark.read.schema(schema).parquet(dirs["src"]))
+    assert end == {("1-URGENT", "MATCHED"): 2, ("2-HIGH", "MISMATCHED"): 1}
+
+
+def test_reconcile_batch_twin_matches_registered_audit(spark):
+    """ReconcileOp's batch classification over real sf0.001 records
+    (headers from orders, line groups from lineitem, the audit's
+    integer-cents rule) must agree with the registered
+    orders_reconciliation_audit count columns per priority."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops16 import (
+        orders_reconciliation_audit,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("H").alias("kind"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.lit("L").alias("kind"),
+        F.lit(None).cast("string").alias("priority"),
+        F.round(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+            * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    got = {
+        (r["priority"], r["cls"]): r["n_orders"]
+        for r in O.ReconcileOp("recon")(o.unionByName(li)).collect()
+    }
+    audit = orders_reconciliation_audit(spark, sf).collect()
+    for r in audit:
+        pri = r["priority"]
+        if pri == "ORPHAN_LINEITEM":
+            assert got.get((pri, "ORPHAN"), 0) == r["n_orphan_li_groups"]
+            continue
+        assert got.get((pri, "EMPTY"), 0) == r["n_empty_orders"]
+        assert got.get((pri, "MISMATCHED"), 0) == r["n_mismatched"]
+        matched_ok = (
+            r["n_orders"] - r["n_empty_orders"] - r["n_mismatched"]
+        )
+        assert got.get((pri, "MATCHED"), 0) == matched_ok
