@@ -81,6 +81,18 @@ QUERIES_UNDER_TEST = [
     "customer_revenue_gini_binned",
     "events_type_cooccurrence_lift",
     "events_retention_matrix",
+    # round-6 late-phase additions: the capped pair query itself (the
+    # band-bucket guard as a first-class plan — pair-driven, grade
+    # against the ~100× mirror-pair regime), the new multi-lead and
+    # sessionize-backbone event windows, the prefix-keyed boilerplate
+    # top-k, the per-customer OLS trend window, and the fact-fact
+    # full-outer reconciliation join.
+    "embedding_neardup_capped",
+    "events_error_adjacency",
+    "events_session_depth_histogram",
+    "docs_duplicate_prefix_topk",
+    "customer_order_value_trend",
+    "orders_reconciliation_audit",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")

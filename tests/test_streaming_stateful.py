@@ -933,3 +933,53 @@ def test_reconcile_batch_twin_matches_registered_audit(spark):
             r["n_orders"] - r["n_empty_orders"] - r["n_mismatched"]
         )
         assert got.get((pri, "MATCHED"), 0) == matched_ok
+
+
+def test_reconcile_state_survives_restart(spark, dirs):
+    """Kill the ReconcileOp query between triggers, add the completing
+    records, restart from the same checkpoint: the recovered per-order
+    state must produce the RETRACTIONS (not fresh +1s), so the summed
+    deltas still equal the batch classification — exactly-once across
+    a restart (the reference leader's restart-with-state contract)."""
+    schema = "order_key long, kind string, priority string, cents long"
+    rows1 = [(1, "H", "1-URGENT", 100), (1, "L", None, 60), (2, "L", None, 40)]
+    rows2 = [(1, "L", None, 40), (2, "H", "2-HIGH", 40)]
+    op = O.ReconcileOp("recon_rs")
+
+    def start():
+        src = spark.readStream.schema(schema).parquet(dirs["src"])
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(dirs["sink"])
+
+        return (
+            op.stream_apply(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .start()
+        )
+
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write(spark.createDataFrame(rows2, schema), dirs["src"])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got: dict[tuple, int] = {}
+    for r in spark.read.parquet(dirs["sink"]).collect():
+        k = (r["priority"], r["cls"])
+        got[k] = got.get(k, 0) + r["delta"]
+    got = {k: v for k, v in got.items() if v}
+    batch = {
+        (r["priority"], r["cls"]): r["n_orders"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # order 1 MISMATCHED→MATCHED and order 2 ORPHAN→MATCHED both
+    # require the pre-restart state to be recovered for the -1 rows
+    assert got == batch == {("1-URGENT", "MATCHED"): 1, ("2-HIGH", "MATCHED"): 1}
