@@ -10,6 +10,13 @@ Run: python scripts/gen_plans.py  (writes PLANS.md at the repo root)
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# Make `python scripts/<name>.py` work from anywhere: only scripts/ is
+# on sys.path when invoked that way, so the repo root must be inserted.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import re
 
 AUDITED = [
@@ -225,6 +232,7 @@ AUDITED = [
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
     "embedding_neardup_capped",
+    "orders_reconciliation_audit",
 ]
 
 JOIN_KINDS = (

@@ -20,6 +20,13 @@ Run: PYTHONPATH=. python scripts/gen_shuffles.py [sf_dir]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# Make `python scripts/<name>.py` work from anywhere: only scripts/ is
+# on sys.path when invoked that way, so the repo root must be inserted.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import os
 import sys
 
