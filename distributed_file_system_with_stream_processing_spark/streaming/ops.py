@@ -333,6 +333,14 @@ class SessionPathOp:
     Batch twin (``__call__`` on a bounded df) runs the sessionize +
     double-lead window directly and aggregates per (user, path) — the
     plan the streaming deltas converge to.
+
+    ``evict_on_watermark=True`` bounds total state by the watermark
+    horizon — essential when the user keyspace grows without bound
+    (the 100 TB streaming regime): once the watermark passes
+    last_sec + gap, the remembered tail is semantically DEAD (any
+    future event would reset it at the inactivity split anyway), so
+    an event-time timeout removes the key's state with zero effect
+    on emitted paths. Eviction changes memory, never output.
     """
 
     name: str
@@ -341,6 +349,8 @@ class SessionPathOp:
     ts_col: str = "ts"
     id_col: str = "event_id"
     gap_s: int = 1800
+    evict_on_watermark: bool = False
+    watermark: str = "10 seconds"
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
@@ -384,10 +394,17 @@ class SessionPathOp:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         tcol, tscol, idcol = self.type_col, self.ts_col, self.id_col
-        gap_s = self.gap_s
+        gap_s, evict = self.gap_s, self.evict_on_watermark
         out_schema = "user_id long, path string, delta long"
 
         def update(key, pdfs: Iterator, state) -> Iterator:
+            if evict and state.hasTimedOut:
+                # Watermark passed last_sec + gap: the remembered tail
+                # can never extend a path again (the inactivity split
+                # would reset it), so the state is pure memory — drop.
+                state.remove()
+                yield pd.DataFrame([], columns=["user_id", "path", "delta"])
+                return
             parts = [p for p in pdfs if len(p)]
             if not parts:
                 yield pd.DataFrame([], columns=["user_id", "path", "delta"])
@@ -414,17 +431,25 @@ class SessionPathOp:
                 last_sec = sec
             pad = [None] * (2 - len(tail)) + tail
             state.update((pad[0], pad[1], last_sec))
+            if evict:
+                state.setTimeoutTimestamp(
+                    max(
+                        (last_sec + gap_s) * 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(
                 [(key[0], p, n) for p, n in sorted(counts.items())],
                 columns=["user_id", "path", "delta"],
             )
 
-        return df.groupBy(self.user_col).applyInPandasWithState(
+        src = df.withWatermark(tscol, self.watermark) if evict else df
+        return src.groupBy(self.user_col).applyInPandasWithState(
             update,
             out_schema,
             "t2 string, t1 string, last_sec long",
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout if evict else GroupStateTimeout.NoTimeout,
         )
 
 
@@ -757,6 +782,16 @@ class SessionDepthOp:
     Batch twin (``__call__``) runs the sessionize backbone and
     reports ALL sessions (open tails included), matching the
     registered batch query.
+
+    ``close_on_watermark=True`` upgrades the stream to FULL batch
+    parity: the op sets an event-time timeout at (last event +
+    gap) per user, so an idle session's closure delta is emitted as
+    soon as the WATERMARK proves no in-gap event can still arrive —
+    no sentinel event needed, state strictly bounded by the watermark
+    horizon. Under the watermark contract the split decisions are
+    identical to the batch twin's: any event that would have extended
+    a timed-out session is by definition later than watermark =
+    last_sec + gap, hence outside the lateness bound in both worlds.
     """
 
     name: str
@@ -765,6 +800,8 @@ class SessionDepthOp:
     id_col: str = "event_id"
     gap_s: int = 1800
     cap: int = 20
+    close_on_watermark: bool = False
+    watermark: str = "10 seconds"
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
@@ -802,9 +839,19 @@ class SessionDepthOp:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         tscol, idcol, gap_s, cap = self.ts_col, self.id_col, self.gap_s, self.cap
+        close = self.close_on_watermark
         out_schema = "depth long, delta long"
 
         def update(key, pdfs: Iterator, state) -> Iterator:
+            if close and state.hasTimedOut:
+                # The watermark passed last_sec + gap: no in-gap event
+                # can still arrive, so the open session is CLOSED.
+                last_sec, depth = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(min(depth, cap), 1)], columns=["depth", "delta"]
+                )
+                return
             parts = [p for p in pdfs if len(p)]
             if not parts:
                 yield pd.DataFrame([], columns=["depth", "delta"])
@@ -821,16 +868,27 @@ class SessionDepthOp:
                 depth += 1
                 last_sec = sec
             state.update((last_sec, depth))
+            if close:
+                # Never set a timeout at/under the current watermark
+                # (Spark rejects it); clamping forward only hastens an
+                # already-due closure to the next trigger.
+                state.setTimeoutTimestamp(
+                    max(
+                        (last_sec + gap_s) * 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(
                 sorted(closed.items()), columns=["depth", "delta"]
             )
 
-        return df.groupBy(self.user_col).applyInPandasWithState(
+        src = df.withWatermark(tscol, self.watermark) if close else df
+        return src.groupBy(self.user_col).applyInPandasWithState(
             update,
             out_schema,
             "last_sec long, depth long",
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout if close else GroupStateTimeout.NoTimeout,
         )
 
 

@@ -983,3 +983,119 @@ def test_reconcile_state_survives_restart(spark, dirs):
     # order 1 MISMATCHED→MATCHED and order 2 ORPHAN→MATCHED both
     # require the pre-restart state to be recovered for the -1 rows
     assert got == batch == {("1-URGENT", "MATCHED"): 1, ("2-HIGH", "MATCHED"): 1}
+
+
+def test_session_depth_watermark_closure_full_parity(spark, dirs):
+    """SessionDepthOp(close_on_watermark=True): an idle user's open
+    session closes via the EVENT-TIME TIMEOUT once another user's
+    events advance the watermark past the gap — no sentinel event
+    from the idle user — and the streamed histogram then equals the
+    FULL batch histogram (open tails included)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1: a 3-event session, then silence forever
+    rows1 = [(0, at(0), 1), (1, at(60), 1), (2, at(120), 1)]
+    # user 2 far in the future: advances the watermark way past
+    # user 1's gap (1800s); written twice so a later micro-batch runs
+    # with the advanced watermark and fires the timeout
+    rows2 = [(3, at(10_000), 2)]
+    rows3 = [(4, at(10_060), 2)]
+    op = O.SessionDepthOp("sdepth_wm", close_on_watermark=True)
+
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("sdepth_wm_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows3, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[int, int] = {}
+        for r in spark.sql("select * from sdepth_wm_stream").collect():
+            got[r["depth"]] = got.get(r["depth"], 0) + r["delta"]
+        got = {k: v for k, v in got.items() if v}
+    finally:
+        q.stop()
+    # user 1's depth-3 session closed by TIMEOUT alone; user 2's
+    # session (depth 2) is still open — the full batch histogram
+    # minus exactly the sessions the watermark has not yet closed
+    assert got == {3: 1}
+    batch = {
+        r["depth"]: r["n_sessions"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert batch == {3: 1, 2: 1}  # streamed == batch once u2 idles out
+
+
+def test_session_path_watermark_eviction_bounds_state(spark, dirs):
+    """SessionPathOp(evict_on_watermark=True): an idle user's state is
+    REMOVED once the watermark passes its gap (observed via the state
+    operator's numRowsTotal), and the path deltas are unchanged — the
+    eviction is memory-only (a post-gap event starts a fresh tail in
+    both worlds)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    rows1 = [
+        (0, "a", at(0), 1),
+        (1, "b", at(30), 1),
+        (2, "c", at(60), 1),  # path a > b > c
+    ]
+    rows2 = [(3, "x", at(10_000), 2)]  # advances watermark past u1's gap
+    rows3 = [(4, "y", at(10_060), 2)]  # next trigger: u1's timeout fires
+    op = O.SessionPathOp("paths_evict", evict_on_watermark=True)
+
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("paths_evict_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+
+    def state_rows():
+        p = q.lastProgress
+        return sum(s["numRowsTotal"] for s in p["stateOperators"]) if p else None
+
+    try:
+        q.processAllAvailable()
+        rows_t1 = state_rows()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows3, schema), dirs["src"])
+        q.processAllAvailable()
+        rows_after = state_rows()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from paths_evict_stream").collect():
+            k = (r["user_id"], r["path"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+    # u1 held state after trigger 1; by the end only u2 remains — u1
+    # was EVICTED once the watermark passed its gap (without eviction
+    # the final count would be 2: per-user state never shrinks)
+    assert rows_t1 == 1 and rows_after == 1, (rows_t1, rows_after)
+    # outputs unaffected: u1's single 3-path, u2 never completed one
+    assert got == {(1, "a > b > c"): 1}
