@@ -34,8 +34,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -87,6 +89,9 @@ class TableStoreDataSource(DataSource):
         return _TableStoreStreamReader(
             self._table_dir(), [f.name for f in schema.fields]
         )
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _TableStoreStreamWriter(self._table_dir())
 
 
 class _TableStoreReader(DataSourceReader):
@@ -219,3 +224,128 @@ class _TableStoreStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class _AppendCommit(WriterCommitMessage):
+    """Staged file paths from one task (picklable)."""
+
+    def __init__(self, files: tuple):
+        self.files = files
+
+
+class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK into the TableStore append log — the
+    ``writeStream`` twin of ``TableStore.append`` and the write-side
+    analogue of the reference leader's batch-id dedup (reference
+    rainstorm/rainstorm.go:537-575 appends each batch's results to the
+    HyDFS dest file exactly once by remembering processed batch ids).
+
+    Exactly-once protocol (two-phase, single atomic publish):
+
+    1. ``write`` (executors, Arrow RecordBatches in — never
+       row-at-a-time Python): each task stages ONE parquet part under
+       ``appends/_staging/`` and returns its path. Retried tasks stage
+       fresh files; only the files named in the SUCCESSFUL tasks'
+       commit messages are ever published, so task retries cannot
+       duplicate rows within a batch.
+    2. ``commit`` (driver): the batch's append-sequence stamp is
+       DETERMINISTIC — ``seqbase + batchId`` — where ``seqbase`` is a
+       time_ns epoch persisted in ``appends/_stream_seqbase.txt`` the
+       first time a stream writes the table. A replayed micro-batch
+       (crash after publish, before the checkpoint recorded it)
+       therefore maps to the SAME batch dir; ``commit`` sees it on
+       disk, discards the re-staged parts, and returns — the
+       reference's dedup-by-batch-id, keyed by Spark's checkpointed
+       batchId instead of a line range. Publish itself is one atomic
+       ``rename`` of the assembled dir into ``appends/<seq>``.
+
+    The dir name sorts correctly among ``TableStore.append`` stamps
+    (both are 20-digit time_ns strings), so merged reads, as-of reads
+    and the CDC stream reader order stream batches interchangeably
+    with batch appends. Empty micro-batches publish nothing (batchId
+    gaps are fine: stamps only need to be monotone, not dense).
+
+    Single-writer contract (the reference's: ONE leader owns the dest
+    file): concurrent stream writers on the same table would collide
+    on batch stamps; use one query per table.
+    """
+
+    def __init__(self, table_dir: str):
+        base = os.path.join(table_dir, "base")
+        if not os.path.isdir(base):
+            raise ValueError(f"table doesn't exist (no base at {base!r})")
+        self.table_dir = table_dir
+        self.seqbase = self._load_seqbase()
+
+    def _appends_dir(self) -> str:
+        return os.path.join(self.table_dir, "appends")
+
+    def _load_seqbase(self) -> int:
+        import time
+
+        d = self._appends_dir()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_stream_seqbase.txt")
+        try:
+            with open(p, "x") as fh:
+                fh.write(str(time.time_ns()))
+        except FileExistsError:
+            pass
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(
+            self._appends_dir(), f"{self.seqbase + batch_id:020d}-sb{batch_id:08d}"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if len(b)]
+        if not batches:
+            return _AppendCommit(())
+        staging = os.path.join(self._appends_dir(), "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _AppendCommit((path,))
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+        import uuid
+
+        files = [f for m in messages if m is not None for f in m.files]
+        final = self._batch_dir(batchId)
+        if os.path.isdir(final):
+            # replayed micro-batch: already published — dedup by
+            # batch id, discard the re-staged parts
+            for f in files:
+                if os.path.isfile(f):
+                    os.remove(f)
+            return
+        if not files:
+            return  # empty batch: publish nothing
+        tmp = os.path.join(
+            self._appends_dir(), f"_commit-{batchId:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(tmp)
+        for f in files:
+            os.replace(f, os.path.join(tmp, os.path.basename(f)))
+        try:
+            os.rename(tmp, final)  # the atomic publish
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(final):  # lost to something other than replay
+                raise
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.isfile(f):
+                    os.remove(f)

@@ -5,6 +5,8 @@ multiappend convergence (test5)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from distributed_file_system_with_stream_processing_spark.dfs import TableStore, TableStoreError
@@ -472,3 +474,98 @@ def test_python_datasource_streaming_restart_resumes_offsets(spark, tmp_path):
     # restart delivered ONLY the new append — a re-emission would show
     # (2, 'a') twice
     assert rows() == [(2, "a"), (3, "b")]
+
+
+def test_stream_writer_appends_exactly_once(spark, tmp_path):
+    """The `tablestore` streaming SINK (sources/pyds.py
+    _TableStoreStreamWriter): streamed micro-batches land as ordinary
+    append batches (TableStore.get sees base + streamed rows), a
+    restart from the same checkpoint continues without duplicating,
+    and the published batch stamps are the deterministic
+    seqbase+batchId form the dedup-by-batch-id protocol requires."""
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string"
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], schema))
+    spark.dataSource.register(TableStoreDataSource)
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("tablestore")
+            .option("root", root)
+            .option("table", "t")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame([(2, "s1"), (3, "s2")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got1 = {(r["id"], r["v"]) for r in store.get("t").collect()}
+    assert got1 == {(1, "base"), (2, "s1"), (3, "s2")}
+
+    # restart from the same checkpoint with more data: continues,
+    # nothing re-published
+    spark.createDataFrame([(4, "s3")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = store.get("t").collect()
+    assert len(rows) == 4
+    assert {(r["id"], r["v"]) for r in rows} == got1 | {(4, "s3")}
+    # published stamps carry the deterministic -sb<batchId> suffix and
+    # order like ordinary append stamps
+    batches = store._append_batches("t")
+    assert all("-sb" in b for b in batches) and batches == sorted(batches)
+
+
+def test_stream_writer_commit_replay_is_deduped(spark, tmp_path):
+    """Driver-level replay of the SAME batchId (crash after publish,
+    before the checkpoint recorded it) must not double-append: the
+    deterministic batch dir already exists, so the re-staged parts are
+    discarded — the reference leader's batch-id dedup
+    (rainstorm.go:537-575) on the write side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+
+    def stage(rows):
+        staging = os.path.join(root, "t", "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p)
+        return p
+
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=0)
+    # replay batch 0 with re-staged (identical) data
+    replay = stage([(2, "x")])
+    w.commit([_AppendCommit((replay,))], batchId=0)
+    assert not os.path.exists(replay)  # discarded, not published
+    rows = store.get("t").collect()
+    assert len(rows) == 2  # base + ONE copy of the batch-0 row
+    # a later batch still publishes normally after the replay
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    assert len(store.get("t").collect()) == 3
