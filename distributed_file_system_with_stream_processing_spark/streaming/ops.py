@@ -68,11 +68,19 @@ class StatefulCountOp:
 
     Batch twin (``__call__`` on a bounded df) returns the final state
     only — which is what the update log converges to.
+
+    ``mode`` is the OPERATOR output mode passed to
+    ``applyInPandasWithState`` — "update" (default, pairs with
+    update-mode sinks like the memory update log) or "append" (the
+    emitted rows are an append-only update LOG either way, so
+    append-mode sinks that reject update mode — e.g. the tablestore
+    Python DataSource sink — consume the identical rows).
     """
 
     name: str
     keys: list[str]
     key_type: str = "string"
+    mode: str = "update"
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
@@ -95,7 +103,7 @@ class StatefulCountOp:
             yield pd.DataFrame([tuple(key) + (total, delta)], columns=keys + ["total", "delta"])
 
         return df.groupBy(*keys).applyInPandasWithState(
-            update, out_schema, "total long", "update", GroupStateTimeout.NoTimeout
+            update, out_schema, "total long", self.mode, GroupStateTimeout.NoTimeout
         )
 
 

@@ -126,6 +126,71 @@ class RainStormJob:
             .start()
         )
 
+    def start_store_stream(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        source_table: str,
+        dest_table: str,
+        checkpoint_dir: str,
+        query_name: str = "rainstorm_store",
+    ) -> StreamingQuery:
+        """The reference's full END-TO-END loop: source HyDFS file →
+        3-stage pipeline → append results to a dest HyDFS file
+        (rainstorm.go:104-144 reads the HyDFS source, :537-575 appends
+        each deduped batch's results to the dest) — as one Structured
+        Streaming query over the TableStore's own pluggable source and
+        sink: CDC-read the source table's append log
+        (sources/pyds.py streamReader), run op1 → op2, and publish
+        each micro-batch's results into the dest table's append log
+        exactly once (streamWriter's dedup-by-batchId).
+
+        Transform op2 → append mode (each result row lands once);
+        StatefulCountOp op2 → operator-append mode: the per-trigger
+        (key, total, delta) rows ARE the reference leader's printed
+        updates, appended to the dest log in trigger order — reading
+        the dest table back replays the update history, and the
+        per-key MAX(total) is the converged aggregate.
+
+        Both tables must exist (reference `create` precedes the job);
+        the dest's base fixes the OUTPUT schema.
+        """
+        from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+            TableStoreDataSource,
+        )
+
+        try:
+            spark.dataSource.register(TableStoreDataSource)
+        except Exception:  # noqa: BLE001 — already registered is fine
+            pass
+        import dataclasses
+
+        src = (
+            spark.readStream.format("tablestore")
+            .option("root", store_root)
+            .option("table", source_table)
+            .load()
+            .drop("_append_seq")
+        )
+        # The tablestore sink is an append log — run the stateful op
+        # in operator-append mode (identical emitted rows; see
+        # StatefulCountOp.mode).
+        op2 = (
+            dataclasses.replace(self.op2, mode="append")
+            if isinstance(self.op2, StatefulCountOp)
+            else self.op2
+        )
+        out = op2(self.op1(src))
+        return (
+            out.writeStream.queryName(query_name)
+            .outputMode("append")
+            .format("tablestore")
+            .option("root", store_root)
+            .option("table", dest_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
 
 def join_streams(
     left: DataFrame,

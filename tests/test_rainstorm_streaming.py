@@ -1158,3 +1158,68 @@ def test_ann_indexed_stream_matches_batch_recipe(spark, tmp_path):
     assert streamed == expected and len(streamed) > 50
     # every neighbor strictly precedes its query in id order
     assert all(n < q for q, _, n, _ in streamed)
+
+
+def test_store_to_store_pipeline_full_reference_loop(spark, tmp_path):
+    """The reference's complete shape — source HyDFS file → op1
+    (filter) → op2 (running counts) → results APPENDED to a dest
+    HyDFS file — as one streaming query over the TableStore's own
+    pluggable source (CDC reader) and sink (exactly-once appender):
+    the dest table's append log IS the leader's printed update
+    history, and per-key MAX(total) converges to the batch twin."""
+    from distributed_file_system_with_stream_processing_spark.dfs import TableStore
+    from distributed_file_system_with_stream_processing_spark.streaming import ops as O
+    from distributed_file_system_with_stream_processing_spark.streaming.rainstorm import (
+        RainStormJob,
+    )
+
+    root = str(tmp_path / "store")
+    in_schema = "event_id long, event_type string, value double"
+    out_schema = "event_type string, total long, delta long"
+    store = TableStore(spark, root)
+    store.create("src", spark.createDataFrame([], in_schema))
+    store.create("dst", spark.createDataFrame([], out_schema))
+
+    job = RainStormJob(
+        O.TransformOp("op1", lambda df: df.filter(F.col("value") >= 10.0)),
+        O.StatefulCountOp("op2", ["event_type"]),
+    )
+
+    def rows(start, n):
+        cyc = ("click", "view", "purchase")
+        return [(start + i, cyc[(start + i) % 3], float(start + i)) for i in range(n)]
+
+    def drain():
+        q = job.start_store_stream(
+            spark, root, "src", "dst", str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    store.append("src", spark.createDataFrame(rows(0, 30), in_schema))
+    drain()
+    # restart the query for the second window (state + sink dedup
+    # both recover from the checkpoint)
+    store.append("src", spark.createDataFrame(rows(30, 15), in_schema))
+    drain()
+
+    log = store.get("dst", with_seq=True).collect()
+    finals = {}
+    for r in log:
+        finals[r["event_type"]] = max(finals.get(r["event_type"], 0), r["total"])
+    batch = {
+        r["event_type"]: r["total"]
+        for r in job.run_batch(
+            store.get("src").select("event_id", "event_type", "value")
+        ).collect()
+    }
+    # value >= 10 keeps ids 10..44: 35 events, ~12 per type
+    assert finals == batch and sum(batch.values()) == 35
+    # the update log accumulated across BOTH windows (deltas sum to
+    # the converged totals — nothing lost or double-appended)
+    deltas = {}
+    for r in log:
+        deltas[r["event_type"]] = deltas.get(r["event_type"], 0) + r["delta"]
+    assert deltas == finals
+    # dest appends carry the stream writer's deterministic stamps
+    assert all("-sb" in b for b in store._append_batches("dst"))
