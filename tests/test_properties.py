@@ -401,3 +401,118 @@ def test_merge_pairs_disjoint_equals_sequential_for_any_batch(spark, words, rule
         for a, b in rules:
             expect = _py_greedy_merge(expect, a, b)
         assert got[w] == expect, (w, rules, got[w], expect)
+
+
+# -- ReconcileOp state machine: any arrival order, any trigger split ------
+
+_recon_orders = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # order key
+        st.sampled_from(["P1", "P2"]),          # priority
+        st.integers(0, 300),                    # header cents
+        st.lists(st.integers(0, 200), max_size=3),  # line cents
+        st.booleans(),                          # header present?
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(orders=_recon_orders, seed=st.integers(0, 2**32 - 1), n_triggers=st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_reconcile_update_converges_for_any_arrival_order(orders, seed, n_triggers):
+    """Drive ReconcileOp's state-machine update() directly (no Spark —
+    hundreds of examples): for ANY record set, ANY arrival order and
+    ANY partition into triggers, the summed retraction deltas equal
+    the direct classification. This is the guarantee the streaming
+    tests sample; here it's exhaustive."""
+    import random
+
+    import pandas as pd
+
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        ReconcileOp,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    op = ReconcileOp("prop", tol_cents=1)
+    # build the record rows
+    records = []
+    for key, pri, hdr_c, lines, has_hdr in orders:
+        if has_hdr:
+            records.append((key, "H", pri, hdr_c))
+        for c in lines:
+            records.append((key, "L", None, c))
+    if not records:
+        return
+    rng = random.Random(seed)
+    rng.shuffle(records)
+    # split into triggers, group by key within each, drive update()
+    bounds = sorted(rng.randrange(len(records) + 1) for _ in range(n_triggers - 1))
+    chunks, prev = [], 0
+    for b in [*bounds, len(records)]:
+        chunks.append(records[prev:b])
+        prev = b
+    states: dict[int, FakeState] = {}
+    sums: dict[tuple, int] = {}
+
+    # capture the REAL update closure (the exact code Spark runs):
+    # stream_apply builds it and hands it to applyInPandasWithState —
+    # intercept that call with a stub grouped-df
+    captured = {}
+
+    class _StubGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class _StubDF:
+        isStreaming = True
+
+        def groupBy(self, *_):
+            return _StubGrouped()
+
+    op.stream_apply(_StubDF())
+    update = captured["fn"]
+
+    for chunk in chunks:
+        by_key: dict[int, list] = {}
+        for r in chunk:
+            by_key.setdefault(r[0], []).append(r)
+        for key, rs in by_key.items():
+            st_ = states.setdefault(key, FakeState())
+            pdf = pd.DataFrame(rs, columns=["order_key", "kind", "priority", "cents"])
+            for out in update((key,), iter([pdf]), st_):
+                for _, row in out.iterrows():
+                    k = (row["priority"], row["cls"])
+                    sums[k] = sums.get(k, 0) + row["delta"]
+    sums = {k: v for k, v in sums.items() if v}
+
+    # direct classification
+    want: dict[tuple, int] = {}
+    for key, pri, hdr_c, lines, has_hdr in orders:
+        if not has_hdr and not lines:
+            continue
+        li_c, n_lines = sum(lines), len(lines)
+        if has_hdr and n_lines == 0:
+            k = (pri, "EMPTY")
+        elif has_hdr:
+            k = (pri, "MATCHED" if abs(hdr_c - li_c) <= 1 else "MISMATCHED")
+        else:
+            k = ("ORPHAN_LINEITEM", "ORPHAN")
+        want[k] = want.get(k, 0) + 1
+    assert sums == want
