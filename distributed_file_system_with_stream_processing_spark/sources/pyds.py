@@ -314,18 +314,54 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
         pq.write_table(pa.Table.from_batches(batches), path)
         return _AppendCommit((path,))
 
+    _LEDGER = "_stream_published.txt"
+
+    def _published_thru(self) -> int:
+        """The sink's own batch-id ledger (the reference leader's
+        remembered processed-batch set, rainstorm.go:537-575): the
+        highest batchId ever PUBLISHED to this table. Needed beyond
+        the dir-exists check because a later ``compact_appends()`` /
+        ``merge()`` folds published batch dirs away — without the
+        ledger a replay after a fold would re-publish (duplicates)."""
+        p = os.path.join(self._appends_dir(), self._LEDGER)
+        if not os.path.isfile(p):
+            return -1
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def _record_published(self, batch_id: int) -> None:
+        """Atomically advance the ledger (temp + rename). Written
+        AFTER the publish rename: a crash in between leaves the dir on
+        disk, so the replay's dir-exists check still dedups and then
+        repairs the ledger."""
+        import uuid
+
+        d = self._appends_dir()
+        cur = self._published_thru()
+        if batch_id <= cur:
+            return
+        tmp = os.path.join(d, f"_ledger-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(d, self._LEDGER))
+
     def commit(self, messages, batchId: int) -> None:
         import shutil
         import uuid
 
         files = [f for m in messages if m is not None for f in m.files]
         final = self._batch_dir(batchId)
-        if os.path.isdir(final):
-            # replayed micro-batch: already published — dedup by
-            # batch id, discard the re-staged parts
+        if os.path.isdir(final) or batchId <= self._published_thru():
+            # replayed micro-batch: already published — the
+            # deterministic dir is on disk, or the ledger proves it
+            # was (its dir may have been folded away by a compaction
+            # or merge since). Dedup by batch id, discard the
+            # re-staged parts, repair the ledger if the crash landed
+            # between publish and record.
             for f in files:
                 if os.path.isfile(f):
                     os.remove(f)
+            self._record_published(batchId)
             return
         if not files:
             return  # empty batch: publish nothing
@@ -341,6 +377,7 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(final):  # lost to something other than replay
                 raise
+        self._record_published(batchId)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -569,3 +569,50 @@ def test_stream_writer_commit_replay_is_deduped(spark, tmp_path):
     # a later batch still publishes normally after the replay
     w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
     assert len(store.get("t").collect()) == 3
+
+
+def test_stream_writer_replay_after_compaction_and_merge(spark, tmp_path):
+    """The sink's batch-id LEDGER survives folds: replaying a batchId
+    whose published dir was folded away by compact_appends() or
+    merge() must NOT re-publish (the dir-exists check alone would) —
+    the reference leader's remembered-batch-id set outliving the dest
+    file's own compaction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+
+    def stage(rows):
+        staging = os.path.join(root, "t", "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p
+        )
+        return p
+
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=0)
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    # fold the published batch dirs away
+    assert store.compact_appends("t") >= 2
+    # replay both folded batchIds (crash recovery after the fold)
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=0)
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    assert len(store.get("t").collect()) == 3  # no duplicates
+    # now fold EVERYTHING into the base and replay again
+    store.merge("t")
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    assert len(store.get("t").collect()) == 3
+    # a genuinely new batch still publishes after all that
+    w.commit([_AppendCommit((stage([(4, "z")]),))], batchId=2)
+    assert {(r["id"], r["v"]) for r in store.get("t").collect()} == {
+        (1, "base"), (2, "x"), (3, "y"), (4, "z"),
+    }
