@@ -639,12 +639,21 @@ class RetentionMatrixOp:
     (documented cap).
 
     Batch twin (``__call__``) computes the capped triangle directly.
+
+    ``evict_on_watermark=True`` removes a user's state once the
+    watermark passes cohort + ``max_offset`` weeks: every offset the
+    bitmask could still record is ≥ the cap and dropped in BOTH twins,
+    so the eviction is memory-only (the pattern SessionPathOp
+    documents) — per-user state stops being forever even though the
+    retention window is a year-plus.
     """
 
     name: str
     user_col: str = "user_id"
     ts_col: str = "ts"
     max_offset: int = 64
+    evict_on_watermark: bool = False
+    watermark: str = "10 seconds"
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
@@ -670,11 +679,18 @@ class RetentionMatrixOp:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        tscol, cap = self.ts_col, self.max_offset
+        tscol, cap, evict = self.ts_col, self.max_offset, self.evict_on_watermark
         out_schema = "cohort_week long, week_offset long, delta long"
         cols = ["cohort_week", "week_offset", "delta"]
 
         def update(key, pdfs: Iterator, state) -> Iterator:
+            if evict and state.hasTimedOut:
+                # Watermark passed cohort + cap weeks: every offset the
+                # mask could still record is >= cap (dropped in both
+                # twins) — the state is pure memory now.
+                state.remove()
+                yield pd.DataFrame([], columns=cols)
+                return
             parts = [p for p in pdfs if len(p)]
             if not parts:
                 yield pd.DataFrame([], columns=cols)
@@ -693,14 +709,22 @@ class RetentionMatrixOp:
                     mask |= 1 << off
                     deltas.append((cohort, off, 1))
             state.update((cohort, mask))
+            if evict:
+                state.setTimeoutTimestamp(
+                    max(
+                        (cohort + cap) * 604800 * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(deltas, columns=cols)
 
-        return df.groupBy(self.user_col).applyInPandasWithState(
+        src = df.withWatermark(tscol, self.watermark) if evict else df
+        return src.groupBy(self.user_col).applyInPandasWithState(
             update,
             out_schema,
             "cohort_week long, mask long",
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout if evict else GroupStateTimeout.NoTimeout,
         )
 
 

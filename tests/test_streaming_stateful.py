@@ -1099,3 +1099,67 @@ def test_session_path_watermark_eviction_bounds_state(spark, dirs):
     assert rows_t1 == 1 and rows_after == 1, (rows_t1, rows_after)
     # outputs unaffected: u1's single 3-path, u2 never completed one
     assert got == {(1, "a > b > c"): 1}
+
+
+def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
+    """RetentionMatrixOp(evict_on_watermark=True): a user whose
+    retention window (cohort + 64 weeks) has fully passed under the
+    watermark is evicted — state rows shrink back — while the triangle
+    deltas stay exactly the batch twin's (offsets ≥ 64 were dropped in
+    both twins anyway)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(days):
+        return t0 + dt.timedelta(days=days)
+
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    rows1 = [(0, "view", at(0), 1), (1, "view", at(7), 1)]  # offsets 0,1
+    # user 2 appears 70 weeks later: advances the watermark past
+    # user 1's whole 64-week window
+    rows2 = [(2, "view", at(70 * 7), 2)]
+    rows3 = [(3, "view", at(70 * 7 + 1), 2)]  # next trigger fires the timeout
+    op = O.RetentionMatrixOp("retmat_evict", evict_on_watermark=True)
+
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("retmat_evict_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+
+    def state_rows():
+        p = q.lastProgress
+        return sum(s["numRowsTotal"] for s in p["stateOperators"]) if p else None
+
+    try:
+        q.processAllAvailable()
+        rows_t1 = state_rows()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows3, schema), dirs["src"])
+        q.processAllAvailable()
+        rows_end = state_rows()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("select * from retmat_evict_stream").collect():
+            k = (r["cohort_week"], r["week_offset"])
+            got[k] = got.get(k, 0) + r["delta"]
+    finally:
+        q.stop()
+    # u1 held state after trigger 1; evicted once its 64-week window
+    # passed — only u2 remains (2 would mean state never shrinks)
+    assert rows_t1 == 1 and rows_end == 1, (rows_t1, rows_end)
+    batch = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    offsets: dict[int, int] = {}
+    for (_, off), v in got.items():
+        offsets[off] = offsets.get(off, 0) + v
+    assert offsets == {0: 2, 1: 1}  # u1 offsets 0,1; u2 offset 0
