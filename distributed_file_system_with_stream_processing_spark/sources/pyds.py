@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -93,6 +94,9 @@ class TableStoreDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool):
         return _TableStoreStreamWriter(self._table_dir())
 
+    def writer(self, schema, overwrite: bool):
+        return _TableStoreBatchWriter(self._table_dir(), overwrite)
+
 
 class _TableStoreReader(DataSourceReader):
     def __init__(self, table_dir: str, columns: list[str]):
@@ -106,6 +110,8 @@ class _TableStoreReader(DataSourceReader):
         appends = os.path.join(self.table_dir, "appends")
         if os.path.isdir(appends):
             for seq in sorted(os.listdir(appends)):
+                if seq.startswith(("_", ".")):
+                    continue  # markers / the sink's staging area
                 for p in _data_files(os.path.join(appends, seq)):
                     splits.append(_FileSplit(p, seq))
         return splits
@@ -380,6 +386,76 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
         self._record_published(batchId)
 
     def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.isfile(f):
+                    os.remove(f)
+
+
+class _TableStoreBatchWriter(DataSourceArrowWriter):
+    """Batch SINK into the TableStore append log — ``df.write.format(
+    "tablestore").mode("append")`` becomes ONE append batch, published
+    with the same stage-then-atomic-rename protocol as the streaming
+    writer (tasks stage Arrow-fed parquet parts; the driver's commit
+    assembles only the SUCCESSFUL tasks' parts and renames once).
+
+    The stamp is a fresh ``time_ns-uuid`` exactly like
+    ``TableStore.append`` (dfs.py:163) — the two write paths are
+    interchangeable in merge order, snapshots and CDC. Mirroring the
+    reference's write model (HyDFS has create + append, never
+    in-place overwrite), ``mode("overwrite")`` is rejected.
+
+    Role: API completeness for the pluggable source (read /
+    streamRead / streamWrite / write); ``TableStore.append`` remains
+    the performance path (JVM parquet writer, no Python hop).
+    """
+
+    def __init__(self, table_dir: str, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "tablestore is an append log: mode('overwrite') is not "
+                "supported (use TableStore.create / merge)"
+            )
+        base = os.path.join(table_dir, "base")
+        if not os.path.isdir(base):
+            raise ValueError(f"table doesn't exist (no base at {base!r})")
+        self.table_dir = table_dir
+
+    def _appends_dir(self) -> str:
+        return os.path.join(self.table_dir, "appends")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if len(b)]
+        if not batches:
+            return _AppendCommit(())
+        staging = os.path.join(self._appends_dir(), "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _AppendCommit((path,))
+
+    def commit(self, messages) -> None:
+        import time
+        import uuid
+
+        files = [f for m in messages if m is not None for f in m.files]
+        if not files:
+            return
+        seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(self._appends_dir(), f"_commit-{seq}")
+        os.makedirs(tmp)
+        for f in files:
+            os.replace(f, os.path.join(tmp, os.path.basename(f)))
+        os.rename(tmp, os.path.join(self._appends_dir(), seq))
+
+    def abort(self, messages) -> None:
         for m in messages:
             if m is None:
                 continue

@@ -616,3 +616,59 @@ def test_stream_writer_replay_after_compaction_and_merge(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in store.get("t").collect()} == {
         (1, "base"), (2, "x"), (3, "y"), (4, "z"),
     }
+
+
+def test_batch_writer_appends_one_batch(spark, tmp_path):
+    """df.write.format('tablestore').mode('append') publishes ONE
+    append batch interchangeable with TableStore.append; overwrite is
+    rejected (the store is an append log); and stray files in the
+    sink's _staging area are invisible to the batch reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+
+    root = str(tmp_path / "store")
+    schema = "id long, v string"
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], schema))
+    spark.dataSource.register(TableStoreDataSource)
+
+    (
+        spark.createDataFrame([(2, "w1"), (3, "w2")], schema)
+        .write.format("tablestore")
+        .option("root", root)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    assert {(r["id"], r["v"]) for r in store.get("t").collect()} == {
+        (1, "base"), (2, "w1"), (3, "w2"),
+    }
+    assert len(store._append_batches("t")) == 1
+
+    with pytest.raises(Exception, match="append log|not supported"):
+        (
+            spark.createDataFrame([(9, "no")], schema)
+            .write.format("tablestore")
+            .option("root", root)
+            .option("table", "t")
+            .mode("overwrite")
+            .save()
+        )
+
+    # a stray uncommitted part in _staging must not leak into reads
+    staging = os.path.join(root, "t", "appends", "_staging")
+    os.makedirs(staging, exist_ok=True)
+    pq.write_table(pa.table({"id": [99], "v": ["stray"]}),
+                   os.path.join(staging, "part-stray.parquet"))
+    via_ds = (
+        spark.read.format("tablestore")
+        .option("root", root)
+        .option("table", "t")
+        .load()
+    )
+    assert {r["id"] for r in via_ds.collect()} == {1, 2, 3}
+    assert {r["id"] for r in store.get("t").collect()} == {1, 2, 3}
