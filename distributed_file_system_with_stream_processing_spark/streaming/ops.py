@@ -345,10 +345,13 @@ class SessionPathOp:
     ``evict_on_watermark=True`` bounds total state by the watermark
     horizon — essential when the user keyspace grows without bound
     (the 100 TB streaming regime): once the watermark passes
-    last_sec + gap, the remembered tail is semantically DEAD (any
-    future event would reset it at the inactivity split anyway), so
-    an event-time timeout removes the key's state with zero effect
-    on emitted paths. Eviction changes memory, never output.
+    last_sec + gap + 1s (the extra second covers sub-second event
+    times — an event in [last_sec+gap, last_sec+gap+1) still has
+    whole-second distance == gap and does NOT split in the batch
+    twin), the remembered tail is semantically DEAD (any future event
+    would reset it at the inactivity split anyway), so an event-time
+    timeout removes the key's state with zero effect on emitted
+    paths. Eviction changes memory, never output.
     """
 
     name: str
@@ -440,9 +443,15 @@ class SessionPathOp:
             pad = [None] * (2 - len(tail)) + tail
             state.update((pad[0], pad[1], last_sec))
             if evict:
+                # (last_sec + gap_s + 1) * 1000, NOT (last_sec+gap_s)*1000+1:
+                # timestamps are truncated to whole seconds for the split,
+                # so an event in the sub-second window [.., +1s) still has
+                # sec == last_sec + gap_s and does NOT split in the batch
+                # twin (condition is STRICTLY > gap_s) — evicting before
+                # the full second has passed would lose its triple.
                 state.setTimeoutTimestamp(
                     max(
-                        (last_sec + gap_s) * 1000 + 1,
+                        (last_sec + gap_s + 1) * 1000,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
@@ -640,12 +649,16 @@ class RetentionMatrixOp:
 
     Batch twin (``__call__``) computes the capped triangle directly.
 
-    ``evict_on_watermark=True`` removes a user's state once the
+    ``evict_on_watermark=True`` FREEZES a user's key once the
     watermark passes cohort + ``max_offset`` weeks: every offset the
     bitmask could still record is ≥ the cap and dropped in BOTH twins,
-    so the eviction is memory-only (the pattern SessionPathOp
-    documents) — per-user state stops being forever even though the
-    retention window is a year-plus.
+    so the closure is output-neutral, and no further timeout is
+    registered for the key. The (cohort, mask) pair itself is kept —
+    cohort identity is forever-information (batch cohort = all-time
+    min week), so truly removing the state would re-cohort a returning
+    user at their comeback week and emit a spurious (new_cohort, 0,
+    +1) delta the batch twin never produces. Per-user state is two
+    longs: the information-theoretic floor for an exact triangle.
     """
 
     name: str
@@ -685,10 +698,15 @@ class RetentionMatrixOp:
 
         def update(key, pdfs: Iterator, state) -> Iterator:
             if evict and state.hasTimedOut:
-                # Watermark passed cohort + cap weeks: every offset the
-                # mask could still record is >= cap (dropped in both
-                # twins) — the state is pure memory now.
-                state.remove()
+                # Watermark passed cohort + cap weeks: the window is
+                # CLOSED — no future offset can land under the cap. The
+                # cohort itself must be KEPT, not removed: a returning
+                # user with no state would be re-cohorted at their new
+                # week and emit a spurious (new_cohort, 0, +1) delta the
+                # batch twin (cohort = all-time min week) never produces.
+                # Freeze: keep (cohort, mask), register no new timeout.
+                cohort, mask = state.get
+                state.update((cohort, mask))
                 yield pd.DataFrame([], columns=cols)
                 return
             parts = [p for p in pdfs if len(p)]
@@ -710,12 +728,13 @@ class RetentionMatrixOp:
                     deltas.append((cohort, off, 1))
             state.update((cohort, mask))
             if evict:
-                state.setTimeoutTimestamp(
-                    max(
-                        (cohort + cap) * 604800 * 1000,
-                        state.getCurrentWatermarkMs() + 1,
-                    )
-                )
+                # Register the closure timeout only while the window is
+                # still open — once the watermark passed cohort + cap
+                # the key is frozen (see the hasTimedOut branch) and a
+                # re-registered timeout would just re-fire every trigger.
+                close_ms = (cohort + cap) * 604800 * 1000
+                if close_ms > state.getCurrentWatermarkMs():
+                    state.setTimeoutTimestamp(close_ms)
             yield pd.DataFrame(deltas, columns=cols)
 
         src = df.withWatermark(tscol, self.watermark) if evict else df
@@ -904,9 +923,15 @@ class SessionDepthOp:
                 # Never set a timeout at/under the current watermark
                 # (Spark rejects it); clamping forward only hastens an
                 # already-due closure to the next trigger.
+                # (last_sec + gap_s + 1) * 1000, NOT (last_sec+gap_s)*1000+1:
+                # the split truncates timestamps to whole seconds, so an
+                # event in the sub-second window [.., +1s) has
+                # sec == last_sec + gap_s and EXTENDS the session in the
+                # batch twin (split is strictly > gap_s) — closing before
+                # the full second has passed would count the session short.
                 state.setTimeoutTimestamp(
                     max(
-                        (last_sec + gap_s) * 1000 + 1,
+                        (last_sec + gap_s + 1) * 1000,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )

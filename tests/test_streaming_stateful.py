@@ -1041,6 +1041,67 @@ def test_session_depth_watermark_closure_full_parity(spark, dirs):
     assert batch == {3: 1, 2: 1}  # streamed == batch once u2 idles out
 
 
+def test_session_depth_subsecond_gap_boundary(spark, dirs):
+    """SessionDepthOp(close_on_watermark=True): an event landing in
+    the sub-second window [last+gap, last+gap+1) has whole-second
+    distance == gap and EXTENDS the session in the batch twin — so the
+    timeout must fire only from (last+gap+1)s on. A timeout at
+    (last+gap)s+1ms closes the session short: the stream would count
+    depth 1 + depth 1 where the batch counts one depth-2 session."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    rows1 = [(0, at(0), 1)]  # u1 opens: last_sec=0, gap ends in sec 1800
+    rows2 = [(1, at(1810.5), 2)]  # end of trigger: watermark -> 1800.5s
+    # u1-dataless trigger with watermark in (1800.001, 1801.0): a
+    # (last+gap)*1000+1 timeout fires here (bug), (last+gap+1)*1000
+    # does not
+    rows3 = [(2, at(1810.6), 2)]
+    # u1's boundary event: 1800.9s >= watermark, whole-sec distance
+    # 1800 == gap -> extends the session in BOTH twins
+    rows4 = [(3, at(1800.9), 1)]
+    rows5 = [(4, at(20_000), 2)]  # advance the watermark far past u1
+    rows6 = [(5, at(20_060), 2)]  # next trigger: u1's timeout fires
+    op = O.SessionDepthOp("sdepth_subsec", close_on_watermark=True)
+
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("sdepth_subsec_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        for rows in (rows2, rows3, rows4, rows5, rows6):
+            q.processAllAvailable()
+            _write(spark.createDataFrame(rows, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[int, int] = {}
+        for r in spark.sql("select * from sdepth_subsec_stream").collect():
+            got[r["depth"]] = got.get(r["depth"], 0) + r["delta"]
+        got = {k: v for k, v in got.items() if v}
+    finally:
+        q.stop()
+    # u1: ONE depth-2 session ([0, 1800.9s] — the boundary event
+    # extended it); u2: its first depth-2 session closed by data, the
+    # open [20000, 20060] tail not yet closed. The buggy early timeout
+    # yields {1: 2, 2: 1} instead.
+    assert got == {2: 2}, got
+    batch = {
+        r["depth"]: r["n_sessions"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert batch == {2: 3}  # streamed == batch minus u2's open tail
+
+
 def test_session_path_watermark_eviction_bounds_state(spark, dirs):
     """SessionPathOp(evict_on_watermark=True): an idle user's state is
     REMOVED once the watermark passes its gap (observed via the state
@@ -1104,9 +1165,12 @@ def test_session_path_watermark_eviction_bounds_state(spark, dirs):
 def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
     """RetentionMatrixOp(evict_on_watermark=True): a user whose
     retention window (cohort + 64 weeks) has fully passed under the
-    watermark is evicted — state rows shrink back — while the triangle
-    deltas stay exactly the batch twin's (offsets ≥ 64 were dropped in
-    both twins anyway)."""
+    watermark is FROZEN (timeout fired, no further timeouts), and —
+    the regression this test pins — a frozen user who RETURNS emits
+    NO spurious delta: their cohort is remembered, their comeback
+    offset is ≥ the cap, and the streamed triangle stays exactly the
+    batch twin's. (Full state removal would re-cohort the returner at
+    week 70 and emit a bogus (70, 0, +1) the batch never produces.)"""
     import datetime as dt
 
     t0 = dt.datetime(2024, 1, 1, 0, 0)
@@ -1119,7 +1183,9 @@ def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
     # user 2 appears 70 weeks later: advances the watermark past
     # user 1's whole 64-week window
     rows2 = [(2, "view", at(70 * 7), 2)]
-    rows3 = [(3, "view", at(70 * 7 + 1), 2)]  # next trigger fires the timeout
+    rows3 = [(3, "view", at(70 * 7 + 1), 2)]  # next trigger: timeout fires
+    # u1 RETURNS after the freeze (same week as u2's tail, not late)
+    rows4 = [(4, "view", at(70 * 7 + 1), 1)]
     op = O.RetentionMatrixOp("retmat_evict", evict_on_watermark=True)
 
     _write(spark.createDataFrame(rows1, schema), dirs["src"])
@@ -1144,6 +1210,8 @@ def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
         q.processAllAvailable()
         _write(spark.createDataFrame(rows3, schema), dirs["src"])
         q.processAllAvailable()
+        _write(spark.createDataFrame(rows4, schema), dirs["src"])
+        q.processAllAvailable()
         rows_end = state_rows()
         got: dict[tuple, int] = {}
         for r in spark.sql("select * from retmat_evict_stream").collect():
@@ -1151,9 +1219,9 @@ def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
             got[k] = got.get(k, 0) + r["delta"]
     finally:
         q.stop()
-    # u1 held state after trigger 1; evicted once its 64-week window
-    # passed — only u2 remains (2 would mean state never shrinks)
-    assert rows_t1 == 1 and rows_end == 1, (rows_t1, rows_end)
+    # u1's key is FROZEN, not dropped: both users keep their two-long
+    # state (cohort identity is forever-information)
+    assert rows_t1 == 1 and rows_end == 2, (rows_t1, rows_end)
     batch = {
         (r["cohort_week"], r["week_offset"]): r["n_users"]
         for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
@@ -1162,4 +1230,6 @@ def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
     offsets: dict[int, int] = {}
     for (_, off), v in got.items():
         offsets[off] = offsets.get(off, 0) + v
-    assert offsets == {0: 2, 1: 1}  # u1 offsets 0,1; u2 offset 0
+    # u1 offsets 0,1; u2 offset 0 — and NOTHING from u1's comeback
+    # (a re-cohorted u1 would add a spurious offset-0 row)
+    assert offsets == {0: 2, 1: 1}
