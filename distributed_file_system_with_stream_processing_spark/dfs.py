@@ -75,6 +75,40 @@ class TableStore:
             return []
         return sorted(p for p in os.listdir(d) if not p.startswith("_"))
 
+    _STREAM_LEDGER = "_stream_published.txt"
+
+    def _repair_stream_ledger(self, name: str, batches: list[str]) -> None:
+        """Advance the streaming sink's batch-id ledger (sources/pyds.py
+        _TableStoreStreamWriter) to cover every published stream batch
+        about to be FOLDED AWAY by compact_appends()/merge(). Closes the
+        sink's one crash window: publish rename done, crash before the
+        ledger write, then maintenance folds the batch dir before the
+        replay — without this repair the replay would find neither the
+        dir nor a ledger entry and re-publish duplicates. Stream batch
+        dirs end in ``-sb<batchId>`` and commit in batch-id order, so
+        the max folded id is a valid published-thru floor."""
+        import re
+
+        ids = [
+            int(m.group(1))
+            for b in batches
+            for m in [re.search(r"-sb(\d{8})$", b)]
+            if m
+        ]
+        if not ids:
+            return
+        hi = max(ids)
+        p = os.path.join(self._appends_dir(name), self._STREAM_LEDGER)
+        cur = -1
+        if os.path.isfile(p):
+            with open(p) as fh:
+                cur = int(fh.read().strip())
+        if hi > cur:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(hi))
+            os.replace(tmp, p)
+
     # -- crash recovery ---------------------------------------------------
 
     _FOLDED_MARKER = "_folded_batches.txt"
@@ -263,6 +297,7 @@ class TableStore:
         batches = self._append_batches(name)
         if len(batches) <= 1:
             return 0
+        self._repair_stream_ledger(name, batches)
         ad = self._appends_dir(name)
         max_seq = max(self._batch_max_seq(name, b) for b in batches)
         combined = None
@@ -442,6 +477,7 @@ class TableStore:
         batches = self._append_batches(name)
         if not batches:
             return 0
+        self._repair_stream_ledger(name, batches)
         merged = self.get(name, with_seq=True).orderBy("_append_seq").drop("_append_seq")
         base, old, tmp = self._base_dir(name), self._old_base_dir(name), self._merging_dir(name)
         if os.path.isdir(tmp):

@@ -92,10 +92,19 @@ class TableStoreDataSource(DataSource):
         )
 
     def streamWriter(self, schema, overwrite: bool):
-        return _TableStoreStreamWriter(self._table_dir())
+        if overwrite:
+            # outputMode('complete')/truncate semantics: the append log
+            # has no overwrite — silently appending every trigger's full
+            # result would duplicate rows at each trigger.
+            raise ValueError(
+                "tablestore is an append log: streaming outputMode must "
+                "be append/update (complete implies truncate, which the "
+                "log cannot express)"
+            )
+        return _TableStoreStreamWriter(self._table_dir(), schema)
 
     def writer(self, schema, overwrite: bool):
-        return _TableStoreBatchWriter(self._table_dir(), overwrite)
+        return _TableStoreBatchWriter(self._table_dir(), schema, overwrite)
 
 
 class _TableStoreReader(DataSourceReader):
@@ -239,7 +248,92 @@ class _AppendCommit(WriterCommitMessage):
         self.files = files
 
 
-class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
+def _check_write_schema(table_dir: str, schema) -> None:
+    """Reject a write whose column names don't match the table base's
+    — the append log unions batches by NAME at read time, so a
+    renamed/missing/reordered column would publish a corrupt batch
+    that only fails (or silently misaligns) at a later read, far from
+    the bad writer."""
+    import pyarrow.parquet as pq
+
+    base = _data_files(os.path.join(table_dir, "base"))
+    if not base:
+        raise ValueError(f"table doesn't exist (no base files under {table_dir!r})")
+    want = list(pq.read_schema(base[0]).names)
+    got = [f.name for f in schema.fields] if schema is not None else want
+    if got != want:
+        raise ValueError(
+            f"tablestore write schema mismatch: table columns {want}, "
+            f"dataframe columns {got} (names and order must match the base)"
+        )
+
+
+class _StagedPartsMixin:
+    """Shared two-phase staging for both writers: tasks stage one
+    Arrow-fed parquet part each under ``appends/_staging/`` and return
+    its path; only paths named in SUCCESSFUL tasks' commit messages
+    are ever published, so task retries cannot duplicate rows within a
+    batch. ``_PART_PREFIX`` keeps the two writers' staged files apart
+    (a stream sink may legitimately run concurrently with batch
+    appends on the same table)."""
+
+    table_dir: str
+    _PART_PREFIX = "part"
+
+    def _appends_dir(self) -> str:
+        return os.path.join(self.table_dir, "appends")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if len(b)]
+        if not batches:
+            return _AppendCommit(())
+        staging = os.path.join(self._appends_dir(), "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(
+            staging, f"{self._PART_PREFIX}-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _AppendCommit((path,))
+
+    @staticmethod
+    def _discard(messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.isfile(f):
+                    os.remove(f)
+
+    def _sweep_staging(self, keep: set, min_age_s: float = 0.0) -> None:
+        """Remove this writer's orphaned staged parts (failed or
+        speculative tasks never surface in commit messages, so their
+        files would otherwise accumulate forever). Only files with our
+        prefix are touched — a concurrent writer of the OTHER kind
+        keeps its staging intact. ``min_age_s`` protects writers
+        WITHOUT a single-writer contract (concurrent batch appends):
+        only parts older than the window are swept."""
+        import time
+
+        staging = os.path.join(self._appends_dir(), "_staging")
+        if not os.path.isdir(staging):
+            return
+        cutoff = time.time() - min_age_s
+        for f in os.listdir(staging):
+            p = os.path.join(staging, f)
+            if f.startswith(self._PART_PREFIX + "-") and p not in keep:
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                except OSError:
+                    pass
+
+
+class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
     """Streaming SINK into the TableStore append log — the
     ``writeStream`` twin of ``TableStore.append`` and the write-side
     analogue of the reference leader's batch-id dedup (reference
@@ -254,73 +348,71 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
        fresh files; only the files named in the SUCCESSFUL tasks'
        commit messages are ever published, so task retries cannot
        duplicate rows within a batch.
-    2. ``commit`` (driver): the batch's append-sequence stamp is
-       DETERMINISTIC — ``seqbase + batchId`` — where ``seqbase`` is a
-       time_ns epoch persisted in ``appends/_stream_seqbase.txt`` the
-       first time a stream writes the table. A replayed micro-batch
-       (crash after publish, before the checkpoint recorded it)
-       therefore maps to the SAME batch dir; ``commit`` sees it on
-       disk, discards the re-staged parts, and returns — the
-       reference's dedup-by-batch-id, keyed by Spark's checkpointed
-       batchId instead of a line range. Publish itself is one atomic
-       ``rename`` of the assembled dir into ``appends/<seq>``.
+    2. ``commit`` (driver): the batch publishes under a MONOTONE stamp
+       — ``max(time_ns, newest existing stamp + 1)`` — suffixed with
+       the checkpointed batchId (``<stamp>-sb<batchId>``), via one
+       atomic ``rename`` of the assembled dir into ``appends/``.
+       Monotone against BOTH write paths: a plain ``TableStore.append``
+       interleaved with the running sink can never out-stamp a later
+       stream batch, so a CDC reader's high-water offset never
+       silently skips stream batches (stamps follow publication
+       order, which is what the offset contract actually requires).
+       Replay dedup (crash after publish, before the checkpoint
+       recorded it) is by batch id, the reference leader's remembered
+       processed-batch set (rainstorm.go:537-575): a batchId is
+       already published iff it is ≤ the LEDGER's high-water mark or a
+       published dir carries its ``-sb`` suffix; ``commit`` then
+       discards the re-staged parts and returns.
 
-    The dir name sorts correctly among ``TableStore.append`` stamps
-    (both are 20-digit time_ns strings), so merged reads, as-of reads
-    and the CDC stream reader order stream batches interchangeably
-    with batch appends. Empty micro-batches publish nothing (batchId
-    gaps are fine: stamps only need to be monotone, not dense).
+    The ledger (``appends/_stream_published.txt``) is written after
+    the publish rename; the one crash window in between is covered on
+    the other side — ``compact_appends()``/``merge()`` advance the
+    ledger from the ``-sb`` names they are about to fold away
+    (dfs.TableStore._repair_stream_ledger), so maintenance can never
+    erase un-ledgered evidence of publication. Empty micro-batches
+    publish nothing (batchId gaps are fine: stamps only need to be
+    monotone, not dense).
 
     Single-writer contract (the reference's: ONE leader owns the dest
-    file): concurrent stream writers on the same table would collide
-    on batch stamps; use one query per table.
+    file): one stream QUERY LINEAGE per table — concurrent stream
+    writers would collide on batch ids, and a fresh-checkpoint query
+    restarting batch ids at 0 on an already-written table would be
+    deduped against the old lineage's ledger (write to a new table or
+    clear the ledger instead).
     """
 
-    def __init__(self, table_dir: str):
-        base = os.path.join(table_dir, "base")
-        if not os.path.isdir(base):
-            raise ValueError(f"table doesn't exist (no base at {base!r})")
+    _PART_PREFIX = "s-part"
+
+    def __init__(self, table_dir: str, schema=None):
+        _check_write_schema(table_dir, schema)
         self.table_dir = table_dir
-        self.seqbase = self._load_seqbase()
+        os.makedirs(self._appends_dir(), exist_ok=True)
 
-    def _appends_dir(self) -> str:
-        return os.path.join(self.table_dir, "appends")
+    _LEDGER = "_stream_published.txt"
 
-    def _load_seqbase(self) -> int:
+    def _next_stamp(self) -> str:
+        """20-digit publication stamp: wall time_ns, bumped past the
+        newest existing stamp (dir names and compacted dirs' _max_seq
+        markers) so publication order == stamp order even when a plain
+        append's stamp landed ahead of this sink's clock."""
         import time
 
         d = self._appends_dir()
-        os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, "_stream_seqbase.txt")
-        try:
-            with open(p, "x") as fh:
-                fh.write(str(time.time_ns()))
-        except FileExistsError:
-            pass
-        with open(p) as fh:
-            return int(fh.read().strip())
+        stamp = time.time_ns()
+        seqs = [s for s in os.listdir(d) if not s.startswith(("_", "."))]
+        if seqs:
+            cur = max(_batch_max_seq(d, s) for s in seqs)
+            stamp = max(stamp, int(cur[:20]) + 1)
+        return f"{stamp:020d}"
 
-    def _batch_dir(self, batch_id: int) -> str:
-        return os.path.join(
-            self._appends_dir(), f"{self.seqbase + batch_id:020d}-sb{batch_id:08d}"
+    def _find_published(self, batch_id: int) -> bool:
+        d = self._appends_dir()
+        suffix = f"-sb{batch_id:08d}"
+        return any(
+            s.endswith(suffix)
+            for s in os.listdir(d)
+            if not s.startswith(("_", "."))
         )
-
-    def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if len(b)]
-        if not batches:
-            return _AppendCommit(())
-        staging = os.path.join(self._appends_dir(), "_staging")
-        os.makedirs(staging, exist_ok=True)
-        path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_batches(batches), path)
-        return _AppendCommit((path,))
-
-    _LEDGER = "_stream_published.txt"
 
     def _published_thru(self) -> int:
         """The sink's own batch-id ledger (the reference leader's
@@ -351,23 +443,38 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
             fh.write(str(batch_id))
         os.replace(tmp, os.path.join(d, self._LEDGER))
 
+    def _gc_commit_dirs(self, batch_id: int) -> None:
+        """Remove orphaned ``_commit-*`` dirs left by crashed prior
+        attempts. Commits are sequential (single-writer), so any
+        ``_commit`` dir with an embedded batch number ≤ the current one
+        is dead: its batch either published (dedup covers the replay)
+        or is about to be re-assembled from fresh staged parts."""
+        import re
+        import shutil
+
+        d = self._appends_dir()
+        for s in os.listdir(d):
+            m = re.match(r"_commit-(\d{8})-", s)
+            if m and int(m.group(1)) <= batch_id:
+                shutil.rmtree(os.path.join(d, s), ignore_errors=True)
+
     def commit(self, messages, batchId: int) -> None:
         import shutil
         import uuid
 
         files = [f for m in messages if m is not None for f in m.files]
-        final = self._batch_dir(batchId)
-        if os.path.isdir(final) or batchId <= self._published_thru():
-            # replayed micro-batch: already published — the
-            # deterministic dir is on disk, or the ledger proves it
-            # was (its dir may have been folded away by a compaction
-            # or merge since). Dedup by batch id, discard the
-            # re-staged parts, repair the ledger if the crash landed
-            # between publish and record.
+        self._gc_commit_dirs(batchId)
+        if batchId <= self._published_thru() or self._find_published(batchId):
+            # replayed micro-batch: already published — the ledger
+            # proves it, or a published dir still carries this batch
+            # id's -sb suffix (the ledger write may have been lost to a
+            # crash right after the publish rename). Dedup by batch id,
+            # discard the re-staged parts, repair the ledger.
             for f in files:
                 if os.path.isfile(f):
                     os.remove(f)
             self._record_published(batchId)
+            self._sweep_staging(set())
             return
         if not files:
             return  # empty batch: publish nothing
@@ -377,24 +484,24 @@ class _TableStoreStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(tmp)
         for f in files:
             os.replace(f, os.path.join(tmp, os.path.basename(f)))
+        final = os.path.join(
+            self._appends_dir(), f"{self._next_stamp()}-sb{batchId:08d}"
+        )
         try:
             os.rename(tmp, final)  # the atomic publish
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(final):  # lost to something other than replay
-                raise
+            raise
         self._record_published(batchId)
+        # single-writer: any of our parts still staged belong to failed
+        # or speculative tasks of batches ≤ this one — orphans
+        self._sweep_staging(set())
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for f in m.files:
-                if os.path.isfile(f):
-                    os.remove(f)
+        self._discard(messages)
 
 
-class _TableStoreBatchWriter(DataSourceArrowWriter):
+class _TableStoreBatchWriter(_StagedPartsMixin, DataSourceArrowWriter):
     """Batch SINK into the TableStore append log — ``df.write.format(
     "tablestore").mode("append")`` becomes ONE append batch, published
     with the same stage-then-atomic-rename protocol as the streaming
@@ -407,39 +514,28 @@ class _TableStoreBatchWriter(DataSourceArrowWriter):
     reference's write model (HyDFS has create + append, never
     in-place overwrite), ``mode("overwrite")`` is rejected.
 
+    Unlike the stream sink there is NO single-writer contract here
+    (concurrent batch appends are legal, like TableStore.append), so
+    housekeeping is age-gated: only staged parts and ``_commit`` dirs
+    older than an hour — orphans of crashed jobs, never a live
+    commit's — are swept.
+
     Role: API completeness for the pluggable source (read /
     streamRead / streamWrite / write); ``TableStore.append`` remains
     the performance path (JVM parquet writer, no Python hop).
     """
 
-    def __init__(self, table_dir: str, overwrite: bool):
+    _PART_PREFIX = "b-part"
+    _ORPHAN_AGE_S = 3600.0
+
+    def __init__(self, table_dir: str, schema, overwrite: bool):
         if overwrite:
             raise ValueError(
                 "tablestore is an append log: mode('overwrite') is not "
                 "supported (use TableStore.create / merge)"
             )
-        base = os.path.join(table_dir, "base")
-        if not os.path.isdir(base):
-            raise ValueError(f"table doesn't exist (no base at {base!r})")
+        _check_write_schema(table_dir, schema)
         self.table_dir = table_dir
-
-    def _appends_dir(self) -> str:
-        return os.path.join(self.table_dir, "appends")
-
-    def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if len(b)]
-        if not batches:
-            return _AppendCommit(())
-        staging = os.path.join(self._appends_dir(), "_staging")
-        os.makedirs(staging, exist_ok=True)
-        path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_batches(batches), path)
-        return _AppendCommit((path,))
 
     def commit(self, messages) -> None:
         import time
@@ -454,11 +550,27 @@ class _TableStoreBatchWriter(DataSourceArrowWriter):
         for f in files:
             os.replace(f, os.path.join(tmp, os.path.basename(f)))
         os.rename(tmp, os.path.join(self._appends_dir(), seq))
+        self._gc_orphans()
+
+    def _gc_orphans(self) -> None:
+        """Sweep crashed jobs' leftovers: our staged parts and batch
+        ``_commit-*`` dirs (20-digit-stamp names, distinct from the
+        stream's ``_commit-<batchId>-``) past the age gate."""
+        import re
+        import shutil
+        import time
+
+        self._sweep_staging(set(), min_age_s=self._ORPHAN_AGE_S)
+        d = self._appends_dir()
+        cutoff = time.time() - self._ORPHAN_AGE_S
+        for s in os.listdir(d):
+            if re.match(r"_commit-\d{20}-", s):
+                p = os.path.join(d, s)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for f in m.files:
-                if os.path.isfile(f):
-                    os.remove(f)
+        self._discard(messages)

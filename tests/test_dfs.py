@@ -481,8 +481,8 @@ def test_stream_writer_appends_exactly_once(spark, tmp_path):
     _TableStoreStreamWriter): streamed micro-batches land as ordinary
     append batches (TableStore.get sees base + streamed rows), a
     restart from the same checkpoint continues without duplicating,
-    and the published batch stamps are the deterministic
-    seqbase+batchId form the dedup-by-batch-id protocol requires."""
+    and the published stamps carry the -sb<batchId> suffix the
+    dedup-by-batch-id protocol keys on, in publication order."""
     from distributed_file_system_with_stream_processing_spark.sources.pyds import (
         TableStoreDataSource,
     )
@@ -615,6 +615,185 @@ def test_stream_writer_replay_after_compaction_and_merge(spark, tmp_path):
     w.commit([_AppendCommit((stage([(4, "z")]),))], batchId=2)
     assert {(r["id"], r["v"]) for r in store.get("t").collect()} == {
         (1, "base"), (2, "x"), (3, "y"), (4, "z"),
+    }
+
+
+def test_stream_writer_stamps_interleave_with_plain_appends(spark, tmp_path):
+    """Publication-order monotone stamps: a plain TableStore.append
+    interleaved with a running stream sink must NOT out-stamp later
+    stream batches — a CDC reader whose offset advanced past the
+    append would otherwise silently skip every subsequent stream
+    batch forever (the frozen-seqbase failure mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamReader,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+
+    def stage(rows):
+        staging = os.path.join(root, "t", "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"s-part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p
+        )
+        return p
+
+    w.commit([_AppendCommit((stage([(2, "s0")]),))], batchId=0)
+    store.append("t", spark.createDataFrame([(3, "plain")], "id long, v string"))
+    w.commit([_AppendCommit((stage([(4, "s1")]),))], batchId=1)
+    # stamps follow publication order: s0 < plain < s1
+    batches = store._append_batches("t")
+    assert len(batches) == 3 and batches == sorted(batches)
+    assert batches[0].endswith("-sb00000000") and batches[2].endswith("-sb00000001")
+    # the CDC contract the ordering exists for: a reader whose offset
+    # is the plain append's stamp still receives the later stream batch
+    rdr = _TableStoreStreamReader(os.path.join(root, "t"), ["id", "v", "_append_seq"])
+    lo = {"seq": batches[1]}
+    splits = rdr.partitions(lo, rdr.latestOffset())
+    assert {s.seq for s in splits} == {batches[2]}
+    assert len(store.get("t").collect()) == 4
+
+
+def test_stream_writer_ledger_crash_window_survives_fold(spark, tmp_path):
+    """The one crash window in the sink's ledger protocol (publish
+    rename done, crash before the ledger write) is closed by the
+    maintenance side: compact_appends()/merge() advance the ledger
+    from the -sb dir names they fold away, so a replay after the fold
+    still dedups instead of re-publishing duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+
+    def stage(rows):
+        staging = os.path.join(root, "t", "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"s-part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p
+        )
+        return p
+
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=0)
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    # simulate the crash window: the publishes happened but the ledger
+    # write was lost
+    ledger = os.path.join(root, "t", "appends", "_stream_published.txt")
+    os.remove(ledger)
+    assert store.compact_appends("t") >= 2  # folds the -sb dirs away
+    # the fold repaired the ledger from the folded names
+    with open(ledger) as fh:
+        assert int(fh.read().strip()) == 1
+    # replay both batches: must dedup, not re-publish
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=0)
+    w.commit([_AppendCommit((stage([(3, "y")]),))], batchId=1)
+    assert len(store.get("t").collect()) == 3
+
+
+def test_writers_reject_schema_mismatch(spark, tmp_path):
+    """Both tablestore writers reject a dataframe whose column names
+    don't match the table base — publishing a misnamed batch would
+    corrupt the log and only fail at a later read, far from the bad
+    writer."""
+    import pytest
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    spark.dataSource.register(TableStoreDataSource)
+
+    bad = spark.createDataFrame([(2, "x")], "id long, renamed string")
+    with pytest.raises(Exception, match="schema mismatch"):
+        (
+            bad.write.format("tablestore")
+            .option("root", root)
+            .option("table", "t")
+            .mode("append")
+            .save()
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        _TableStoreStreamWriter(os.path.join(root, "t"), bad.schema)
+    # nothing was published by the rejected writes
+    assert store._append_batches("t") == []
+
+
+def test_stream_writer_rejects_complete_mode(spark, tmp_path):
+    """outputMode('complete') (overwrite=True) is rejected up front:
+    silently treating truncate semantics as append would duplicate
+    every aggregate row once per trigger."""
+    import pytest
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    ds = TableStoreDataSource(
+        options={"root": root, "table": "t"}
+    )
+    with pytest.raises(ValueError, match="append log"):
+        ds.streamWriter(store.get("t").schema, True)
+
+
+def test_stream_commit_gc_collects_orphans(spark, tmp_path):
+    """A crashed prior attempt's _commit-* dir and staged parts from
+    failed tasks are swept by the next successful commit — no
+    unbounded invisible disk growth under appends/."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+    ad = os.path.join(root, "t", "appends")
+
+    # a crashed batch-0 attempt: assembled _commit dir + an orphaned
+    # staged part from a task that never reported back
+    orphan_dir = os.path.join(ad, "_commit-00000000-deadbeef")
+    os.makedirs(orphan_dir)
+    staging = os.path.join(ad, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    orphan_part = os.path.join(staging, "s-part-orphan.parquet")
+    pq.write_table(pa.table({"id": [9], "v": ["zombie"]}), orphan_part)
+
+    fresh = os.path.join(staging, "s-part-fresh.parquet")
+    pq.write_table(pa.table({"id": [2], "v": ["x"]}), fresh)
+    w.commit([_AppendCommit((fresh,))], batchId=0)
+
+    assert not os.path.isdir(orphan_dir)
+    assert not os.path.isfile(orphan_part)
+    assert {(r["id"], r["v"]) for r in store.get("t").collect()} == {
+        (1, "base"), (2, "x"),
     }
 
 
