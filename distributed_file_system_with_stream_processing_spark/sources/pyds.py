@@ -394,7 +394,16 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
         """20-digit publication stamp: wall time_ns, bumped past the
         newest existing stamp (dir names and compacted dirs' _max_seq
         markers) so publication order == stamp order even when a plain
-        append's stamp landed ahead of this sink's clock."""
+        append's stamp landed ahead of this sink's clock.
+
+        Residual race, documented: a concurrent plain append starting
+        in the microseconds between this listing and the publish
+        rename takes a later time_ns but may rename first — a CDC
+        reader polling in exactly that window could advance past the
+        not-yet-renamed stream batch. Lock-free filesystems cannot
+        close this without a commit log; callers needing a hard
+        guarantee serialize appends with the sink's commit cadence
+        (the single-writer deployment the reference also assumes)."""
         import time
 
         d = self._appends_dir()
