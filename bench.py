@@ -244,7 +244,7 @@ def main() -> None:
         "events_session_depth_histogram",
         "docs_duplicate_prefix_topk",
         "orders_value_cv_by_priority",
-        "embedding_neardup_capped",
+        "embedding_neardup_uncapped",
         "orders_reconciliation_audit",
     ]
     headline = [q for q in headline if q in QUERIES]

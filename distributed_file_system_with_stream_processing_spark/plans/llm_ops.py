@@ -624,34 +624,38 @@ FROM r WHERE rank <= 5
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup: sign-LSH banding → band equi-join → exact
-    cosine verify. Semantics: band-collide ∩ cosine≥t, deterministic
-    for the fixed md5-derived plane family — the oracle replicates the
-    IDENTICAL banding (portable plane literals), so this is a full
-    value-hash row, not rows-only. Brute force stays registered as
+    """Scale-path near-dup: sign-LSH banding → band equi-join under the
+    band-bucket cap (``bucket_cap=50``) → exact cosine verify. Pairs
+    generate only when the lower-id member ranks ≤50 in its
+    (band, key) bucket, bounding per-bucket fan-out to cap·|bucket|
+    (linear in bucket size) while every member keeps its link to the
+    bucket's representatives — so CC-based dedup downstream still
+    collapses every flood. The cap is the DEFAULT since r7: the
+    uncapped banding measured 7.4–20.6× wall at the mirror-heavy 10×
+    rehearsal (pair count quadratic in replica density) and is demoted
+    to ``embedding_neardup_uncapped`` (the ``_exact`` precedent).
+    Oracle mirrors the rank CTE exactly; capped ⊆ uncapped and the
+    surviving pair set is pinned on planted floods in
+    tests/test_ann.py. Brute force stays registered as
     embedding_neardup_exact."""
     return S.banded_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"),
-        threshold=0.35, bands=8, rows_per_band=8, dim=64,
+        threshold=0.35, bands=8, rows_per_band=8, dim=64, bucket_cap=50,
     )
 
 
-def embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The banded near-dup pair list under the band-bucket cap
-    (``bucket_cap=50`` — the semantic_dedup guard as a first-class
-    output): pairs generate only when the lower-id member ranks ≤50
-    in its (band, key) bucket, bounding per-bucket fan-out to
-    cap·|bucket| (linear) while every member keeps its link to the
-    bucket's representatives. THE pair list to feed CC-based dedup at
-    duplication-dense scale — the uncapped ``embedding_neardup``
-    measured 20.6× wall at the mirror-heavy 10× rehearsal (pair count
-    is quadratic in replica density), the capped CC consumer 1.7×.
-    Oracle mirrors the rank CTE exactly; capped ⊆ uncapped and the
-    surviving pair set is pinned on planted floods in
-    tests/test_ann.py."""
+def embedding_neardup_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding WITHOUT the bucket cap: band-collide ∩ cosine≥t,
+    every colliding pair materialized. Complete pair lists for
+    small/moderate duplication density; at replica-dense corpora the
+    pair count grows quadratically with flood size (20.6× wall at the
+    mirror-heavy 10× rehearsal), which is why the capped plan owns the
+    primary ``embedding_neardup`` name since r7. Deterministic for the
+    fixed md5-derived plane family — the oracle replicates the
+    IDENTICAL banding (portable plane literals)."""
     return S.banded_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"),
-        threshold=0.35, bands=8, rows_per_band=8, dim=64, bucket_cap=50,
+        threshold=0.35, bands=8, rows_per_band=8, dim=64,
     )
 
 
@@ -741,15 +745,15 @@ s AS (
 
 
 EMBEDDING_NEARDUP_SQL = (
-    _banded_neardup_body()
+    _banded_neardup_body(bucket_cap=50)
     + """
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
 """
 )
 
-EMBEDDING_NEARDUP_CAPPED_SQL = (
-    _banded_neardup_body(bucket_cap=50)
+EMBEDDING_NEARDUP_UNCAPPED_SQL = (
+    _banded_neardup_body()
     + """
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
@@ -1226,7 +1230,7 @@ QUERIES = {
     "multimodal_image_stats": multimodal_image_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
-    "embedding_neardup_capped": embedding_neardup_capped,
+    "embedding_neardup_uncapped": embedding_neardup_uncapped,
     "embedding_neardup_exact": embedding_neardup_exact,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_bucketed": ann_ivf_bucketed,
@@ -1260,7 +1264,7 @@ ORACLES = {
     "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
-    "embedding_neardup_capped": EMBEDDING_NEARDUP_CAPPED_SQL,
+    "embedding_neardup_uncapped": EMBEDDING_NEARDUP_UNCAPPED_SQL,
     "embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
 }

@@ -76,59 +76,14 @@ for _m in _MODULES:
 # already green cedes its slot (r5 verdict item 6; the r5 overflow to
 # 51 entries cost supplier_single_source_parts its row).
 _FRONT = [
-    # 1. unchecked — rotated out by the r5 overflow, fronted first
-    "supplier_single_source_parts",
-    # 2. changed this round (r6)
-    "embedding_knn_graph",  # cells now scale ~sqrt(n) (r5 verdict #2)
-    "embedding_hubness",  # shares the sqrt(n) cell plan
-    "semantic_dedup",  # band-bucket pair cap (r5 verdict #3)
-    "quality_ppl_correlation",  # zero-variance NULL guard (ADVICE r5)
-    # 3. new round-6 queries (appended as they land)
-    "docs_stopword_profile",
-    "docs_hapax_by_source",
-    "docs_compression_proxy",
-    "docs_prefix_dup_rate",
-    "docs_casefold_dup_lift",
-    "docs_sentence_length_profile",
-    "events_retention_matrix",
-    "events_funnel_dropoff_time",
-    "events_burstiness",
-    "events_hour_entropy_by_type",
-    "events_lag1_autocorr",
-    "events_value_benford",
-    "customer_revenue_gini_binned",
-    "supplier_part_concentration",
-    "part_brand_price_dispersion",
-    "customer_mktsegment_value_gap",
-    "supplier_acctbal_quartiles",
-    "orders_weekday_seasonality",
-    "nation_trade_balance",
-    "embedding_dim_kurtosis",
-    "embedding_centroid_shift",
-    "embedding_intrinsic_dim",
-    "docs_ngram_novelty_curve",
-    "docs_token_bigram_entropy",
-    "docs_numeric_density",
-    "events_type_cooccurrence_lift",
-    "events_peak_to_mean_by_user",
-    "events_quiet_hours",
-    "customer_order_value_trend",
-    "docs_word_length_profile",
-    "docs_first_word_concentration",
-    "events_value_percentiles_by_type",
-    "events_first_last_type_matrix",
-    "customer_repeat_rate_by_nation",
-    "lineitem_quantity_price_corr",
-    "docs_vocab_overlap_matrix",
-    "orders_status_year_mix",
-    "events_error_adjacency",
-    "customer_acctbal_vs_spend_corr",
-    "part_size_price_slope",
-    "events_session_depth_histogram",
-    "docs_duplicate_prefix_topk",
-    "orders_value_cv_by_priority",
-    "embedding_neardup_capped",
-    "orders_reconciliation_audit",
+    # 1. changed this round (r7)
+    "embedding_neardup",  # bucket_cap=50 is now the DEFAULT (r6 verdict #1)
+    # 2. renamed this round (r7): the uncapped banding demoted from the
+    #    primary name (was green as `embedding_neardup` through r6; the
+    #    capped plan was green as `embedding_neardup_capped` in r6) —
+    #    new NAME, so it needs a driver row under that name
+    "embedding_neardup_uncapped",
+    # 3. new round-7 queries (appended as they land)
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

@@ -231,7 +231,7 @@ AUDITED = [
     "events_session_depth_histogram",
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
-    "embedding_neardup_capped",
+    "embedding_neardup_uncapped",
     "orders_reconciliation_audit",
 ]
 

@@ -87,7 +87,7 @@ QUERIES_UNDER_TEST = [
     # sessionize-backbone event windows, the prefix-keyed boilerplate
     # top-k, the per-customer OLS trend window, and the fact-fact
     # full-outer reconciliation join.
-    "embedding_neardup_capped",
+    "embedding_neardup_uncapped",
     "events_error_adjacency",
     "events_session_depth_histogram",
     "docs_duplicate_prefix_topk",

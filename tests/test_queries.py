@@ -106,18 +106,12 @@ def test_registry_front_loads_unchecked_queries():
     names = list(R.QUERIES)
     assert names[: len(R._FRONT)] == R._FRONT
     assert len(R._FRONT) <= 50, len(R._FRONT)
-    # round 6 policy (r5 verdict item 6): _FRONT = {no driver row yet}
-    # ∪ {plan/oracle changed since last green row}, nothing else — the
-    # r5 overflow to 51 entries cost supplier_single_source_parts its
-    # driver row, so it leads this round.
+    # round 7 policy (unchanged from r6): _FRONT = {no driver row yet}
+    # ∪ {plan/oracle changed since last green row}, nothing else.
     must_front = {
-        # unchecked: the query the r5 overflow rotated out
-        "supplier_single_source_parts",
-        # changed this round (r6)
-        "embedding_knn_graph",
-        "embedding_hubness",
-        "semantic_dedup",
-        "quality_ppl_correlation",
+        # changed this round (r7): capped banding became the default
+        "embedding_neardup",
+        # renamed this round (r7): needs a row under the new name
+        "embedding_neardup_uncapped",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
-    assert R._FRONT[0] == "supplier_single_source_parts"
