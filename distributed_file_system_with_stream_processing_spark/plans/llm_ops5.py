@@ -1180,12 +1180,13 @@ def dedup_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair incl. the diagonal (= n_flagged).
 
     100 TB shape: each method's pair/group backbone is its own
-    documented bounded plan (LSH-banded, never quadratic); the
-    flagged-doc union is dup-scale, the self-join key is doc_id over
-    that reduced table, and the matrix rollup key has 4² cardinality.
-    One corpus read feeds all four detectors (shared scan via the
-    repeated documents load — Catalyst reuses the exchange where the
-    backbones align).
+    documented bounded plan (LSH-banded, never quadratic), computed
+    ONCE per session and persisted (plans/_backbones.py — r6 verdict
+    #3: through r6 this query re-derived all four detectors inline,
+    34.7 s at sf1); the matrix only rolls up the materialized
+    dup-scale tables. The flagged-doc union is dup-scale, the
+    self-join key is doc_id over that reduced table, and the matrix
+    rollup key has 4² cardinality.
 
     Rows-only for the driver (a four-way chained oracle would be a
     renaming exercise, not a semantics check); the HARD check is
@@ -1193,28 +1194,18 @@ def dedup_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed independently from each registered method's own
     (driver-hash-checked) output.
     """
-    from distributed_file_system_with_stream_processing_spark.operators import dedup as D
-    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
-        dedup_exact_substring,
-    )
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
-    docs = load_table(spark, sf_dir, "documents")
-
-    # exact_dedup exposes (hash, canonical, n_copies) groups; the
-    # member list comes from the SAME normalization (functions.text)
-    norm = F.md5(T.norm_text(F.col("text")))
-    eh = docs.select("doc_id", norm.alias("h"))
-    dup_h = eh.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    exact = eh.join(dup_h.select("h"), "h").select("doc_id")
+    exact = B.exact_flagged(spark, sf_dir)
 
     def endpoints(pairs: DataFrame, a: str, b: str) -> DataFrame:
         return pairs.select(F.col(a).alias("doc_id")).union(
             pairs.select(F.col(b).alias("doc_id"))
         )
 
-    mh = endpoints(D.minhash_lsh_pairs(docs), "doc_id_a", "doc_id_b")
-    sh = endpoints(D.simhash_pairs(docs, n=3, max_hamming=3), "doc_id_a", "doc_id_b")
-    ss = endpoints(dedup_exact_substring(spark, sf_dir), "doc_id_a", "doc_id_b")
+    mh = endpoints(B.minhash_pairs(spark, sf_dir), "doc_id_a", "doc_id_b")
+    sh = endpoints(B.simhash_pairs(spark, sf_dir), "doc_id_a", "doc_id_b")
+    ss = endpoints(B.substring_pairs(spark, sf_dir), "doc_id_a", "doc_id_b")
 
     tagged = None
     for method, df in (("exact", exact), ("minhash", mh), ("simhash", sh), ("substring", ss)):
@@ -1430,15 +1421,15 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-SIZE histogram of the near-dup connected components:
     how many dup clusters of 2, of 3, … exist — the dedup-savings
     estimator (docs removable = Σ (size−1)·count). Rolls up the
-    registered dedup_clusters output; oracle wraps the same
+    session-persisted dedup_clusters backbone (plans/_backbones.py,
+    r6 verdict #3 — the LSH banding + CC run once per session, this
+    query reads the materialized table); oracle wraps the same
     recursive-CTE closure. The histogram key is cluster-size (tiny);
     everything upstream is the documented LSH + large-star/small-star
     census."""
-    from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
-        dedup_clusters,
-    )
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
-    cc = dedup_clusters(spark, sf_dir)
+    cc = B.minhash_cc(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.filter(F.col("sz") > 1)

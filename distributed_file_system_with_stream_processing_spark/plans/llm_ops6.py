@@ -832,13 +832,17 @@ def docs_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum.
 
     100 TB shape: the LSH + CC backbone (diameter-independent,
-    checkpointed) + one (doc_id) join of cluster sizes onto the token
-    census + a per-source rollup. The cluster-size table is
-    component-scale and rides the size-gated broadcast.
+    checkpointed) is the session-persisted index (plans/_backbones.py,
+    r6 verdict #3 — banding + CC run once per session at the shared
+    default parameterization, this query reads the materialized CC
+    table) + one (doc_id) join of cluster sizes onto the token census
+    + a per-source rollup. The cluster-size table is component-scale
+    and rides the size-gated broadcast.
     """
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6)
-    return effective_tokens_from_edges(d, pairs)
+    return effective_tokens_from_cc(d, B.minhash_cc(spark, sf_dir))
 
 
 def effective_tokens_from_edges(
@@ -855,13 +859,21 @@ def effective_tokens_from_edges(
     integer rollup. Given equal (docs, edges), outputs are equal —
     the streamed-≡-batch equivalence reduces to edge-set equality,
     which minhash_banded guarantees by construction."""
+    cc = D.connected_components(edges, src=src, dst=dst)
+    return effective_tokens_from_cc(d, cc)
+
+
+def effective_tokens_from_cc(d: DataFrame, cc: DataFrame) -> DataFrame:
+    """The post-closure half of the sizing core, over an explicit
+    (node, cluster_id) component table — the registered batch query
+    feeds the session-persisted ``_backbones.minhash_cc`` here while
+    the streaming twin closes its accumulated edges itself."""
     from distributed_file_system_with_stream_processing_spark.functions import text as T
     from distributed_file_system_with_stream_processing_spark.operators._util import (
         gate_broadcast,
         spread,
     )
 
-    cc = D.connected_components(edges, src=src, dst=dst)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     member_sizes, _ = gate_broadcast(
         cc.join(sizes, "cluster_id").select(

@@ -1338,16 +1338,18 @@ def docs_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     never NULL (the driver's value-hash cannot order NULLs).
 
     100 TB shape: the minhash-banding + large-star/small-star CC
-    recipe (diameter-independent, the semantic_dedup economics), one
-    cluster-keyed agg over the CLUSTER-member-scale table (quality
-    scalars ride along as one integer), then a 1-row fold.
+    recipe (diameter-independent, the semantic_dedup economics) is the
+    session-persisted backbone (plans/_backbones.py, r6 verdict #3 —
+    computed once per session, this query reads the materialized CC
+    table), then one cluster-keyed agg over the CLUSTER-member-scale
+    table (quality scalars ride along as one integer) and a 1-row fold.
     """
     from distributed_file_system_with_stream_processing_spark.functions import text as T
     from distributed_file_system_with_stream_processing_spark.operators._util import spread
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(d)
-    cc = D.connected_components(pairs)
+    cc = B.minhash_cc(spark, sf_dir)
     ws = T.words(F.col("text"))
     qual = d.select(
         "doc_id",
