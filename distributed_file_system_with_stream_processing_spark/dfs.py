@@ -44,9 +44,21 @@ class TableStoreError(Exception):
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, serialize_appends: bool = False
+    ):
+        """``serialize_appends=True`` opts this store's plain appends
+        into the per-table publication lock (locks.append_lock): each
+        append stages to a hidden dir, then takes the lock, bumps its
+        stamp past the newest published one and renames atomically —
+        closing the documented stamp-vs-rename CDC race when plain
+        appends interleave with a running stream sink (which must opt
+        in too, via ``.option("serializeAppends", "true")``). Off by
+        default: the lock-free path keeps the reference's single-writer
+        deployment semantics and existing behavior byte-for-byte."""
         self.spark = spark
         self.root = root
+        self.serialize_appends = serialize_appends
         self._cached: dict[str, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -92,7 +104,7 @@ class TableStore:
         ids = [
             int(m.group(1))
             for b in batches
-            for m in [re.search(r"-sb(\d{8})$", b)]
+            for m in [re.search(r"-sb(\d{8,})$", b)]
             if m
         ]
         if not ids:
@@ -197,13 +209,45 @@ class TableStore:
     def append(self, name: str, df: DataFrame) -> str:
         """Reference `append`: a timestamped batch, deferred until merge.
         O(batch) write — never rewrites the base (the reference's core
-        design point: appends are cheap, reads pay for the merge)."""
+        design point: appends are cheap, reads pay for the merge).
+
+        With ``serialize_appends`` the batch stages under a hidden
+        ``_pending-*`` dir (invisible to readers), then stamp-bump +
+        publish-rename happen atomically under the per-table lock —
+        publication order == stamp order even against a concurrent
+        opted-in stream sink. The Spark write job itself runs OUTSIDE
+        the lock, so appends serialize only on the (microsecond-scale)
+        stamp+rename, not on the parquet write."""
         if not self.exists(name):
             raise TableStoreError(f"table doesn't exist ({name})")
-        seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("errorifexists").parquet(os.path.join(self._appends_dir(name), seq))
+        ad = self._appends_dir(name)
+        if self.serialize_appends:
+            from distributed_file_system_with_stream_processing_spark.locks import (
+                append_lock,
+            )
+
+            tmp = os.path.join(ad, f"_pending-{uuid.uuid4().hex[:12]}")
+            df.write.mode("errorifexists").parquet(tmp)
+            with append_lock(ad):
+                seq = f"{self._bumped_stamp(name)}-{uuid.uuid4().hex[:8]}"
+                os.rename(tmp, os.path.join(ad, seq))
+        else:
+            seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("errorifexists").parquet(os.path.join(ad, seq))
         self._invalidate(name)
         return seq
+
+    def _bumped_stamp(self, name: str) -> str:
+        """20-digit stamp: wall time_ns bumped past the newest
+        published stamp (incl. compacted batches' _max_seq markers) —
+        the stream sink's monotonicity rule, applied to plain appends
+        when they opt into serialization."""
+        stamp = time.time_ns()
+        batches = self._append_batches(name)
+        if batches:
+            cur = max(self._batch_max_seq(name, b) for b in batches)
+            stamp = max(stamp, int(cur[:20]) + 1)
+        return f"{stamp:020d}"
 
     def multiappend(self, name: str, dfs: list[DataFrame]) -> list[str]:
         """Reference `multiappend file VM1,VM2,... local1,local2,...`

@@ -101,10 +101,22 @@ class TableStoreDataSource(DataSource):
                 "be append/update (complete implies truncate, which the "
                 "log cannot express)"
             )
-        return _TableStoreStreamWriter(self._table_dir(), schema)
+        return _TableStoreStreamWriter(
+            self._table_dir(), schema, serialize=self._serialize_opt()
+        )
 
     def writer(self, schema, overwrite: bool):
-        return _TableStoreBatchWriter(self._table_dir(), schema, overwrite)
+        return _TableStoreBatchWriter(
+            self._table_dir(), schema, overwrite, serialize=self._serialize_opt()
+        )
+
+    def _serialize_opt(self) -> bool:
+        """``.option("serializeAppends", "true")``: publish under the
+        per-table append lock (locks.append_lock) so stamp order ==
+        publication order against concurrent opted-in plain appends —
+        closes the documented CDC stamp-vs-rename race for deployments
+        without a single-writer contract."""
+        return str(self.options.get("serializeappends", "false")).lower() == "true"
 
 
 class _TableStoreReader(DataSourceReader):
@@ -248,23 +260,66 @@ class _AppendCommit(WriterCommitMessage):
         self.files = files
 
 
+def _canon_arrow_type(t) -> str:
+    """Canonical type label for the write-time schema check: physical
+    encodings that read back interchangeably (string/large_string,
+    binary/large_binary, any timestamp unit/tz — the JVM parquet
+    writer and pyarrow differ on these) collapse to one label, so the
+    check flags REAL type divergence (int vs string) without false
+    alarms between the two write paths."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_dictionary(t):
+        return _canon_arrow_type(t.value_type)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
 def _check_write_schema(table_dir: str, schema) -> None:
-    """Reject a write whose column names don't match the table base's
-    — the append log unions batches by NAME at read time, so a
-    renamed/missing/reordered column would publish a corrupt batch
-    that only fails (or silently misaligns) at a later read, far from
-    the bad writer."""
+    """Reject a write whose column NAMES or TYPES don't match the
+    table base's — the append log unions batches by name at read time,
+    so a renamed/missing/reordered column would publish a corrupt
+    batch, and a same-named column of a different type (v int vs
+    v string) would publish one that only fails or silently coerces at
+    a later read, far from the bad writer (ADVICE r6)."""
     import pyarrow.parquet as pq
 
     base = _data_files(os.path.join(table_dir, "base"))
     if not base:
         raise ValueError(f"table doesn't exist (no base files under {table_dir!r})")
-    want = list(pq.read_schema(base[0]).names)
+    base_schema = pq.read_schema(base[0])
+    want = list(base_schema.names)
     got = [f.name for f in schema.fields] if schema is not None else want
     if got != want:
         raise ValueError(
             f"tablestore write schema mismatch: table columns {want}, "
             f"dataframe columns {got} (names and order must match the base)"
+        )
+    if schema is None:
+        return
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        got_arrow = to_arrow_schema(schema)
+    except Exception:
+        return  # no Spark→Arrow conversion available: names-only check
+    want_t = {f.name: _canon_arrow_type(f.type) for f in base_schema}
+    got_t = {f.name: _canon_arrow_type(f.type) for f in got_arrow}
+    bad = [
+        f"{n}: table {want_t[n]}, dataframe {got_t[n]}"
+        for n in want
+        if got_t.get(n) != want_t[n]
+    ]
+    if bad:
+        raise ValueError(
+            "tablestore write schema mismatch (column types): " + "; ".join(bad)
         )
 
 
@@ -383,9 +438,10 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
 
     _PART_PREFIX = "s-part"
 
-    def __init__(self, table_dir: str, schema=None):
+    def __init__(self, table_dir: str, schema=None, serialize: bool = False):
         _check_write_schema(table_dir, schema)
         self.table_dir = table_dir
+        self.serialize = serialize
         os.makedirs(self._appends_dir(), exist_ok=True)
 
     _LEDGER = "_stream_published.txt"
@@ -396,14 +452,17 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
         markers) so publication order == stamp order even when a plain
         append's stamp landed ahead of this sink's clock.
 
-        Residual race, documented: a concurrent plain append starting
+        Residual race, lock-free: a concurrent plain append starting
         in the microseconds between this listing and the publish
         rename takes a later time_ns but may rename first — a CDC
         reader polling in exactly that window could advance past the
-        not-yet-renamed stream batch. Lock-free filesystems cannot
-        close this without a commit log; callers needing a hard
-        guarantee serialize appends with the sink's commit cadence
-        (the single-writer deployment the reference also assumes)."""
+        not-yet-renamed stream batch. Callers needing a hard guarantee
+        either serialize appends with the sink's commit cadence (the
+        single-writer deployment the reference also assumes) or opt
+        BOTH write paths into the per-table append lock
+        (``serializeAppends`` here, ``serialize_appends=True`` on the
+        TableStore — locks.append_lock), which makes stamp choice +
+        publish rename one critical section."""
         import time
 
         d = self._appends_dir()
@@ -415,12 +474,18 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
         return f"{stamp:020d}"
 
     def _find_published(self, batch_id: int) -> bool:
+        # zero-pad-aware: parse the -sb suffix back to an int instead
+        # of string-matching the :08d form, so batch ids past 10**8
+        # (9+ digits — :08d pads, never truncates) still dedup
+        # (ADVICE r6)
+        import re
+
         d = self._appends_dir()
-        suffix = f"-sb{batch_id:08d}"
         return any(
-            s.endswith(suffix)
+            m and int(m.group(1)) == batch_id
             for s in os.listdir(d)
             if not s.startswith(("_", "."))
+            for m in [re.search(r"-sb(\d{8,})$", s)]
         )
 
     def _published_thru(self) -> int:
@@ -463,7 +528,7 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
 
         d = self._appends_dir()
         for s in os.listdir(d):
-            m = re.match(r"_commit-(\d{8})-", s)
+            m = re.match(r"_commit-(\d{8,})-", s)
             if m and int(m.group(1)) <= batch_id:
                 shutil.rmtree(os.path.join(d, s), ignore_errors=True)
 
@@ -493,14 +558,22 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
         os.makedirs(tmp)
         for f in files:
             os.replace(f, os.path.join(tmp, os.path.basename(f)))
-        final = os.path.join(
-            self._appends_dir(), f"{self._next_stamp()}-sb{batchId:08d}"
+        from distributed_file_system_with_stream_processing_spark.locks import (
+            append_lock,
         )
-        try:
-            os.rename(tmp, final)  # the atomic publish
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
+
+        # under serializeAppends the stamp choice and the publish
+        # rename are one critical section — no opted-in plain append
+        # can stamp later yet rename earlier (the CDC race)
+        with append_lock(self._appends_dir(), self.serialize):
+            final = os.path.join(
+                self._appends_dir(), f"{self._next_stamp()}-sb{batchId:08d}"
+            )
+            try:
+                os.rename(tmp, final)  # the atomic publish
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         self._record_published(batchId)
         # single-writer: any of our parts still staged belong to failed
         # or speculative tasks of batches ≤ this one — orphans
@@ -537,7 +610,7 @@ class _TableStoreBatchWriter(_StagedPartsMixin, DataSourceArrowWriter):
     _PART_PREFIX = "b-part"
     _ORPHAN_AGE_S = 3600.0
 
-    def __init__(self, table_dir: str, schema, overwrite: bool):
+    def __init__(self, table_dir: str, schema, overwrite: bool, serialize: bool = False):
         if overwrite:
             raise ValueError(
                 "tablestore is an append log: mode('overwrite') is not "
@@ -545,21 +618,49 @@ class _TableStoreBatchWriter(_StagedPartsMixin, DataSourceArrowWriter):
             )
         _check_write_schema(table_dir, schema)
         self.table_dir = table_dir
+        self.serialize = serialize
 
     def commit(self, messages) -> None:
         import time
         import uuid
 
+        from distributed_file_system_with_stream_processing_spark.locks import (
+            append_lock,
+        )
+
         files = [f for m in messages if m is not None for f in m.files]
         if not files:
             return
-        seq = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
-        tmp = os.path.join(self._appends_dir(), f"_commit-{seq}")
+        suffix = uuid.uuid4().hex[:8]
+        tmp = os.path.join(
+            self._appends_dir(), f"_commit-{time.time_ns():020d}-{suffix}"
+        )
         os.makedirs(tmp)
         for f in files:
             os.replace(f, os.path.join(tmp, os.path.basename(f)))
-        os.rename(tmp, os.path.join(self._appends_dir(), seq))
+        # under serializeAppends, stamp-bump + publish are one critical
+        # section (publication order == stamp order); lock-free, the
+        # stamp is plain time_ns — TableStore.append's semantics
+        with append_lock(self._appends_dir(), self.serialize):
+            if self.serialize:
+                seq = f"{self._bumped_stamp()}-{suffix}"
+            else:
+                seq = f"{time.time_ns():020d}-{suffix}"
+            os.rename(tmp, os.path.join(self._appends_dir(), seq))
         self._gc_orphans()
+
+    def _bumped_stamp(self) -> str:
+        """time_ns bumped past the newest published stamp — the stream
+        sink's monotonicity rule (see _next_stamp)."""
+        import time
+
+        d = self._appends_dir()
+        stamp = time.time_ns()
+        seqs = [s for s in os.listdir(d) if not s.startswith(("_", "."))]
+        if seqs:
+            cur = max(_batch_max_seq(d, s) for s in seqs)
+            stamp = max(stamp, int(cur[:20]) + 1)
+        return f"{stamp:020d}"
 
     def _gc_orphans(self) -> None:
         """Sweep crashed jobs' leftovers: our staged parts and batch

@@ -975,6 +975,20 @@ class ReconcileOp:
 
     Batch twin (``__call__``) computes the same (priority, class)
     counts directly from a bounded df of the same record shape.
+    Duplicate headers resolve identically on both sides: independent
+    MAX over priority and over cents (the batch F.max aggregates; the
+    streaming fold takes the max over micro-batch ∪ carried state), so
+    the twins agree for any arrival order and trigger split.
+
+    State lifetime is deliberately FOREVER (NoTimeout): the batch twin
+    classifies over ALL records ever seen, and a header or late line
+    group may arrive arbitrarily long after its counterpart — evicting
+    an order's state would mis-classify that arrival as a fresh
+    ORPHAN/EMPTY instead of moving the order between buckets, breaking
+    delta parity. Total state therefore grows with the all-time order
+    count at O(1) per order (seven scalars); deployments with a real
+    retention bound should window the stream upstream (the
+    RetentionMatrixOp freeze pattern) rather than time out state here.
     """
 
     name: str
@@ -1033,9 +1047,16 @@ class ReconcileOp:
                 )
             hs = pdf[pdf["kind"] == "H"]
             if len(hs):
+                # duplicate headers resolve exactly like the batch
+                # twin's independent F.max(priority) / F.max(cents)
+                # aggregates — fold max over the micro-batch AND the
+                # carried state, so the twins agree for any arrival
+                # order and trigger split (ADVICE r6)
+                h_pri = str(hs["priority"].max())
+                h_c = int(hs["cents"].max())
+                pri = h_pri if not has_hdr else max(pri, h_pri)
+                hdr_c = h_c if not has_hdr else max(hdr_c, h_c)
                 has_hdr = 1
-                pri = str(hs["priority"].iloc[0])
-                hdr_c = int(hs["cents"].iloc[0])
             ls = pdf[pdf["kind"] == "L"]
             if len(ls):
                 li_c += int(ls["cents"].sum())

@@ -851,3 +851,197 @@ def test_batch_writer_appends_one_batch(spark, tmp_path):
     )
     assert {r["id"] for r in via_ds.collect()} == {1, 2, 3}
     assert {r["id"] for r in store.get("t").collect()} == {1, 2, 3}
+
+
+def test_writers_reject_type_mismatch(spark, tmp_path):
+    """Beyond names: a write whose columns MATCH by name but differ in
+    type (v long vs v string) is rejected up front — publishing it
+    would only fail or silently coerce at a later read, far from the
+    bad writer (ADVICE r6). Physically-interchangeable encodings
+    (timestamp units/tz, string vs large_string) must NOT trip it."""
+    import pytest
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        TableStoreDataSource,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create(
+        "t",
+        spark.sql("SELECT 1::LONG AS id, 'base' AS v, timestamp'2024-01-01' AS ts"),
+    )
+    spark.dataSource.register(TableStoreDataSource)
+
+    bad = spark.sql("SELECT 2::LONG AS id, 7::LONG AS v, timestamp'2024-01-02' AS ts")
+    with pytest.raises(Exception, match="schema mismatch"):
+        (
+            bad.write.format("tablestore")
+            .option("root", root)
+            .option("table", "t")
+            .mode("append")
+            .save()
+        )
+    with pytest.raises(ValueError, match="column types"):
+        _TableStoreStreamWriter(os.path.join(root, "t"), bad.schema)
+    assert store._append_batches("t") == []
+    # the same shape with matching types passes (incl. the timestamp
+    # column, whose physical unit/tz may differ between the JVM
+    # parquet writer and pyarrow — canonicalized, not compared raw)
+    good = spark.sql("SELECT 2::LONG AS id, 'x' AS v, timestamp'2024-01-02' AS ts")
+    _TableStoreStreamWriter(os.path.join(root, "t"), good.schema)
+    (
+        good.write.format("tablestore")
+        .option("root", root)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    assert len(store.get("t").collect()) == 2
+
+
+def test_stream_writer_batch_ids_past_eight_digits(spark, tmp_path):
+    """batchId ≥ 10**8 (9+ digits — :08d pads, never truncates) must
+    still dedup on replay, survive ledger repair after compaction, and
+    get its crashed _commit dirs GC'd: every parsing pattern is
+    \\d{8,}, not \\d{8} (ADVICE r6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+
+    def stage(rows):
+        staging = os.path.join(root, "t", "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"s-part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p
+        )
+        return p
+
+    big = 10**8 + 7  # 9 digits
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=big)
+    assert w._find_published(big)
+    # crashed prior attempt's _commit dir (same 9-digit id) is GC'd
+    dead = os.path.join(root, "t", "appends", f"_commit-{big:08d}-deadbeef")
+    os.makedirs(dead)
+    w._gc_commit_dirs(big)
+    assert not os.path.isdir(dead)
+    # replay before any fold: dedups via the -sb dir scan
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=big)
+    assert len(store.get("t").collect()) == 2
+    # lose the ledger, fold the batch away — repair must re-derive the
+    # 9-digit high-water from the folded -sb name
+    ledger = os.path.join(root, "t", "appends", "_stream_published.txt")
+    os.remove(ledger)
+    store.append("t", spark.createDataFrame([(3, "p")], "id long, v string"))
+    assert store.compact_appends("t") >= 2
+    with open(ledger) as fh:
+        assert int(fh.read().strip()) == big
+    # replay after the fold: dedups via the repaired ledger
+    w.commit([_AppendCommit((stage([(2, "x")]),))], batchId=big)
+    assert len(store.get("t").collect()) == 3
+
+
+def test_append_lock_mutual_exclusion(tmp_path):
+    """locks.append_lock serializes two holders (distinct file
+    descriptions, as two processes would have): the second enters only
+    after the first releases."""
+    import threading
+    import time as _t
+
+    from distributed_file_system_with_stream_processing_spark.locks import append_lock
+
+    ad = str(tmp_path / "appends")
+    order = []
+
+    def hold():
+        with append_lock(ad):
+            order.append("a-start")
+            _t.sleep(0.3)
+            order.append("a-end")
+
+    t = threading.Thread(target=hold)
+    t.start()
+    _t.sleep(0.05)
+    with append_lock(ad):
+        order.append("b")
+    t.join()
+    assert order == ["a-start", "a-end", "b"]
+    # disabled: pure no-op, no lock file created
+    with append_lock(str(tmp_path / "other"), enabled=False):
+        pass
+    assert not os.path.exists(str(tmp_path / "other"))
+
+
+def test_serialized_appends_close_cdc_stamp_race(spark, tmp_path):
+    """Opting BOTH write paths into serializeAppends (the r6 verdict's
+    commit-log-lite): plain appends stage hidden, then stamp-bump +
+    publish-rename under the per-table lock — so stamps strictly
+    follow publication order and a CDC reader stepping its offset
+    batch-by-batch receives EVERY batch, interleaved however. The
+    lock-free default path is untouched (its tests above still pin the
+    single-writer behavior)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _AppendCommit,
+        _TableStoreStreamReader,
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    schema = "id long, v string"
+    store = TableStore(spark, root, serialize_appends=True)
+    store.create("t", spark.createDataFrame([(1, "base")], schema))
+    tdir = os.path.join(root, "t")
+    w = _TableStoreStreamWriter(tdir, None, serialize=True)
+
+    def stage(rows):
+        staging = os.path.join(tdir, "appends", "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"s-part-{len(os.listdir(staging))}.parquet")
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "v": [r[1] for r in rows]}), p
+        )
+        return p
+
+    rdr = _TableStoreStreamReader(tdir, ["id", "v", "_append_seq"])
+    seen: set[int] = set()
+    offset = rdr.initialOffset()
+
+    def consume():
+        nonlocal offset
+        end = rdr.latestOffset()
+        for s in rdr.partitions(offset, end):
+            for b in rdr.read(s):
+                seen.update(b.to_pydict()["id"])
+        offset = end
+
+    # interleave: sink batch / poll / plain append / poll / ...
+    w.commit([_AppendCommit((stage([(2, "s0")]),))], batchId=0)
+    consume()
+    store.append("t", spark.createDataFrame([(3, "p0")], schema))
+    consume()
+    w.commit([_AppendCommit((stage([(4, "s1")]),))], batchId=1)
+    store.append("t", spark.createDataFrame([(5, "p1")], schema))
+    consume()
+    w.commit([_AppendCommit((stage([(6, "s2")]),))], batchId=2)
+    consume()
+    assert seen == {2, 3, 4, 5, 6}  # no skipped CDC rows
+    batches = store._append_batches("t")
+    assert len(batches) == 5 and batches == sorted(batches)
+    # no staging/pending leftovers became visible
+    assert not [b for b in os.listdir(os.path.join(tdir, "appends"))
+                if b.startswith("_pending")]
+    assert len(store.get("t").collect()) == 6

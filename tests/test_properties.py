@@ -516,3 +516,118 @@ def test_reconcile_update_converges_for_any_arrival_order(orders, seed, n_trigge
             k = ("ORPHAN_LINEITEM", "ORPHAN")
         want[k] = want.get(k, 0) + 1
     assert sums == want
+
+
+# -- ReconcileOp duplicate headers: max-parity with the batch twin --------
+
+_recon_dup_orders = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # order key
+        st.lists(  # MULTIPLE headers per order, different pri/cents
+            st.tuples(st.sampled_from(["P1", "P2", "P3"]), st.integers(0, 300)),
+            max_size=3,
+        ),
+        st.lists(st.integers(0, 200), max_size=3),  # line cents
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(orders=_recon_dup_orders, seed=st.integers(0, 2**32 - 1), n_triggers=st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_reconcile_duplicate_headers_match_batch_max(orders, seed, n_triggers):
+    """An order with SEVERAL headers carrying different priority/cents
+    must classify identically on both twins for any arrival order and
+    trigger split: the batch side takes independent F.max(priority) /
+    F.max(cents); the streaming fold must take the same maxes over
+    micro-batch ∪ carried state — not first-arrival (ADVICE r6: the
+    iloc[0] / last-trigger-wins divergence)."""
+    import random
+
+    import pandas as pd
+
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        ReconcileOp,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    op = ReconcileOp("dup", tol_cents=1)
+    records = []
+    for key, headers, lines in orders:
+        for pri, c in headers:
+            records.append((key, "H", pri, c))
+        for c in lines:
+            records.append((key, "L", None, c))
+    if not records:
+        return
+    rng = random.Random(seed)
+    rng.shuffle(records)
+    bounds = sorted(rng.randrange(len(records) + 1) for _ in range(n_triggers - 1))
+    chunks, prev = [], 0
+    for b in [*bounds, len(records)]:
+        chunks.append(records[prev:b])
+        prev = b
+
+    captured = {}
+
+    class _StubGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class _StubDF:
+        isStreaming = True
+
+        def groupBy(self, *_):
+            return _StubGrouped()
+
+    op.stream_apply(_StubDF())
+    update = captured["fn"]
+
+    states: dict[int, FakeState] = {}
+    sums: dict[tuple, int] = {}
+    for chunk in chunks:
+        by_key: dict[int, list] = {}
+        for r in chunk:
+            by_key.setdefault(r[0], []).append(r)
+        for key, rs in by_key.items():
+            st_ = states.setdefault(key, FakeState())
+            pdf = pd.DataFrame(rs, columns=["order_key", "kind", "priority", "cents"])
+            for out in update((key,), iter([pdf]), st_):
+                for _, row in out.iterrows():
+                    k = (row["priority"], row["cls"])
+                    sums[k] = sums.get(k, 0) + row["delta"]
+    sums = {k: v for k, v in sums.items() if v}
+
+    # the batch twin's classification: independent maxes over headers
+    want: dict[tuple, int] = {}
+    for key, headers, lines in orders:
+        if not headers and not lines:
+            continue
+        li_c, n_lines = sum(lines), len(lines)
+        if headers:
+            pri = max(p for p, _ in headers)  # F.max over strings
+            hdr_c = max(c for _, c in headers)
+            if n_lines == 0:
+                k = (pri, "EMPTY")
+            else:
+                k = (pri, "MATCHED" if abs(hdr_c - li_c) <= 1 else "MISMATCHED")
+        else:
+            k = ("ORPHAN_LINEITEM", "ORPHAN")
+        want[k] = want.get(k, 0) + 1
+    assert sums == want
