@@ -31,6 +31,10 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops14,
     llm_ops15,
     llm_ops16,
+    llm_ops17,
+    llm_ops18,
+    llm_ops19,
+    llm_ops20,
     rainstorm_queries,
 )
 
@@ -58,6 +62,10 @@ _MODULES = (
     llm_ops14,
     llm_ops15,
     llm_ops16,
+    llm_ops17,
+    llm_ops18,
+    llm_ops19,
+    llm_ops20,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -83,7 +91,49 @@ _FRONT = [
     #    capped plan was green as `embedding_neardup_capped` in r6) —
     #    new NAME, so it needs a driver row under that name
     "embedding_neardup_uncapped",
+    # changed (r7): now roll up the session-persisted dedup backbones
+    # (plans/_backbones.py) instead of re-deriving detectors inline
+    "dedup_agreement_matrix",
+    "dedup_cluster_sizes",
+    "docs_dedup_survivor_quality",
+    "docs_effective_tokens",
     # 3. new round-7 queries (appended as they land)
+    "docs_heaps_curve",
+    "docs_heaps_exponent",
+    "docs_oov_rate_curve",
+    "docs_term_burstiness_topk",
+    "docs_readability_proxy",
+    "docs_source_concentration_by_lang",
+    "docs_length_band_quality",
+    "docs_split_balance_audit",
+    "docs_cluster_source_purity",
+    "docs_hapax_quality_lift",
+    "docs_char_bigram_entropy_by_lang",
+    "docs_simhash_bit_balance",
+    "events_cusum_drift",
+    "events_hill_tail_index",
+    "events_user_type_entropy_hist",
+    "events_wau_growth",
+    "events_type_user_gini_binned",
+    "events_dow_hour_heatmap",
+    "events_daily_anomaly_days",
+    "events_winsorized_stats",
+    "events_props_value_stats",
+    "events_first_touch_attribution",
+    "events_concurrent_sessions_peak",
+    "events_retention_halflife",
+    "customer_balance_band_behavior",
+    "lineitem_discount_band_profile",
+    "part_price_band_revenue",
+    "nation_customer_supplier_balance",
+    "supplier_revenue_consistency",
+    "customer_segment_nation_chi2",
+    "orders_interpurchase_gaps",
+    "lineitem_returned_share_trend",
+    "embedding_label_cohesion",
+    "embedding_dim_corr_topk",
+    "embedding_norm_anova",
+    "embedding_sparsity_profile",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

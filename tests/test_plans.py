@@ -202,6 +202,23 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # lift: the 1-row unit-total broadcast onto the C(|types|,2)-row
         # pair table (the part_pair_lift shape on behavior)
         "events_type_cooccurrence_lift",
+        # Heaps checkpoints: the 10-row arithmetic-decile table rides a
+        # BuildRight broadcast into two ≤-joins (bounded 10× fan-out;
+        # the corpus-scale sides never shuffle for the join)
+        "docs_heaps_curve",
+        "docs_heaps_exponent",
+        # OOV budgets: the 3-row cutoff axis crossJoins the vocab-scale
+        # rank table (bounded 3× fan-out)
+        "docs_oov_rate_curve",
+        # 1-row grand-total BuildRight broadcasts (the tfidf N shape):
+        # split share, attribution share, max-week gate, gross total,
+        # corpus sum-vector total, Gram row count
+        "docs_split_balance_audit",
+        "events_first_touch_attribution",
+        "events_retention_halflife",
+        "lineitem_discount_band_profile",
+        "embedding_label_cohesion",
+        "embedding_dim_corr_topk",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))
