@@ -1086,7 +1086,208 @@ class ReconcileOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp | ReconcileOp
+@dataclass
+class CusumMonitorOp:
+    """Streaming one-sided CUSUM monitor against a FIXED target — the
+    sequential twin of the batch ``events_cusum_drift`` scan
+    (plans/llm_ops18), with the reference mean supplied as
+    ``target_cents`` (a true streaming monitor cannot know the global
+    mean up front; production sets the target from a trailing batch
+    fit). Per-type state is four longs: running prefix sum P, its
+    running min (clamped ≤0), the best excursion S = P − min so far
+    and WHEN it peaked. Each trigger emits the current
+    (n_events, max_cusum_c, peak_epoch_s) snapshot per type, so the
+    LATEST emission equals the batch scan at every trigger boundary.
+
+    In-order contract: rows must arrive in (sec, event_id) order
+    ACROSS triggers (per-type event-time order — the standard
+    sequential-monitor assumption; within a micro-batch the op sorts).
+    Ties at the peak break by earliest (sec, event_id), matching the
+    batch twin's row_number pick.
+
+    Batch twin (``__call__``): the same prefix-scan computed with
+    window functions over a bounded df.
+    """
+
+    name: str
+    target_cents: int
+    value_col: str = "value"
+
+    _OUT = "event_type string, n_events long, max_cusum_c long, peak_epoch_s long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        cents = F.round(F.col(self.value_col) * 100).cast("long")
+        return df.select(
+            "event_type",
+            (cents - F.lit(self.target_cents)).alias("dev"),
+            F.col("ts").cast("long").alias("sec"),
+            "event_id",
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        base = self._base(df)
+        w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+        cum = base.select(
+            "event_type",
+            "sec",
+            "event_id",
+            F.sum("dev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        )
+        run_min = F.min(F.least(F.col("p"), F.lit(0).cast("long"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        s = cum.select(
+            "event_type", "sec", "event_id", (F.col("p") - run_min).alias("s")
+        )
+        pick = Window.partitionBy("event_type").orderBy(
+            F.col("s").desc(), F.col("sec").asc(), F.col("event_id").asc()
+        )
+        n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        return (
+            s.select(
+                "event_type",
+                n.alias("n_events"),
+                "s",
+                "sec",
+                F.row_number().over(pick).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.col("s").cast("long").alias("max_cusum_c"),
+                F.col("sec").cast("long").alias("peak_epoch_s"),
+            )
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = ["event_type", "n_events", "max_cusum_c", "peak_epoch_s"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            if state.exists:
+                p, mn, best_s, best_sec, n = state.get
+            else:
+                p, mn, best_s, best_sec, n = 0, 0, -1, -1, 0
+            for dev, sec in zip(pdf["dev"], pdf["sec"]):
+                p += int(dev)
+                mn = min(mn, p)  # mn starts clamped at 0
+                s = p - mn
+                n += 1
+                if s > best_s:
+                    best_s, best_sec = s, int(sec)
+            state.update((p, mn, best_s, best_sec, n))
+            yield pd.DataFrame(
+                [(key[0], n, best_s, best_sec)], columns=cols
+            )
+
+        return self._base(df).groupBy("event_type").applyInPandasWithState(
+            update,
+            self._OUT,
+            "p long, mn long, best_s long, best_sec long, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class TailTopKOp:
+    """Streaming per-type top-k value tracker — the tail backbone the
+    batch ``events_hill_tail_index`` estimator ranks over, maintained
+    incrementally: per-type state is the k largest (cents, event_id)
+    pairs seen so far (two parallel arrays, O(k)/type). Each trigger
+    re-emits the type's CURRENT top-k as (rank, cents, event_id)
+    rows, so the latest emission equals the batch rank window for ANY
+    arrival order and trigger split (a top-k set is order-free —
+    unlike the CUSUM op, no in-order contract needed). Order ties
+    break by (cents desc, event_id asc), matching the batch window.
+
+    Batch twin (``__call__``): the rank-window top-k on a bounded df.
+    """
+
+    name: str
+    k: int = 10
+    value_col: str = "value"
+
+    _OUT = (
+        "event_type string, n_seen long, rank long, cents long, event_id long"
+    )
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        cents = F.round(F.col(self.value_col) * 100).cast("long")
+        return df.select("event_type", cents.alias("cents"), "event_id")
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("cents").desc(), F.col("event_id").asc()
+        )
+        n_seen = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        return (
+            self._base(df)
+            .select(
+                "event_type",
+                n_seen.cast("long").alias("n_seen"),
+                F.row_number().over(w).cast("long").alias("rank"),
+                "cents",
+                "event_id",
+            )
+            .filter(F.col("rank") <= self.k)
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k = self.k
+        cols = ["event_type", "n_seen", "rank", "cents", "event_id"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                cs, ids, n = state.get
+                cur = list(zip(list(cs), list(ids)))
+            else:
+                cur, n = [], 0
+            cur.extend(zip((int(c) for c in pdf["cents"]),
+                           (int(i) for i in pdf["event_id"])))
+            n += len(pdf)
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:k]
+            state.update(([c for c, _ in cur], [i for _, i in cur], n))
+            yield pd.DataFrame(
+                [(key[0], n, r + 1, c, i) for r, (c, i) in enumerate(cur)],
+                columns=cols,
+            )
+
+        return self._base(df).groupBy("event_type").applyInPandasWithState(
+            update,
+            self._OUT,
+            "cs array<long>, ids array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp | ReconcileOp | CusumMonitorOp | TailTopKOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -1233,3 +1233,113 @@ def test_retention_matrix_watermark_eviction_bounds_state(spark, dirs):
     # u1 offsets 0,1; u2 offset 0 — and NOTHING from u1's comeback
     # (a re-cohorted u1 would add a spurious offset-0 row)
     assert offsets == {0: 2, 1: 1}
+
+
+def test_cusum_monitor_matches_batch_scan(spark, dirs):
+    """CusumMonitorOp: under in-order arrival across two triggers, the
+    LATEST per-type emission equals the batch window scan (same peak
+    excursion, same earliest-peak tiebreak)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # target 100 cents; values in dollars
+    rows1 = [
+        (0, "view", at(0), 2.00),   # dev +100 -> P=100, S=100
+        (1, "view", at(1), 0.10),   # dev -90  -> P=10,  S=10
+        (2, "view", at(2), 3.00),   # dev +200 -> P=210, S=210
+    ]
+    rows2 = [
+        (3, "view", at(3), 0.10),   # dev -90  -> P=120, S=120
+        (4, "view", at(4), 3.00),   # dev +200 -> P=320, S=320  <- peak
+        (5, "view", at(5), 1.00),   # dev 0    -> S=320 (no replace)
+    ]
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.CusumMonitorOp("cusum", target_cents=100)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("select * from cusum_stream").collect():
+            cur = latest.get(r["event_type"])
+            if cur is None or r["n_events"] > cur["n_events"]:
+                latest[r["event_type"]] = r
+    finally:
+        q.stop()
+    batch = {
+        r["event_type"]: r
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert set(latest) == set(batch)
+    for t in batch:
+        assert latest[t]["n_events"] == batch[t]["n_events"]
+        assert latest[t]["max_cusum_c"] == batch[t]["max_cusum_c"] == 320
+        assert latest[t]["peak_epoch_s"] == batch[t]["peak_epoch_s"]
+
+
+def test_tail_topk_stream_equals_batch_any_order(spark, dirs):
+    """TailTopKOp: the latest per-type top-k emission equals the batch
+    rank window even with OUT-OF-ORDER arrival (top-k sets are
+    order-free), including the (cents desc, event_id asc) tiebreak."""
+    rows1 = [
+        (0, "view", 5.00), (1, "view", 1.00), (2, "view", 9.00),
+        (3, "click", 2.00),
+    ]
+    rows2 = [  # arrives "later" but holds larger + tied values
+        (4, "view", 9.00), (5, "view", 7.00), (6, "view", 0.50),
+        (7, "click", 8.00),
+    ]
+    schema = "event_id long, event_type string, value double"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.TailTopKOp("tail", k=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("tail_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        # emissions are full snapshots stamped with the monotone
+        # n_seen counter: the max-n_seen snapshot per type is final
+        # (order-free reconstruction — no reliance on sink row order)
+        best_n: dict[str, int] = {}
+        for r in spark.sql("select * from tail_stream").collect():
+            t = r["event_type"]
+            best_n[t] = max(best_n.get(t, 0), r["n_seen"])
+        snap = {}
+        for r in spark.sql("select * from tail_stream").collect():
+            if r["n_seen"] == best_n[r["event_type"]]:
+                snap[(r["event_type"], r["rank"])] = (r["cents"], r["event_id"])
+    finally:
+        q.stop()
+    batch = {
+        (r["event_type"], r["rank"]): (r["cents"], r["event_id"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert snap == batch
+    # tie at 900 cents: event 2 beats event 4 on id
+    assert batch[("view", 1)] == (900, 2)
+    assert batch[("view", 2)] == (900, 4)
+    assert batch[("view", 3)] == (700, 5)
