@@ -35,6 +35,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops18,
     llm_ops19,
     llm_ops20,
+    llm_ops21,
     rainstorm_queries,
 )
 
@@ -66,6 +67,7 @@ _MODULES = (
     llm_ops18,
     llm_ops19,
     llm_ops20,
+    llm_ops21,
 )
 
 QUERIES: dict[str, QueryFn] = {}
@@ -134,6 +136,14 @@ _FRONT = [
     "embedding_dim_corr_topk",
     "embedding_norm_anova",
     "embedding_sparsity_profile",
+    "orders_basket_size_profile",
+    "nation_revenue_share_trend",
+    "events_hour_type_value_interaction",
+    "events_error_burst_lengths",
+    "lineitem_tax_band_profile",
+    "part_name_token_price",
+    "docs_quality_by_split",
+    "docs_dup_length_bias",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

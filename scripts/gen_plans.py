@@ -232,6 +232,50 @@ AUDITED = [
     "docs_duplicate_prefix_topk",
     "orders_value_cv_by_priority",
     "embedding_neardup_uncapped",
+    "docs_heaps_curve",
+    "docs_heaps_exponent",
+    "docs_oov_rate_curve",
+    "docs_term_burstiness_topk",
+    "docs_readability_proxy",
+    "docs_source_concentration_by_lang",
+    "docs_length_band_quality",
+    "docs_split_balance_audit",
+    "docs_cluster_source_purity",
+    "docs_hapax_quality_lift",
+    "docs_char_bigram_entropy_by_lang",
+    "docs_simhash_bit_balance",
+    "events_cusum_drift",
+    "events_hill_tail_index",
+    "events_user_type_entropy_hist",
+    "events_wau_growth",
+    "events_type_user_gini_binned",
+    "events_dow_hour_heatmap",
+    "events_daily_anomaly_days",
+    "events_winsorized_stats",
+    "events_props_value_stats",
+    "events_first_touch_attribution",
+    "events_concurrent_sessions_peak",
+    "events_retention_halflife",
+    "customer_balance_band_behavior",
+    "lineitem_discount_band_profile",
+    "part_price_band_revenue",
+    "nation_customer_supplier_balance",
+    "supplier_revenue_consistency",
+    "customer_segment_nation_chi2",
+    "orders_interpurchase_gaps",
+    "lineitem_returned_share_trend",
+    "embedding_label_cohesion",
+    "embedding_dim_corr_topk",
+    "embedding_norm_anova",
+    "embedding_sparsity_profile",
+    "orders_basket_size_profile",
+    "nation_revenue_share_trend",
+    "events_hour_type_value_interaction",
+    "events_error_burst_lengths",
+    "lineitem_tax_band_profile",
+    "part_name_token_price",
+    "docs_quality_by_split",
+    "docs_dup_length_bias",
     "orders_reconciliation_audit",
 ]
 

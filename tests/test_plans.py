@@ -219,6 +219,10 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         "lineitem_discount_band_profile",
         "embedding_label_cohesion",
         "embedding_dim_corr_topk",
+        # same 1-row grand-total shape: basket-share and catalog-mean
+        # broadcasts
+        "orders_basket_size_profile",
+        "part_name_token_price",
     }
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, SF_SMOKE))

@@ -113,5 +113,10 @@ def test_registry_front_loads_unchecked_queries():
         "embedding_neardup",
         # renamed this round (r7): needs a row under the new name
         "embedding_neardup_uncapped",
+        # changed (r7): now roll up the session-persisted backbones
+        "dedup_agreement_matrix",
+        "dedup_cluster_sizes",
+        "docs_dedup_survivor_quality",
+        "docs_effective_tokens",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
