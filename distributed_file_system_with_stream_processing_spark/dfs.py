@@ -226,6 +226,7 @@ class TableStore:
                 append_lock,
             )
 
+            self._gc_pending(name)
             tmp = os.path.join(ad, f"_pending-{uuid.uuid4().hex[:12]}")
             df.write.mode("errorifexists").parquet(tmp)
             with append_lock(ad):
@@ -237,17 +238,39 @@ class TableStore:
         self._invalidate(name)
         return seq
 
+    _PENDING_AGE_S = 3600.0
+
+    def _gc_pending(self, name: str) -> None:
+        """Sweep orphaned ``_pending-*`` staging dirs left by crashed
+        serialized appends (a crash between the parquet write and the
+        publish rename strands a full batch copy that no reader ever
+        sees and no fold reclaims). Age-gated like the DataSource
+        writers' staging GC: a CONCURRENT append's live _pending dir is
+        younger than the window and survives."""
+        import shutil
+
+        ad = self._appends_dir(name)
+        if not os.path.isdir(ad):
+            return
+        cutoff = time.time() - self._PENDING_AGE_S
+        for s in os.listdir(ad):
+            if s.startswith("_pending-"):
+                p = os.path.join(ad, s)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+
     def _bumped_stamp(self, name: str) -> str:
-        """20-digit stamp: wall time_ns bumped past the newest
-        published stamp (incl. compacted batches' _max_seq markers) —
-        the stream sink's monotonicity rule, applied to plain appends
-        when they opt into serialization."""
-        stamp = time.time_ns()
-        batches = self._append_batches(name)
-        if batches:
-            cur = max(self._batch_max_seq(name, b) for b in batches)
-            stamp = max(stamp, int(cur[:20]) + 1)
-        return f"{stamp:020d}"
+        """The shared publication-order stamp rule (sources/pyds.py
+        _bumped_stamp — one implementation for all three write paths),
+        applied to plain appends when they opt into serialization."""
+        from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+            _bumped_stamp,
+        )
+
+        return _bumped_stamp(self._appends_dir(name))
 
     def multiappend(self, name: str, dfs: list[DataFrame]) -> list[str]:
         """Reference `multiappend file VM1,VM2,... local1,local2,...`

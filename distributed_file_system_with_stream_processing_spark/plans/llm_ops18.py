@@ -134,9 +134,12 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimator per event type over the top-k values:
     α̂ = (k−1) / Σ_{i<k} ln(x_i / x_k) — the heavy-tail screen that
     decides whether mean-based alerting is even meaningful for a
-    series (α ≤ 2: infinite variance). k = min(100, n); zero/negative
-    x_k degenerates to the α=-1 sentinel. Each ln term nano-quantizes
-    once from exact integer cents.
+    series (α ≤ 2: infinite variance). k = min(100, n); a type whose
+    k-th value is ≤ 0 cents has no positive tail to fit and is OMITTED
+    from the output (both engines filter ck > 0 identically); the α=-1
+    sentinel covers the remaining degenerate case (all top-k values
+    equal ⇒ Σln = 0). Each ln term nano-quantizes once from exact
+    integer cents.
 
     100 TB shape: per-type top-k via the rank window (one event_type
     shuffle; per-type sort, types parallel), then a k-row fold."""

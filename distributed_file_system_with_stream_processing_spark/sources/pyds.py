@@ -253,6 +253,24 @@ class _TableStoreStreamReader(DataSourceStreamReader):
         pass
 
 
+def _bumped_stamp(appends_dir: str) -> str:
+    """THE publication-order stamp rule, shared by every writer that
+    needs monotonicity (the stream sink always; the batch writer and
+    TableStore.append under serializeAppends): wall time_ns bumped
+    past the newest existing stamp — dir names and compacted batches'
+    _max_seq markers — so publication order == stamp order whenever
+    stamping happens under the append lock."""
+    import time
+
+    stamp = time.time_ns()
+    if os.path.isdir(appends_dir):
+        seqs = [s for s in os.listdir(appends_dir) if not s.startswith(("_", "."))]
+        if seqs:
+            cur = max(_batch_max_seq(appends_dir, s) for s in seqs)
+            stamp = max(stamp, int(cur[:20]) + 1)
+    return f"{stamp:020d}"
+
+
 class _AppendCommit(WriterCommitMessage):
     """Staged file paths from one task (picklable)."""
 
@@ -269,8 +287,10 @@ def _canon_arrow_type(t) -> str:
     alarms between the two write paths."""
     import pyarrow as pa
 
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
         return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -529,7 +549,11 @@ class _TableStoreStreamWriter(_StagedPartsMixin, DataSourceStreamArrowWriter):
         d = self._appends_dir()
         for s in os.listdir(d):
             m = re.match(r"_commit-(\d{8,})-", s)
-            if m and int(m.group(1)) <= batch_id:
+            # exactly-20-digit ids are the BATCH writer's time_ns-stamp
+            # namespace (_commit-<20-digit>-<hex>) — never this sink's
+            # batchIds; skip them explicitly instead of relying on the
+            # numeric comparison to stay false at 1.7e18
+            if m and len(m.group(1)) != 20 and int(m.group(1)) <= batch_id:
                 shutil.rmtree(os.path.join(d, s), ignore_errors=True)
 
     def commit(self, messages, batchId: int) -> None:
@@ -650,17 +674,7 @@ class _TableStoreBatchWriter(_StagedPartsMixin, DataSourceArrowWriter):
         self._gc_orphans()
 
     def _bumped_stamp(self) -> str:
-        """time_ns bumped past the newest published stamp — the stream
-        sink's monotonicity rule (see _next_stamp)."""
-        import time
-
-        d = self._appends_dir()
-        stamp = time.time_ns()
-        seqs = [s for s in os.listdir(d) if not s.startswith(("_", "."))]
-        if seqs:
-            cur = max(_batch_max_seq(d, s) for s in seqs)
-            stamp = max(stamp, int(cur[:20]) + 1)
-        return f"{stamp:020d}"
+        return _bumped_stamp(self._appends_dir())
 
     def _gc_orphans(self) -> None:
         """Sweep crashed jobs' leftovers: our staged parts and batch

@@ -1045,3 +1045,71 @@ def test_serialized_appends_close_cdc_stamp_race(spark, tmp_path):
     assert not [b for b in os.listdir(os.path.join(tdir, "appends"))
                 if b.startswith("_pending")]
     assert len(store.get("t").collect()) == 6
+
+
+def test_type_check_distinguishes_date_from_timestamp(spark, tmp_path):
+    """date32 and timestamp must NOT canonicalize together: a
+    TimestampType write into a DateType column would silently coerce
+    at read time (review finding r7)."""
+    import pytest
+
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.sql("SELECT 1::LONG AS id, date'2024-01-01' AS d"))
+    bad = spark.sql("SELECT 2::LONG AS id, timestamp'2024-01-02' AS d")
+    with pytest.raises(ValueError, match="column types"):
+        _TableStoreStreamWriter(os.path.join(root, "t"), bad.schema)
+    good = spark.sql("SELECT 2::LONG AS id, date'2024-01-02' AS d")
+    _TableStoreStreamWriter(os.path.join(root, "t"), good.schema)
+
+
+def test_serialized_append_gc_sweeps_orphaned_pending(spark, tmp_path):
+    """A crashed serialized append's _pending-* staging dir (parquet
+    written, publish rename never happened) is swept by the next
+    serialized append once past the age gate; younger pending dirs
+    survive (a concurrent append's live staging)."""
+    import time as _t
+
+    root = str(tmp_path / "store")
+    schema = "id long, v string"
+    store = TableStore(spark, root, serialize_appends=True)
+    store.create("t", spark.createDataFrame([(1, "base")], schema))
+    ad = store._appends_dir("t")
+    os.makedirs(ad, exist_ok=True)
+    dead = os.path.join(ad, "_pending-deadbeef0000")
+    os.makedirs(dead)
+    old = _t.time() - 2 * store._PENDING_AGE_S
+    os.utime(dead, (old, old))
+    live = os.path.join(ad, "_pending-cafecafe0000")
+    os.makedirs(live)
+    store.append("t", spark.createDataFrame([(2, "x")], schema))
+    assert not os.path.isdir(dead)   # orphan swept
+    assert os.path.isdir(live)       # young staging untouched
+    # readers never saw any of it
+    assert len(store.get("t").collect()) == 2
+
+
+def test_stream_gc_never_touches_batch_commit_namespace(spark, tmp_path):
+    """The stream sink's _gc_commit_dirs must skip the BATCH writer's
+    _commit-<20-digit-time_ns>-<hex> staging dirs even when the
+    numeric id would compare <= batchId (review finding r7)."""
+    from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+        _TableStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.create("t", spark.createDataFrame([(1, "base")], "id long, v string"))
+    w = _TableStoreStreamWriter(os.path.join(root, "t"))
+    ad = os.path.join(root, "t", "appends")
+    batch_style = os.path.join(ad, "_commit-00000000000000001234-abcd1234")
+    stream_style = os.path.join(ad, "_commit-00000007-deadbeef")
+    os.makedirs(batch_style)
+    os.makedirs(stream_style)
+    w._gc_commit_dirs(batch_id=10**10)  # huge id: numeric guard alone would match both
+    assert os.path.isdir(batch_style)      # 20-digit namespace untouched
+    assert not os.path.isdir(stream_style)  # own dead commit swept
