@@ -42,35 +42,54 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree bit-for-bit.
 
     100 TB shape: one scan → explode to (label, dim, q) → 64·|labels|
-    partial-agg rows; everything downstream is label-scale."""
+    partial-agg rows; everything downstream is label-scale.
+    Quantization happens AFTER the explode as a plain scalar
+    expression (codegen'd): a transform() lambda referencing the
+    materialized norm column runs interpreted per element (~5 µs/elem
+    measured — 6.4 s at sf1 for this projection alone); the exploded
+    scalar form is the same arithmetic in whole-stage codegen."""
     e = load_table(spark, sf_dir, "embeddings")
     v = V.as_double(F.col("embedding"))
-    nrm = F.sqrt(V.sq_norm(v))
-    q = F.transform(v, lambda x: F.round(x / nrm * _MICRO).cast("long"))
-    base = e.filter(nrm > 0).select("vec_id", "label", q.alias("q"))
-    ex = base.select(
-        "label", F.posexplode_outer("q").alias("d", "qv")
-    ).filter(F.col("qv").isNotNull())
+    staged = e.select(
+        "vec_id", "label", v.alias("v")
+    ).withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    base = staged.filter(F.col("nrm") > 0)
+    ex = (
+        base.select(
+            "label", "nrm", F.posexplode_outer("v").alias("d", "x")
+        )
+        .filter(F.col("x").isNotNull())
+        .select(
+            "label",
+            "d",
+            F.round(F.col("x") / F.col("nrm") * _MICRO).cast("long").alias("qv"),
+        )
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    per_ld = ex.groupBy("label", "d").agg(F.sum("qv").alias("sd"))
-    # Σ‖q_i‖² per label (exact: component squares)
-    ssq = ex.groupBy("label").agg(F.sum(dec("qv") * dec("qv")).alias("ssq"))
-    n_l = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    # ‖Σ_L q‖² per label and the all-corpus sum vector
-    s2 = per_ld.groupBy("label").agg(F.sum(dec("sd") * dec("sd")).alias("s2"))
+    # ONE corpus-scale aggregation carries everything downstream:
+    # per (label, dim) the component sum, the component-square sum and
+    # the member count (constant across dims within a label). Five
+    # separate aggregates over `ex` re-ran the scan+explode per
+    # consumer before this (measured ~9 s at sf1; label-scale after
+    # this single pass).
+    per_ld = ex.groupBy("label", "d").agg(
+        F.sum("qv").alias("sd"),
+        F.sum(dec("qv") * dec("qv")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    stats = per_ld.groupBy("label").agg(
+        F.max("cnt").alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum(dec("sd") * dec("sd")).alias("s2"),
+    )
     all_d = per_ld.groupBy("d").agg(F.sum("sd").alias("ad"))
     cross = (
         per_ld.join(broadcast(all_d), "d")
         .groupBy("label")
         .agg(F.sum(dec("sd") * (dec("ad") - dec("sd"))).alias("xp"))
     )
-    tot = n_l.agg(F.sum("n").alias("nn"))
-    j = (
-        n_l.join(s2, "label")
-        .join(ssq, "label")
-        .join(cross, "label")
-        .crossJoin(broadcast(tot))
-    )
+    tot = stats.agg(F.sum("n").alias("nn"))
+    j = stats.join(cross, "label").crossJoin(broadcast(tot))
     nd = F.col("n").cast("double")
     intra = F.when(
         F.col("n") >= 2,

@@ -95,14 +95,13 @@ QUERIES_UNDER_TEST = [
     "orders_reconciliation_audit",
     # round-7 additions: the two new queries over the 1 s sf0.1 gate
     # (cohesion is explode+rollup row-driven; bit balance is the
-    # shingle-hash scan), plus the backbone consumers whose r7 rewrite
-    # must show up as a wall-time DROP (they now read the
-    # session-persisted pair/CC tables instead of re-deriving four
-    # detectors — dedup_agreement_matrix was 34.7 s at sf1 in r6).
+    # shingle-hash scan). The backbone consumers (agreement matrix,
+    # cluster sizes, survivor quality, effective tokens) are already
+    # listed above — their r7 rewrite onto the session-persisted
+    # pair/CC tables shows as a wall-time DROP (agreement matrix
+    # 34.7 s → 2.1 s at sf1).
     "embedding_label_cohesion",
     "docs_simhash_bit_balance",
-    "dedup_cluster_sizes",
-    "docs_effective_tokens",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
