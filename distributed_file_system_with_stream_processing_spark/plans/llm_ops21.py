@@ -128,8 +128,14 @@ def events_hour_type_value_interaction(spark: SparkSession, sf_dir: str) -> Data
     """Hour-of-day × type mean value, reported as the DEVIATION from
     the type's own all-day mean — the interaction screen that says
     whether value seasonality is real or just volume seasonality.
-    Integer-cents sums; the type mean rides a broadcast; two
-    divisions per cell."""
+    Integer-cents sums; the type mean rides a broadcast.
+
+    Exactness: means are FLOOR-division integers at 4 dp
+    ((s·100) div n — exact BIGINT arithmetic; s is cents, so
+    s·100/n = dollars·10⁴), never a rounded double quotient: Spark's
+    BigDecimal HALF_UP and DuckDB's double round diverge on exact
+    .xxxx5 quotients (hit once at sf0.001), while integer division
+    cannot. The deviation is a difference of those integers."""
     e = load_table(spark, sf_dir, "events")
     sec = F.col("ts").cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -142,15 +148,17 @@ def events_hour_type_value_interaction(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
     )
     tmean = base.groupBy("event_type").agg(
-        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("tm")
+        F.expr("(sum(c) * 100) div count(1)").alias("tm4")
     )
-    mean = F.col("s").cast("double") / F.col("n")
+    mean4 = F.expr("(s * 100) div n")
     return cell.join(broadcast(tmean), "event_type").select(
         "event_type",
         "hour",
         F.col("n").cast("long").alias("n_events"),
-        F.round(mean / 100.0, 4).alias("mean_value"),
-        F.round((mean - F.col("tm")) / 100.0, 4).alias("dev_from_type_mean"),
+        (mean4.cast("double") / 10000.0).alias("mean_value"),
+        ((mean4 - F.col("tm4")).cast("double") / 10000.0).alias(
+            "dev_from_type_mean"
+        ),
     )
 
 
@@ -166,13 +174,13 @@ cell AS (
     FROM base GROUP BY event_type, hour
 ),
 tmean AS (
-    SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS tm
+    SELECT event_type, (sum(c) * 100) // count(*) AS tm4
     FROM base GROUP BY event_type
 )
 SELECT cell.event_type, CAST(hour AS BIGINT) AS hour,
        CAST(n AS BIGINT) AS n_events,
-       round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_value,
-       round((CAST(s AS DOUBLE) / n - tm) / 100.0, 4) AS dev_from_type_mean
+       CAST((s * 100) // n AS DOUBLE) / 10000.0 AS mean_value,
+       CAST((s * 100) // n - tm4 AS DOUBLE) / 10000.0 AS dev_from_type_mean
 FROM cell JOIN tmean USING (event_type)
 """
 
