@@ -1287,7 +1287,207 @@ class TailTopKOp:
         )
 
 
-Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp | ReconcileOp | CusumMonitorOp | TailTopKOp
+@dataclass
+class FirstTouchOp:
+    """Streaming first-touch attribution — the incremental twin of the
+    batch ``events_first_touch_attribution`` range join
+    (plans/llm_ops18): each arriving purchase is credited to the
+    EARLIEST event the user emitted in the preceding 24 h window
+    (ties by event_id; nothing prior → 'direct'), emitted as an
+    (attributed_type, +1) delta, so downstream running sums equal the
+    batch attribution counts at every trigger boundary.
+
+    Per-user state is the 24 h event window (three parallel arrays —
+    sec, id, type — pruned to the newest event's horizon), O(user's
+    24 h activity). In-order contract: per-user rows arrive in
+    (sec, event_id) order ACROSS triggers (within a trigger the op
+    sorts) — the same event-time-ordered ingestion the transition and
+    CUSUM ops document.
+
+    Batch twin (``__call__``): the registered query's join/window
+    logic on a bounded df, minus the share column (deltas are counts).
+    """
+
+    name: str
+    window_s: int = 24 * 3600
+    purchase_type: str = "purchase"
+
+    _OUT = "attributed_type string, delta long"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        ev = df.select("user_id", "event_type", F.col("ts").cast("long").alias("sec"), "event_id")
+        purch = ev.filter(F.col("event_type") == self.purchase_type).select(
+            "user_id", F.col("sec").alias("p_sec"), F.col("event_id").alias("p_id")
+        )
+        prior = ev.select(
+            "user_id",
+            F.col("event_type").alias("t_type"),
+            F.col("sec").alias("t_sec"),
+            F.col("event_id").alias("t_id"),
+        )
+        j = purch.join(
+            prior,
+            (purch.user_id == prior.user_id)
+            & (prior.t_sec >= purch.p_sec - self.window_s)
+            & (
+                (prior.t_sec < purch.p_sec)
+                | ((prior.t_sec == purch.p_sec) & (prior.t_id < purch.p_id))
+            ),
+            "left",
+        ).drop(prior.user_id)
+        w = Window.partitionBy("user_id", "p_id").orderBy(
+            F.col("t_sec").asc(), F.col("t_id").asc()
+        )
+        first = j.select(
+            "t_type", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") == 1)
+        return (
+            first.select(
+                F.coalesce("t_type", F.lit("direct")).alias("attributed_type")
+            )
+            .groupBy("attributed_type")
+            .agg(F.count(F.lit(1)).alias("delta"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        win, ptype = self.window_s, self.purchase_type
+        cols = ["attributed_type", "delta"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            if state.exists:
+                secs, ids, types = state.get
+                window = list(zip(list(secs), list(ids), list(types)))
+            else:
+                window = []
+            counts: dict[str, int] = {}
+            for sec, eid, etype in zip(
+                (int(x) for x in pdf["sec"]),
+                (int(x) for x in pdf["event_id"]),
+                pdf["event_type"],
+            ):
+                if etype == ptype:
+                    cand = [
+                        (s, i, t)
+                        for (s, i, t) in window
+                        if s >= sec - win and (s < sec or (s == sec and i < eid))
+                    ]
+                    att = min(cand)[2] if cand else "direct"
+                    counts[att] = counts.get(att, 0) + 1
+                window.append((sec, eid, etype))
+                horizon = sec - win
+                window = [w for w in window if w[0] >= horizon]
+            state.update((
+                [s for s, _, _ in window],
+                [i for _, i, _ in window],
+                [t for _, _, t in window],
+            ))
+            yield pd.DataFrame(sorted(counts.items()), columns=cols)
+
+        # selectExpr (no client-side Column construction) keeps the
+        # update() closure extractable by the session-free property
+        # harness, like the other sequence ops
+        base = df.selectExpr(
+            "user_id", "event_type", "cast(ts as long) as sec", "event_id"
+        )
+        return base.groupBy("user_id").applyInPandasWithState(
+            update,
+            self._OUT,
+            "secs array<long>, ids array<long>, types array<string>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class ErrorBurstOp:
+    """Streaming run-length tracker for consecutive error events — the
+    incremental twin of the batch ``events_error_burst_lengths``
+    gaps-and-islands histogram (plans/llm_ops21): per-user state is
+    ONE long (the currently-open error-run length); a non-error
+    arrival CLOSES the run and emits its (run_len, +1) delta, so the
+    summed deltas equal the batch histogram over CLOSED runs at every
+    trigger boundary. A trailing run still open at the stream's edge
+    lives in state until the user's next non-error arrives — the one
+    place the twins legitimately differ mid-stream (the batch twin
+    counts a corpus-final error run; the stream hasn't seen its end).
+    In-order contract as the other sequence ops (per-user (sec, id)
+    order across triggers; sorted within a trigger).
+
+    Batch twin (``__call__``): the rank-difference islands plan.
+    """
+
+    name: str
+    error_type: str = "error"
+
+    _OUT = "run_len long, delta long"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        sec = F.col("ts").cast("long")
+        wu = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        base = df.select(
+            "user_id", "event_type", sec.alias("sec"), "event_id"
+        ).withColumn("rn", F.row_number().over(wu))
+        err = base.filter(F.col("event_type") == self.error_type)
+        we = Window.partitionBy("user_id").orderBy("rn")
+        runs = err.withColumn("grp", F.col("rn") - F.row_number().over(we))
+        lens = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+        return lens.groupBy(F.col("run_len").cast("long").alias("run_len")).agg(
+            F.count(F.lit(1)).alias("delta")
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        etype = self.error_type
+        cols = ["run_len", "delta"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            open_len = state.get[0] if state.exists else 0
+            counts: dict[int, int] = {}
+            for t in pdf["event_type"]:
+                if t == etype:
+                    open_len += 1
+                elif open_len > 0:
+                    counts[open_len] = counts.get(open_len, 0) + 1
+                    open_len = 0
+            state.update((open_len,))
+            yield pd.DataFrame(sorted(counts.items()), columns=cols)
+
+        base = df.selectExpr(
+            "user_id", "event_type", "cast(ts as long) as sec", "event_id"
+        )
+        return base.groupBy("user_id").applyInPandasWithState(
+            update,
+            self._OUT,
+            "open_len long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+Op = TransformOp | AggregateOp | StatefulCountOp | WindowedCountOp | TransitionCountOp | QuotaSampleOp | SlidingCountOp | SessionPathOp | AbMonitorOp | BenfordMonitorOp | RetentionMatrixOp | PrefixDupGateOp | SessionDepthOp | ReconcileOp | CusumMonitorOp | TailTopKOp | FirstTouchOp | ErrorBurstOp
 
 
 # -- the reference test-op library (user/tests.go test_mp4 t1/t2) ---------

@@ -631,3 +631,93 @@ def test_reconcile_duplicate_headers_match_batch_max(orders, seed, n_triggers):
             k = ("ORPHAN_LINEITEM", "ORPHAN")
         want[k] = want.get(k, 0) + 1
     assert sums == want
+
+
+# -- ErrorBurstOp: any in-order trigger split closes the same runs ---------
+
+
+@given(
+    seq=st.lists(st.booleans(), min_size=1, max_size=30),  # True = error
+    n_triggers=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_error_burst_update_counts_closed_runs(seq, n_triggers, seed):
+    """Drive ErrorBurstOp's update() directly: for ANY error/non-error
+    sequence and ANY in-order split into triggers, the summed deltas
+    equal the closed-run histogram (a trailing open run stays in
+    state, not in the output)."""
+    import random
+
+    import pandas as pd
+
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        ErrorBurstOp,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    op = ErrorBurstOp("prop")
+    captured = {}
+
+    class _StubGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class _StubDF:
+        isStreaming = True
+
+        def selectExpr(self, *_, **__):
+            return self
+
+        def groupBy(self, *_):
+            return _StubGrouped()
+
+    op.stream_apply(_StubDF())
+    update = captured["fn"]
+
+    rows = [
+        (i, "error" if is_err else "view", i)  # (sec, type, event_id)
+        for i, is_err in enumerate(seq)
+    ]
+    rng = random.Random(seed)
+    bounds = sorted(rng.randrange(len(rows) + 1) for _ in range(n_triggers - 1))
+    chunks, prev = [], 0
+    for b in [*bounds, len(rows)]:
+        chunks.append(rows[prev:b])
+        prev = b
+
+    st_ = FakeState()
+    got: dict[int, int] = {}
+    for chunk in chunks:
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["sec", "event_type", "event_id"])
+        for out in update((1,), iter([pdf]), st_):
+            for _, row in out.iterrows():
+                got[row["run_len"]] = got.get(row["run_len"], 0) + row["delta"]
+
+    # reference: closed runs only (a trailing error run stays open)
+    want: dict[int, int] = {}
+    run = 0
+    for is_err in seq:
+        if is_err:
+            run += 1
+        elif run:
+            want[run] = want.get(run, 0) + 1
+            run = 0
+    assert got == want
+    assert (st_.get[0] if st_.exists else 0) == run  # open tail in state

@@ -1343,3 +1343,112 @@ def test_tail_topk_stream_equals_batch_any_order(spark, dirs):
     assert batch[("view", 1)] == (900, 2)
     assert batch[("view", 2)] == (900, 4)
     assert batch[("view", 3)] == (700, 5)
+
+
+def test_first_touch_stream_deltas_equal_batch(spark, dirs):
+    """FirstTouchOp: summed (attributed_type, delta) across triggers
+    equals the batch attribution counts under in-order arrival,
+    including the 24h horizon (too-old events don't attribute) and the
+    'direct' fallback."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows1 = [
+        (0, "view", at(0), 1),       # user 1: first touch candidate
+        (1, "click", at(1), 1),
+        (2, "purchase", at(2), 1),   # -> view
+        (3, "purchase", at(0), 2),   # user 2: nothing prior -> direct
+    ]
+    rows2 = [
+        (4, "purchase", at(30), 1),  # view/click now >24h old; prior
+                                     # purchase at h=2 also >24h -> direct
+        (5, "signup", at(31), 1),
+        (6, "purchase", at(32), 1),  # -> the h=30 purchase (earliest
+                                     # in-window candidate — purchases
+                                     # are events too)
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.FirstTouchOp("ft")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("ft_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[str, int] = {}
+        for r in spark.sql("select * from ft_stream").collect():
+            got[r["attributed_type"]] = got.get(r["attributed_type"], 0) + r["delta"]
+    finally:
+        q.stop()
+    batch = {
+        r["attributed_type"]: r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    assert batch == {"view": 1, "direct": 2, "purchase": 1}
+
+
+def test_error_burst_stream_deltas_equal_batch_closed_runs(spark, dirs):
+    """ErrorBurstOp: summed (run_len, delta) across triggers equals
+    the batch islands histogram when every user's stream ends with a
+    non-error (all runs closed) — including a run SPLIT across the
+    trigger boundary, which must count once at its full length."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows1 = [
+        (0, "error", at(0), 1),
+        (1, "error", at(1), 1),   # open run of 2 at the boundary
+        (2, "view", at(0), 2),
+        (3, "error", at(1), 2),
+    ]
+    rows2 = [
+        (4, "error", at(2), 1),   # continues user 1's run -> 3
+        (5, "view", at(3), 1),    # closes it
+        (6, "view", at(2), 2),    # closes user 2's run of 1
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.ErrorBurstOp("bursts")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("burst_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[int, int] = {}
+        for r in spark.sql("select * from burst_stream").collect():
+            got[r["run_len"]] = got.get(r["run_len"], 0) + r["delta"]
+    finally:
+        q.stop()
+    batch = {
+        r["run_len"]: r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    assert batch == {3: 1, 1: 1}  # the boundary-split run counts once, at 3
