@@ -174,6 +174,153 @@ def lsh_ann(
     )
 
 
+def _seq_dot_np(A, B):
+    """Per-row dot of two (n, d) float64 matrices with the EXACT fold
+    order of ``V.dot`` (zip_with + aggregate): products elementwise,
+    then per-dim accumulation LEFT TO RIGHT — vectorized across rows,
+    sequential across dims (the ``clustering._assign_np`` pattern).
+    (0.0 + t0) ≡ t0 in IEEE double (only a -0.0/+0.0 sign can differ,
+    and the fold's 0.0 + -0.0 = +0.0 only matters for an ALL-ZERO
+    product row, where every downstream ≥-comparison result is
+    identical either way). Zero-width input folds to 0.0 exactly like
+    aggregate over an empty zip_with."""
+    import numpy as np
+
+    t = A * B
+    if t.shape[1] == 0:
+        return np.zeros(t.shape[0], dtype=np.float64)
+    acc = t[:, 0].copy()
+    for d in range(1, t.shape[1]):
+        acc += t[:, d]
+    return acc
+
+
+def _neardup_sig_np(
+    e: DataFrame, mat: list[list[float]], bands: int, rows_per_band: int, dim: int
+) -> DataFrame:
+    """Sign-LSH signature (id, v, nrm, _k0.._k{bands-1}) as an
+    Arrow-batched numpy kernel, BIT-IDENTICAL to the interpreted HOF
+    fold it replaces (r7/r8 sweep — HOF lambdas never reach codegen;
+    the fold burned most of embedding_neardup's 45 s sf1 wall, and the
+    4096-term scalar-expansion alternative dies in Janino inside the
+    Generate/Sort consume methods):
+
+    - every plane dot and the self-dot under ``nrm`` accumulate
+      per-dim left-to-right — ``_seq_dot_np`` — matching aggregate's
+      sequential association exactly;
+    - ``sqrt`` is correctly rounded in IEEE 754, so numpy == JVM;
+    - band_key(b) = Σ_r 2^r·[dot ≥ 0] in int64, order-free;
+    - zip_with PADDING semantics are mirrored exactly: a vector whose
+      length ≠ ``dim`` gets every band_key = 0 (the padded plane dot
+      is NULL, IF(NULL ≥ 0) → 0) but keeps its REAL nrm (sq_norm pads
+      nothing — v against itself); a NULL vector or NULL element
+      poisons everything it touches (keys 0, nrm NaN — the HOF's
+      NULL; NULL/NaN sim never passes the verify threshold).
+
+    The kernel widens float32 → float64 itself (exact), replacing the
+    per-element ``as_double`` transform."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes = np.asarray(mat, dtype=np.float64)
+    n_planes = bands * rows_per_band
+    schema = StructType(
+        [
+            e.schema["id"],
+            StructField("v", ArrayType(DoubleType())),
+            StructField("nrm", DoubleType()),
+        ]
+        + [StructField(f"_k{b}", LongType()) for b in range(bands)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["v"].to_numpy()
+            n = len(rows)
+            nrm = np.full(n, np.nan, dtype=np.float64)
+            keys = np.zeros((n, bands), dtype=np.int64)
+            out_v = list(rows)  # passthrough; Arrow widens to double
+
+            def _band_keys(vm: "np.ndarray") -> "np.ndarray":
+                kk = np.zeros((vm.shape[0], bands), dtype=np.int64)
+                for p in range(n_planes):
+                    dots = _seq_dot_np(vm, planes[p][None, :])
+                    b, r = divmod(p, rows_per_band)
+                    kk[:, b] += (dots >= 0).astype(np.int64) << r
+                return kk
+
+            done = False
+            # fast path: every row a width-`dim` float vector → ONE
+            # stacked fold, no per-row Python
+            try:
+                vm = np.stack(rows)
+                if vm.dtype.kind == "f" and vm.shape[1] == dim:
+                    vm = vm.astype(np.float64, copy=False)
+                    nrm = np.sqrt(_seq_dot_np(vm, vm))
+                    keys = _band_keys(vm)
+                    out_v = list(vm)  # exact float32→float64 widening
+                    done = True
+            except (ValueError, TypeError):
+                pass
+            if not done:
+                # slow path: NULLs / ragged rows — group well-formed
+                # rows by length: nrm is real for EVERY length
+                # (sq_norm pads nothing), band keys only at == dim
+                by_len: dict[int, list[int]] = {}
+                for i, r in enumerate(rows):
+                    if r is None:
+                        continue
+                    # float ndarrays cannot hold None; only scan others
+                    if (
+                        isinstance(r, np.ndarray) and r.dtype.kind == "f"
+                    ) or not any(x is None for x in r):
+                        by_len.setdefault(len(r), []).append(i)
+                for length, idxs in by_len.items():
+                    vm = np.array([rows[i] for i in idxs], dtype=np.float64)
+                    nrms = np.sqrt(_seq_dot_np(vm, vm))
+                    for j, i in enumerate(idxs):
+                        nrm[i] = nrms[j]
+                        out_v[i] = vm[j]
+                    if length == dim:
+                        keys[np.asarray(idxs)] = _band_keys(vm)
+            out = pd.DataFrame({"id": pdf["id"].to_numpy()})
+            out["v"] = out_v
+            out["nrm"] = nrm
+            for b in range(bands):
+                out[f"_k{b}"] = keys[:, b]
+            yield out
+
+    return e.mapInPandas(gen, schema)
+
+
+def _pair_dot_expr(a: str, b: str, dim: int) -> str:
+    """Verify-side ``V.dot(a, b)`` as a PARSED SCALAR 64-term sum —
+    bit-identical to the zip_with/aggregate fold (same products, same
+    left-to-right association starting at 0.0D; ``element_at`` past
+    either array's end yields NULL exactly like zip_with's padding,
+    and NULL poisons the sum the same way) and, unlike the fold,
+    whole-stage-codegen'd. The candidate-pair volume is why this must
+    stay JVM-side twice over: the interpreted HOF burned ~µs × 4.9M
+    pairs × 64 elements at sf1, and a numpy kernel would ship 4.9M ×
+    two 64-double vectors (~5 GB) through Arrow just to multiply them.
+    A single 64-term expression compiles fine — it was the 4096-term
+    signature expansion that broke Janino, not this."""
+    terms = "".join(
+        f" + (element_at({a}, {i}) * element_at({b}, {i}))"
+        for i in range(1, dim + 1)
+    )
+    return f"(0.0D{terms})"
+
+
 def banded_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -210,7 +357,7 @@ def banded_neardup_pairs(
     fixtures in tests/test_ann.py.
 
     100 TB shape: per-vector signature is a narrow map (bands ×
-    rows_per_band dot products, whole-stage codegen); candidates come
+    rows_per_band dot products, Arrow-batched numpy); candidates come
     from an equi-join on (band_id, band_key) — high-cardinality keys
     (``rows_per_band`` bits per band; raise to 16 bits at petabyte
     corpus sizes), no crossJoin / broadcast of the table, per-bucket
@@ -222,51 +369,36 @@ def banded_neardup_pairs(
     ``embedding_neardup_exact`` — the correctness baseline.
     """
     n_planes = bands * rows_per_band
-    planes_col = _hyperplanes(dim, n_planes)
-    e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    e = e.withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    mat = hyperplane_matrix(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    # ONE pass over the plane literal computes all sign dots, and the
-    # whole signature is TWO parsed expression strings (2 py4j calls).
-    # The naive shapes cost seconds of driver time per invocation:
-    # per-bit Column expressions embed 64 copies of the 4096-element
-    # plane literal (~5s plan build + codegen at sf0.1), and even the
-    # hoisted-dots Column form pays ~1.4s of py4j chatter for the 64
-    # when-terms. Parsed strings build in ~30ms. CollapseProject won't
-    # re-inline `_dots` into the bit terms: HOF expressions aren't
-    # "cheap" and are referenced many times.
-    dots = F.transform(
-        planes_col,
-        lambda p: F.aggregate(
-            F.zip_with(p, F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-    )
-    # band_key(b) = sum_r 2^r · [dots[b·rpb+r] ≥ 0]  (element_at is
-    # 1-based; integer adds, order-free, same values as the oracle)
+    # Signature shapes tried, in order of abandonment (r7/r8 HOF
+    # sweep): per-bit Column expressions embedding 64 copies of the
+    # 4096-element plane literal (~5s plan build + codegen at sf0.1);
+    # hoisted-dots Column form (~1.4s py4j chatter); ONE parsed
+    # transform/aggregate HOF fold (~30ms build — but HOF lambdas
+    # evaluate INTERPRETED, ~µs per element: the fold burned most of
+    # embedding_neardup's 45s sf1 wall); scalar 64-term expansions of
+    # every dot (Janino InternalCompilerException — the 4096-term
+    # expression lands in Generate/Sort consume methods that codegen
+    # cannot split). What works: the Arrow-batched numpy kernel,
+    # bit-identical to the fold by construction (sequential per-dim
+    # accumulation — see _neardup_sig_np), the assign_cells precedent.
+    sig_keys = _neardup_sig_np(_spread(e), mat, bands, rows_per_band, dim)
+    # band rows via a SMALL explode over the key columns (the Generate
+    # consume stays tiny; explode_outer keeps InferFiltersFromGenerate
+    # from re-inlining band keys as a pushed scan predicate — see
+    # dedup._exploded_shingles for the same guard)
     bands_arr = F.expr(
         "array("
         + ",".join(
-            "named_struct('band_id', {b}, 'band_key', {key})".format(
-                b=b,
-                key="+".join(
-                    f"IF(element_at(_dots, {b * rows_per_band + r + 1}) >= 0D, "
-                    f"{1 << r}L, 0L)"
-                    for r in range(rows_per_band)
-                ),
-            )
+            f"named_struct('band_id', {b}, 'band_key', _k{b})"
             for b in range(bands)
         )
         + ")"
     )
-    # explode_outer: keeps InferFiltersFromGenerate from re-inlining
-    # the band-key expressions as a pushed scan predicate (see
-    # dedup._exploded_shingles for the same guard)
     sig = (
-        _spread(e)
-        .withColumn("_dots", dots)
-        .select("id", "v", "nrm", F.explode_outer(bands_arr).alias("bk"))
+        sig_keys.select("id", "v", "nrm", F.explode_outer(bands_arr).alias("bk"))
         .filter(F.col("bk").isNotNull())
         .select("id", "v", "nrm", "bk.band_id", "bk.band_key")
     )
@@ -290,7 +422,7 @@ def banded_neardup_pairs(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
         "band_id", "band_key",
     )
-    sim = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(_pair_dot_expr("va", "vb", dim)) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -88,6 +88,16 @@ for _m in _MODULES:
 _FRONT = [
     # 1. changed this round (r7)
     "embedding_neardup",  # bucket_cap=50 is now the DEFAULT (r6 verdict #1)
+    # NOT fronted despite a PLAN change (r7, HOF sweep):
+    # `semantic_dedup` shares banded_neardup_pairs' rewritten backbone
+    # (numpy signature kernel + scalar verify expansion). The rewrite
+    # is bit-identical BY CONSTRUCTION (same products, same fold
+    # association — operators/similarity.py), the query keeps its
+    # green r6 driver row, the suite re-oracles it at sf0.001 every
+    # run (tests/test_queries.py::test_query_matches_oracle), and the
+    # driver-style sf0.01 comparison was re-run green after the
+    # rewrite. The 50 slots all go to queries with NO row yet — the
+    # r5 overflow showed an over-full front silently drops entries.
     # 2. renamed this round (r7): the uncapped banding demoted from the
     #    primary name (was green as `embedding_neardup` through r6; the
     #    capped plan was green as `embedding_neardup_capped` in r6) —

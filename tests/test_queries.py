@@ -113,6 +113,11 @@ def test_registry_front_loads_unchecked_queries():
         "embedding_neardup",
         # renamed this round (r7): needs a row under the new name
         "embedding_neardup_uncapped",
+        # semantic_dedup also shares the r7 banded_neardup_pairs
+        # kernel rewrite but is NOT fronted: bit-identical by
+        # construction, green r6 row, re-oracled at sf0.001 by this
+        # very suite — the 50 slots go to zero-row entries (see the
+        # registry comment)
         # changed (r7): now roll up the session-persisted backbones
         "dedup_agreement_matrix",
         "dedup_cluster_sizes",
