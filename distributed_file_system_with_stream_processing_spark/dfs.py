@@ -278,7 +278,12 @@ class TableStore:
         Here: concurrent append batches; each gets its own sequence
         stamp, so merge order is deterministic regardless of which
         thread wins the race — the reference's timestamp-dedup
-        guarantee."""
+        guarantee. With ``serialize_appends`` every branch routes
+        through :meth:`append`'s stage-outside/stamp-under-lock
+        protocol, so concurrent multiappend branches also publish in
+        strict stamp order (pinned by
+        tests/test_dfs.py::test_multiappend_serializes_under_lock and,
+        cross-process, test_append_lock_two_real_processes)."""
         import concurrent.futures
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=len(dfs) or 1) as ex:

@@ -1113,3 +1113,104 @@ def test_stream_gc_never_touches_batch_commit_namespace(spark, tmp_path):
     w._gc_commit_dirs(batch_id=10**10)  # huge id: numeric guard alone would match both
     assert os.path.isdir(batch_style)      # 20-digit namespace untouched
     assert not os.path.isdir(stream_style)  # own dead commit swept
+
+
+_CONTENDER_SRC = """
+import os
+import sys
+import uuid
+
+sys.path.insert(0, sys.argv[1])
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from distributed_file_system_with_stream_processing_spark.locks import append_lock
+from distributed_file_system_with_stream_processing_spark.sources.pyds import (
+    _bumped_stamp,
+)
+
+ad, log_path, wid, k = sys.argv[2], sys.argv[3], sys.argv[4], int(sys.argv[5])
+for i in range(k):
+    tmp = os.path.join(ad, f"_pending-{wid}-{i}")
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table({"id": [int(wid) * 1000 + i], "v": [f"{wid}-{i}"]}),
+        os.path.join(tmp, "part-0.parquet"),
+    )
+    with append_lock(ad):
+        stamp = _bumped_stamp(ad)
+        os.rename(tmp, os.path.join(ad, f"{stamp}-{uuid.uuid4().hex[:8]}"))
+        # logged while STILL holding the lock: file order == real
+        # publication order across the two OS processes
+        with open(log_path, "a") as fh:
+            fh.write(stamp + "\\n")
+"""
+
+
+def test_append_lock_two_real_processes(spark, tmp_path):
+    """Cross-PROCESS contention for the serializeAppends protocol (the
+    r7 candidate's missing evidence): two real OS processes each run
+    the exact stage-then-stamp-bump-then-publish-rename critical
+    section TableStore.append uses, against ONE table. fcntl.flock
+    must serialize them such that stamp order == publication order —
+    the invariant the in-process tests pin with threads, now pinned
+    across address spaces (flock is an OS-level lock; threads share a
+    process and could in principle pass on subtler primitives)."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, serialize_appends=True)
+    store.create("t", spark.createDataFrame([(0, "base")], "id long, v string"))
+    ad = store._appends_dir("t")
+    os.makedirs(ad, exist_ok=True)
+    log_path = str(tmp_path / "publish.log")
+    script = str(tmp_path / "contender.py")
+    with open(script, "w") as fh:
+        fh.write(_CONTENDER_SRC)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    k = 15
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, repo, ad, log_path, wid, str(k)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        for wid in ("1", "2")
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+    with open(log_path) as fh:
+        stamps = [ln.strip() for ln in fh if ln.strip()]
+    assert len(stamps) == 2 * k
+    # strict publication-order monotonicity across processes: every
+    # stamp bumps past everything already published
+    assert stamps == sorted(stamps) and len(set(stamps)) == 2 * k
+    # the table itself absorbed every batch, in stamp order
+    batches = store._append_batches("t")
+    assert len(batches) == 2 * k and batches == sorted(batches)
+    assert len(store.get("t").collect()) == 2 * k + 1
+    # no pending staging leaked into reader view
+    assert not [b for b in os.listdir(ad) if b.startswith("_pending")]
+
+
+def test_multiappend_serializes_under_lock(spark, tmp_path):
+    """multiappend routes every concurrent branch through
+    TableStore.append, so serialize_appends=True covers it with no
+    extra code path: all N batches publish with strictly increasing,
+    unique stamps (publication order), parquet writes still run
+    OUTSIDE the lock (the _pending staging protocol)."""
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, serialize_appends=True)
+    store.create("t", spark.createDataFrame([(0, 0)], "k long, v long"))
+    dfs = [spark.createDataFrame([(i, i * 10)], "k long, v long") for i in range(1, 9)]
+    seqs = store.multiappend("t", dfs)
+    assert len(seqs) == 8 and len(set(seqs)) == 8
+    stamps = [int(s[:20]) for s in seqs]
+    # stamps are unique 20-digit ns values; batches list in stamp order
+    batches = store._append_batches("t")
+    assert sorted(seqs) == batches
+    assert len(set(stamps)) == 8
+    got = {(r["k"], r["v"]) for r in store.get("t").collect()}
+    assert got == {(0, 0)} | {(i, i * 10) for i in range(1, 9)}
