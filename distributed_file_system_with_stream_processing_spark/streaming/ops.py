@@ -1634,3 +1634,252 @@ class RunningTopKOp:
             outputMode="Update",
             timeMode="None",
         )
+
+
+@dataclass
+class LastTouchOp:
+    """Streaming LAST-touch attribution — the complement of
+    ``FirstTouchOp`` (the r7 attribution family): each arriving
+    purchase is credited to the LATEST event the user emitted in the
+    preceding ``window_s`` horizon (ties by highest event_id; nothing
+    prior → 'direct'), emitted as an (attributed_type, +1) delta.
+    Summed deltas equal the batch twin's counts at every trigger
+    boundary.
+
+    Same O(user's in-window activity) state and in-order contract as
+    FirstTouchOp (per-user (sec, event_id) order across triggers;
+    sorted within a trigger).
+    """
+
+    name: str
+    window_s: int = 24 * 3600
+    purchase_type: str = "purchase"
+
+    _OUT = "attributed_type string, delta long"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        ev = df.select(
+            "user_id", "event_type", F.col("ts").cast("long").alias("sec"), "event_id"
+        )
+        purch = ev.filter(F.col("event_type") == self.purchase_type).select(
+            "user_id", F.col("sec").alias("p_sec"), F.col("event_id").alias("p_id")
+        )
+        prior = ev.select(
+            "user_id",
+            F.col("event_type").alias("t_type"),
+            F.col("sec").alias("t_sec"),
+            F.col("event_id").alias("t_id"),
+        )
+        j = purch.join(
+            prior,
+            (purch.user_id == prior.user_id)
+            & (prior.t_sec >= purch.p_sec - self.window_s)
+            & (
+                (prior.t_sec < purch.p_sec)
+                | ((prior.t_sec == purch.p_sec) & (prior.t_id < purch.p_id))
+            ),
+            "left",
+        ).drop(prior.user_id)
+        w = Window.partitionBy("user_id", "p_id").orderBy(
+            F.col("t_sec").desc(), F.col("t_id").desc()
+        )
+        last = j.select("t_type", F.row_number().over(w).alias("rn")).filter(
+            F.col("rn") == 1
+        )
+        return (
+            last.select(
+                F.coalesce("t_type", F.lit("direct")).alias("attributed_type")
+            )
+            .groupBy("attributed_type")
+            .agg(F.count(F.lit(1)).alias("delta"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        win, ptype = self.window_s, self.purchase_type
+        cols = ["attributed_type", "delta"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            if state.exists:
+                secs, ids, types = state.get
+                window = list(zip(list(secs), list(ids), list(types)))
+            else:
+                window = []
+            counts: dict[str, int] = {}
+            for sec, eid, etype in zip(
+                (int(x) for x in pdf["sec"]),
+                (int(x) for x in pdf["event_id"]),
+                pdf["event_type"],
+            ):
+                if etype == ptype:
+                    cand = [
+                        (s, i, t)
+                        for (s, i, t) in window
+                        if s >= sec - win and (s < sec or (s == sec and i < eid))
+                    ]
+                    att = max(cand)[2] if cand else "direct"
+                    counts[att] = counts.get(att, 0) + 1
+                window.append((sec, eid, etype))
+                horizon = sec - win
+                window = [w for w in window if w[0] >= horizon]
+            state.update((
+                [s for s, _, _ in window],
+                [i for _, i, _ in window],
+                [t for _, _, t in window],
+            ))
+            yield pd.DataFrame(sorted(counts.items()), columns=cols)
+
+        base = df.selectExpr(
+            "user_id", "event_type", "cast(ts as long) as sec", "event_id"
+        )
+        return base.groupBy("user_id").applyInPandasWithState(
+            update,
+            self._OUT,
+            "secs array<long>, ids array<long>, types array<string>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class LinearAttributionOp:
+    """Streaming LINEAR (equal-split) attribution: each arriving
+    purchase splits exactly 1,000,000 micro-credits across EVERY event
+    the user emitted in the preceding ``window_s`` horizon — each
+    candidate gets ⌊10⁶/n⌋ and the EARLIEST candidate also takes the
+    remainder, so per-purchase credit is conserved EXACTLY in integer
+    arithmetic (the repo's micro-quantization stance: order-free
+    integer sums, no float fold anywhere). No candidates → 'direct'
+    takes the full 10⁶. Summed (attributed_type, delta_micro) deltas
+    equal the batch twin at every trigger boundary, and their grand
+    total is 10⁶ × #purchases — the conservation invariant the tests
+    pin.
+
+    Same state and in-order contract as FirstTouchOp/LastTouchOp.
+    """
+
+    name: str
+    window_s: int = 24 * 3600
+    purchase_type: str = "purchase"
+
+    _OUT = "attributed_type string, delta_micro long"
+    _MICRO = 1_000_000
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        ev = df.select(
+            "user_id", "event_type", F.col("ts").cast("long").alias("sec"), "event_id"
+        )
+        purch = ev.filter(F.col("event_type") == self.purchase_type).select(
+            "user_id", F.col("sec").alias("p_sec"), F.col("event_id").alias("p_id")
+        )
+        prior = ev.select(
+            "user_id",
+            F.col("event_type").alias("t_type"),
+            F.col("sec").alias("t_sec"),
+            F.col("event_id").alias("t_id"),
+        )
+        j = purch.join(
+            prior,
+            (purch.user_id == prior.user_id)
+            & (prior.t_sec >= purch.p_sec - self.window_s)
+            & (
+                (prior.t_sec < purch.p_sec)
+                | ((prior.t_sec == purch.p_sec) & (prior.t_id < purch.p_id))
+            ),
+            "left",
+        ).drop(prior.user_id)
+        wp = Window.partitionBy("user_id", "p_id")
+        wr = wp.orderBy(F.col("t_sec").asc(), F.col("t_id").asc())
+        base = F.floor(F.lit(self._MICRO) / F.col("n")).cast("long")
+        rem = F.lit(self._MICRO) - base * F.col("n")
+        credited = (
+            j.withColumn("n", F.count("t_type").over(wp))
+            .withColumn("rn", F.row_number().over(wr))
+            .withColumn(
+                "credit",
+                F.when(F.col("t_type").isNull(), F.lit(self._MICRO).cast("long"))
+                .when(F.col("rn") == 1, base + rem)
+                .otherwise(base),
+            )
+        )
+        return (
+            credited.select(
+                F.coalesce("t_type", F.lit("direct")).alias("attributed_type"),
+                "credit",
+            )
+            .groupBy("attributed_type")
+            .agg(F.sum("credit").alias("delta_micro"))
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        win, ptype, micro = self.window_s, self.purchase_type, self._MICRO
+        cols = ["attributed_type", "delta_micro"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            if state.exists:
+                secs, ids, types = state.get
+                window = list(zip(list(secs), list(ids), list(types)))
+            else:
+                window = []
+            counts: dict[str, int] = {}
+            for sec, eid, etype in zip(
+                (int(x) for x in pdf["sec"]),
+                (int(x) for x in pdf["event_id"]),
+                pdf["event_type"],
+            ):
+                if etype == ptype:
+                    cand = sorted(
+                        (s, i, t)
+                        for (s, i, t) in window
+                        if s >= sec - win and (s < sec or (s == sec and i < eid))
+                    )
+                    if not cand:
+                        counts["direct"] = counts.get("direct", 0) + micro
+                    else:
+                        base, rem = divmod(micro, len(cand))
+                        for k_, (_, _, t) in enumerate(cand):
+                            c = base + (rem if k_ == 0 else 0)
+                            counts[t] = counts.get(t, 0) + c
+                window.append((sec, eid, etype))
+                horizon = sec - win
+                window = [w for w in window if w[0] >= horizon]
+            state.update((
+                [s for s, _, _ in window],
+                [i for _, i, _ in window],
+                [t for _, _, t in window],
+            ))
+            yield pd.DataFrame(sorted(counts.items()), columns=cols)
+
+        base = df.selectExpr(
+            "user_id", "event_type", "cast(ts as long) as sec", "event_id"
+        )
+        return base.groupBy("user_id").applyInPandasWithState(
+            update,
+            self._OUT,
+            "secs array<long>, ids array<long>, types array<string>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

@@ -1452,3 +1452,122 @@ def test_error_burst_stream_deltas_equal_batch_closed_runs(spark, dirs):
     }
     assert got == batch
     assert batch == {3: 1, 1: 1}  # the boundary-split run counts once, at 3
+
+
+def test_last_touch_stream_deltas_equal_batch(spark, dirs):
+    """LastTouchOp: summed (attributed_type, delta) across triggers
+    equals the batch last-touch counts — the LATEST in-window event
+    wins (vs FirstTouchOp's earliest), ties to the higher event_id,
+    'direct' when nothing is in the 24h horizon."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows1 = [
+        (0, "view", at(0), 1),
+        (1, "click", at(1), 1),
+        (2, "purchase", at(2), 1),   # last touch -> click (latest)
+        (3, "purchase", at(0), 2),   # nothing prior -> direct
+    ]
+    rows2 = [
+        (4, "purchase", at(30), 1),  # everything >24h old -> direct
+        (5, "signup", at(31), 1),
+        (6, "purchase", at(32), 1),  # -> signup (latest in window)
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.LastTouchOp("lt")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("lt_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[str, int] = {}
+        for r in spark.sql("select * from lt_stream").collect():
+            got[r["attributed_type"]] = got.get(r["attributed_type"], 0) + r["delta"]
+    finally:
+        q.stop()
+    batch = {
+        r["attributed_type"]: r["delta"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    assert batch == {"click": 1, "direct": 2, "signup": 1}
+
+
+def test_linear_attribution_conserves_and_matches_batch(spark, dirs):
+    """LinearAttributionOp: summed (attributed_type, delta_micro)
+    across triggers equals the batch equal-split credits, each
+    purchase's credit sums to EXACTLY 10^6 (floor share + remainder to
+    the earliest candidate — integer conservation), and 'direct'
+    purchases take the full 10^6."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows1 = [
+        (0, "view", at(0), 1),
+        (1, "click", at(1), 1),
+        (2, "view", at(1, ), 1),    # 3 candidates for the purchase below
+        (3, "purchase", at(2), 1),  # split 10^6 across view,click,view
+        (4, "purchase", at(0), 2),  # direct
+    ]
+    rows2 = [
+        (5, "purchase", at(30), 1),  # 24h horizon = (6h, 30h): nothing
+                                     # in window -> direct
+    ]
+    schema = "event_id long, event_type string, ts timestamp, user_id long"
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.LinearAttributionOp("lin")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("lin_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got: dict[str, int] = {}
+        for r in spark.sql("select * from lin_stream").collect():
+            got[r["attributed_type"]] = (
+                got.get(r["attributed_type"], 0) + r["delta_micro"]
+            )
+    finally:
+        q.stop()
+    batch = {
+        r["attributed_type"]: r["delta_micro"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch
+    # conservation: 3 purchases x 10^6 micro-credits, exactly
+    assert sum(batch.values()) == 3 * 1_000_000
+    # purchase at h=2: 3 candidates -> view gets 2 shares (+ remainder
+    # to the EARLIEST candidate, event 0, a view), click one share
+    share, rem = divmod(1_000_000, 3)
+    assert batch["view"] == 2 * share + rem
+    assert batch["click"] == share
+    # the h=0 (user 2) purchase AND the h=30 one (empty 24h window,
+    # state pruned in the stream twin) both fall back to direct
+    assert batch["direct"] == 2 * 1_000_000
+    assert "purchase" not in batch
