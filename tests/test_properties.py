@@ -721,3 +721,159 @@ def test_error_burst_update_counts_closed_runs(seq, n_triggers, seed):
             run = 0
     assert got == want
     assert (st_.get[0] if st_.exists else 0) == run  # open tail in state
+
+
+# -- attribution ops: any in-order trigger split matches the sequential
+#    reference (and linear attribution conserves credit exactly) ----------
+
+
+def _drive_attribution(op, rows, n_triggers, seed):
+    """Capture op.stream_apply's update() closure and drive it over an
+    arbitrary in-order trigger split of `rows` [(sec, type, id)...];
+    returns the summed deltas keyed by attributed_type."""
+    import random
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    captured = {}
+
+    class _StubGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class _StubDF:
+        isStreaming = True
+
+        def selectExpr(self, *_, **__):
+            return self
+
+        def groupBy(self, *_):
+            return _StubGrouped()
+
+    op.stream_apply(_StubDF())
+    update = captured["fn"]
+
+    rng = random.Random(seed)
+    bounds = sorted(rng.randrange(len(rows) + 1) for _ in range(n_triggers - 1))
+    chunks, prev = [], 0
+    for b in [*bounds, len(rows)]:
+        chunks.append(rows[prev:b])
+        prev = b
+
+    st_ = FakeState()
+    got: dict[str, int] = {}
+    val_col = None
+    for chunk in chunks:
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["sec", "event_type", "event_id"])
+        for out in update((1,), iter([pdf]), st_):
+            if val_col is None and len(out.columns):
+                val_col = out.columns[-1]
+            for _, row in out.iterrows():
+                got[row["attributed_type"]] = (
+                    got.get(row["attributed_type"], 0) + row[val_col]
+                )
+    return got
+
+
+def _attr_rows(seq):
+    """(type_code, gap) list -> in-order (sec, type, event_id) rows.
+    Codes: 0 view, 1 click, 2 purchase. Gaps can exceed the test
+    window (10 s) so horizon pruning is exercised."""
+    types = ["view", "click", "purchase"]
+    rows, sec = [], 0
+    for i, (code, gap) in enumerate(seq):
+        sec += gap
+        rows.append((sec, types[code], i))
+    return rows
+
+
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7)), min_size=1, max_size=25
+    ),
+    n_triggers=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_last_touch_update_matches_sequential_reference(seq, n_triggers, seed):
+    """LastTouchOp.update(): for ANY event sequence and ANY in-order
+    trigger split, summed deltas equal the sequential last-touch rule
+    (latest in-window prior event, ties to higher id, else direct)."""
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        LastTouchOp,
+    )
+
+    rows = _attr_rows(seq)
+    win = 10
+    got = _drive_attribution(LastTouchOp("p", window_s=win), rows, n_triggers, seed)
+
+    want: dict[str, int] = {}
+    for k, (sec, etype, eid) in enumerate(rows):
+        if etype == "purchase":
+            cand = [
+                (s, i, t)
+                for (s, t, i) in rows[:k]
+                if s >= sec - win
+            ]
+            att = max(cand)[2] if cand else "direct"
+            want[att] = want.get(att, 0) + 1
+    assert got == want
+
+
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7)), min_size=1, max_size=25
+    ),
+    n_triggers=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_linear_attribution_update_conserves_and_matches(seq, n_triggers, seed):
+    """LinearAttributionOp.update(): summed deltas equal the
+    sequential equal-split rule with floor shares and the remainder on
+    the earliest candidate — so the total is EXACTLY 10^6 per
+    purchase, for any sequence and any trigger split."""
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        LinearAttributionOp,
+    )
+
+    rows = _attr_rows(seq)
+    win = 10
+    got = _drive_attribution(
+        LinearAttributionOp("p", window_s=win), rows, n_triggers, seed
+    )
+
+    want: dict[str, int] = {}
+    micro = 1_000_000
+    n_purch = 0
+    for k, (sec, etype, eid) in enumerate(rows):
+        if etype == "purchase":
+            n_purch += 1
+            cand = sorted(
+                (s, i, t) for (s, t, i) in rows[:k] if s >= sec - win
+            )
+            if not cand:
+                want["direct"] = want.get("direct", 0) + micro
+            else:
+                base, rem = divmod(micro, len(cand))
+                for j, (_, _, t) in enumerate(cand):
+                    want[t] = want.get(t, 0) + base + (rem if j == 0 else 0)
+    assert got == want
+    assert sum(got.values()) == micro * n_purch
