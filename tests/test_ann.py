@@ -693,3 +693,100 @@ def test_assign_cells_gate_picks_kernel(spark):
     big = C.assign_cells(e, C._init_centroids(e, C._NP_ASSIGN_MIN_K))
     assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_neardup_sig_kernel_matches_hof(spark):
+    """The numpy signature kernel must be BIT-identical to the HOF
+    fold it replaced (r7 sweep): same plane dots (sequential per-dim
+    accumulation), same band keys, same norm — on real vectors AND on
+    sign-boundary/edge rows. The HOF twin is reconstructed here
+    exactly as banded_neardup_pairs built it through r7."""
+    from pyspark.sql import functions as F
+
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+    from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
+
+    bands, rpb, dim = 8, 8, 64
+    mat = S.hyperplane_matrix(dim, bands * rpb)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    # edge rows: all-zero vector (dot exactly 0.0 -> bit SET, >= 0)
+    # and a tiny-epsilon vector exercising sign boundaries
+    edge = spark.createDataFrame(
+        [
+            (100001, [0.0] * dim),
+            (100002, [1e-30] * dim),
+            (100003, [-1e-30] * dim),
+        ],
+        "id long, v array<float>",
+    )
+    e = e.unionByName(edge)
+
+    # HOF twin (the pre-r7 plan, verbatim shapes)
+    ed = e.select("id", V.as_double(F.col("v")).alias("v"))
+    ed = ed.withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
+    planes_col = S._hyperplanes(dim, bands * rpb)
+    dots = F.transform(
+        planes_col,
+        lambda p: F.aggregate(
+            F.zip_with(p, F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    key_exprs = [
+        "+".join(
+            f"IF(element_at(_dots, {b * rpb + r + 1}) >= 0D, {1 << r}L, 0L)"
+            for r in range(rpb)
+        )
+        for b in range(bands)
+    ]
+    hof = ed.withColumn("_dots", dots).selectExpr(
+        "id", "nrm", *[f"({kx}) AS k{b}" for b, kx in enumerate(key_exprs)]
+    )
+
+    kern = S._neardup_sig_np(e, mat, bands, rpb, dim).selectExpr(
+        "id",
+        "nrm",
+        *[f"_k{b} AS k{b}" for b in range(bands)],
+    )
+    h = {r["id"]: r for r in hof.collect()}
+    k = {r["id"]: r for r in kern.collect()}
+    assert set(h) == set(k) and len(h) == e.count()
+    for vid in h:
+        for b in range(bands):
+            assert h[vid][f"k{b}"] == k[vid][f"k{b}"], (vid, b)
+        assert h[vid]["nrm"] == k[vid]["nrm"], vid
+
+
+def test_neardup_sig_kernel_edge_rows(spark):
+    """zip_with-padding parity for malformed rows: NULL vector /
+    NULL element / wrong length get every band_key 0 (never pair
+    beyond the key-0 bucket) exactly like the HOF's NULL-poisoned
+    fold; a wrong-length vector keeps its REAL norm (sq_norm pads
+    nothing against itself)."""
+    import math
+
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+
+    dim = 4
+    mat = S.hyperplane_matrix(dim, 4)
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, [1.0, None, 1.0, 1.0]),
+            (3, [3.0, 4.0]),          # wrong length: nrm = 5.0
+            (4, [1.0, 1.0, 1.0, 1.0]),
+        ],
+        "id long, v array<double>",
+    )
+    out = {r["id"]: r for r in S._neardup_sig_np(df, mat, 2, 2, dim).collect()}
+    for vid in (1, 2, 3):
+        assert out[vid]["_k0"] == 0 and out[vid]["_k1"] == 0, vid
+    assert out[1]["nrm"] is None or math.isnan(out[1]["nrm"])
+    assert out[2]["nrm"] is None or math.isnan(out[2]["nrm"])
+    assert out[3]["nrm"] == 5.0
+    assert out[4]["nrm"] == 2.0
+    assert out[4]["_k0"] >= 0  # real keys computed for the good row
