@@ -35,3 +35,29 @@ def test_oracle_projects_no_hugeint(duck, name, sql):
         "sum() in CAST(... AS BIGINT) so the driver's type-sensitive hash "
         "matches Spark's BIGINT"
     )
+
+
+def test_integral_div_matches_duckdb(spark, duck):
+    """Spark `a div b` and DuckDB `a // b` must agree on EVERY signed
+    combination — the precondition for the r8 bulk conversion of
+    round(quotient, n) projections to the exact integer-division mean
+    idiom ((s * 10^dp) div n). Both truncate toward zero (verified
+    here, including negative sums like acctbal aggregates, remainder-
+    boundary pairs, and near-overflow magnitudes); a floor-division
+    engine would differ at (-7, 2)."""
+    cases = []
+    for s in [0, 1, -1, 7, -7, 49_999, -49_999, 50_000, -50_000,
+              123_456_789, -123_456_789, 2**53, -(2**53),
+              (2**62) // 10_000, -((2**62) // 10_000)]:
+        for n in [1, 2, 3, 7, -2, -3, 10_000, 86_400]:
+            cases.append((s, n))
+    df = spark.createDataFrame(cases, "s long, n long")
+    got = {
+        (r["s"], r["n"]): r["d"]
+        for r in df.selectExpr("s", "n", "s div n AS d").collect()
+    }
+    for (s, n), d in got.items():
+        want = duck.execute("select ? // ?", [s, n]).fetchone()[0]
+        assert d == want, (s, n, d, want)
+        # and both equal C-style truncation
+        assert d == int(s / n) if abs(s) < 2**52 else True
