@@ -29,7 +29,14 @@ def orders_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile capacity planning and pricing read together (do big
     baskets carry the revenue?). Line-less headers land in bucket 0
     via the left join. One l_orderkey rollup + a co-keyed join + a
-    ≤|sizes| fold."""
+    ≤|sizes| fold.
+
+    Exactness (r7 conversion): share and mean value are integer
+    FLOOR-division quotients ((n·10⁶) div t, tc div n — exact BIGINT
+    arithmetic; tc is cents so tc div n is mean cents), never rounded
+    double quotients: Spark's BigDecimal HALF_UP and DuckDB's double
+    round diverge on exact .xxxx5 quotients, integer division cannot
+    (div ≡ // cross-engine incl. signs, tests/test_oracle_types.py)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
@@ -44,8 +51,8 @@ def orders_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(broadcast(tot)).select(
         "basket_size",
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.round(F.col("n_orders").cast("double") / F.col("t"), 6).alias("share"),
-        F.round(F.col("tc").cast("double") / F.col("n_orders") / 100.0, 2).alias(
+        (F.expr("(n_orders * 1000000) div t").cast("double") / 1e6).alias("share"),
+        (F.expr("tc div n_orders").cast("double") / 100.0).alias(
             "avg_order_value"
         ),
     )
@@ -64,9 +71,9 @@ agg AS (
 )
 SELECT CAST(basket_size AS BIGINT) AS basket_size,
        CAST(n_orders AS BIGINT) AS n_orders,
-       round(CAST(n_orders AS DOUBLE) / (SELECT sum(n_orders) FROM agg), 6)
-           AS share,
-       round(CAST(tc AS DOUBLE) / n_orders / 100.0, 2) AS avg_order_value
+       CAST((n_orders * 1000000) // (SELECT sum(n_orders) FROM agg) AS DOUBLE)
+           / 1000000.0 AS share,
+       CAST(tc // n_orders AS DOUBLE) / 100.0 AS avg_order_value
 FROM agg
 """
 
@@ -95,11 +102,16 @@ def nation_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("tc")
     )
     yr = F.sum("tc").over(Window.partitionBy("year"))
-    return cell.select(
+    # share is an exact integer floor-division quotient (see the
+    # basket-profile docstring); revenue cents/100.0 at 2 dp is exact
+    # already (the true value HAS 2 decimals) and stays a round()
+    return cell.withColumn("yt", yr).select(
         F.col("year").cast("long").alias("year"),
         "nation",
         F.round(F.col("tc") / 100.0, 2).alias("revenue"),
-        F.round(F.col("tc").cast("double") / yr, 6).alias("share_of_year"),
+        (F.expr("(tc * 1000000) div yt").cast("double") / 1e6).alias(
+            "share_of_year"
+        ),
     )
 
 
@@ -114,8 +126,8 @@ WITH cell AS (
 )
 SELECT year, nation,
        round(tc / 100.0, 2) AS revenue,
-       round(CAST(tc AS DOUBLE) / sum(tc) OVER (PARTITION BY year), 6)
-           AS share_of_year
+       CAST((tc * 1000000) // sum(tc) OVER (PARTITION BY year) AS DOUBLE)
+           / 1000000.0 AS share_of_year
 FROM cell
 """
 
@@ -266,7 +278,8 @@ def lineitem_tax_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
         F.round(F.col("tax") / 100.0, 2).alias("tax_take"),
-        F.round(F.col("tax").cast("double") / F.col("net"), 6).alias(
+        # exact integer floor-division quotient (see basket profile)
+        (F.expr("(tax * 1000000) div net").cast("double") / 1e6).alias(
             "effective_rate"
         ),
     )
@@ -284,7 +297,8 @@ WITH rows_ AS (
 SELECT tax_pct, CAST(count(*) AS BIGINT) AS n_lines,
        round(sum(net_c) / 100.0, 2) AS net_revenue,
        round(sum(tax_c) / 100.0, 2) AS tax_take,
-       round(CAST(sum(tax_c) AS DOUBLE) / sum(net_c), 6) AS effective_rate
+       CAST((sum(tax_c) * 1000000) // sum(net_c) AS DOUBLE) / 1000000.0
+           AS effective_rate
 FROM rows_ GROUP BY tax_pct
 """
 
@@ -297,7 +311,12 @@ def part_name_token_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-lexicon pricing: every token of p_name (the
     'adjective noun' vocabulary) × part count, mean catalog price and
     its premium over the global mean — which WORDS carry price. One
-    explode + token rollup; the global mean rides a 1-row value."""
+    explode + token rollup; the global mean rides a 1-row value.
+
+    Exactness (r7 conversion): mean and premium are integer
+    floor-division quotients at 4 dp ((s·100) div n over cents =
+    dollars·10⁴), so both engines round the same exact rational (see
+    the basket-profile docstring)."""
     p = load_table(spark, sf_dir, "part")
     cents = F.round(F.col("p_retailprice") * 100).cast("long")
     toks = p.select(
@@ -307,15 +326,13 @@ def part_name_token_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_parts"), F.sum("c").alias("s")
     )
-    tot = toks.agg(
-        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("gm")
-    )
-    mean = F.col("s").cast("double") / F.col("n_parts")
+    tot = toks.agg(F.expr("(sum(c) * 100) div count(1)").alias("gm4"))
+    mean4 = F.expr("(s * 100) div n_parts")
     return agg.crossJoin(broadcast(tot)).select(
         "token",
         F.col("n_parts").cast("long").alias("n_parts"),
-        F.round(mean / 100.0, 2).alias("mean_price"),
-        F.round((mean - F.col("gm")) / 100.0, 2).alias("premium"),
+        (mean4.cast("double") / 10000.0).alias("mean_price"),
+        ((mean4 - F.col("gm4")).cast("double") / 10000.0).alias("premium"),
     )
 
 
@@ -327,10 +344,10 @@ WITH toks AS (
 ),
 f AS (SELECT token, c FROM toks WHERE token IS NOT NULL AND token <> ''),
 agg AS (SELECT token, count(*) AS n_parts, sum(c) AS s FROM f GROUP BY token),
-tot AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) AS gm FROM f)
+tot AS (SELECT (sum(c) * 100) // count(*) AS gm4 FROM f)
 SELECT token, CAST(n_parts AS BIGINT) AS n_parts,
-       round(CAST(s AS DOUBLE) / n_parts / 100.0, 2) AS mean_price,
-       round((CAST(s AS DOUBLE) / n_parts - gm) / 100.0, 2) AS premium
+       CAST((s * 100) // n_parts AS DOUBLE) / 10000.0 AS mean_price,
+       CAST((s * 100) // n_parts - gm4 AS DOUBLE) / 10000.0 AS premium
 FROM agg CROSS JOIN tot
 """
 
@@ -375,7 +392,8 @@ def docs_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "split",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(F.col("sq").cast("double") / F.col("n_docs") / _MICRO, 6).alias(
+        # exact integer floor-division mean (see basket profile)
+        (F.expr("sq div n_docs").cast("double") / _MICRO).alias(
             "mean_quality"
         ),
         F.round(F.col("mn") / F.lit(float(_MICRO)), 6).alias("min_quality"),
@@ -408,7 +426,7 @@ WITH q AS (
     FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-       round(CAST(sum(q_mu) AS DOUBLE) / count(*) / {_MICRO}, 6) AS mean_quality,
+       CAST(sum(q_mu) // count(*) AS DOUBLE) / {_MICRO}.0 AS mean_quality,
        round(min(q_mu) / {_MICRO}.0, 6) AS min_quality,
        round(max(q_mu) / {_MICRO}.0, 6) AS max_quality
 FROM q GROUP BY split
@@ -424,8 +442,11 @@ def docs_dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-text md5 groups of size >1 vs unique docs: counts,
     mean length, and the duplicated/unique length ratio — short-dup
     bias means boilerplate fragments dominate the dup mass (dedup
-    saves less than the doc count suggests). Integer sums; the ratio
-    divides once (sentinel -1 when either side is empty)."""
+    saves less than the doc count suggests). Integer sums; means and
+    the ratio are exact integer floor-division quotients (the ratio
+    cross-multiplies in DECIMAL(38,0)/HUGEINT so both engines divide
+    the same exact integers — see the basket-profile docstring);
+    sentinel -1 when either side is empty."""
     d = load_table(spark, sf_dir, "documents")
     eh = d.select("doc_id", "n_chars", F.md5(T.norm_text(F.col("text"))).alias("h"))
     sizes = eh.groupBy("h").agg(F.count(F.lit(1)).alias("g"))
@@ -441,22 +462,29 @@ def docs_dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dup") == 0, F.col("n_docs")).otherwise(0)).alias("nu"),
         F.sum(F.when(F.col("is_dup") == 0, F.col("sc")).otherwise(0)).alias("su"),
     )
-    md = F.col("sd").cast("double") / F.col("nd")
-    mu = F.col("su").cast("double") / F.col("nu")
+    md4 = F.expr("(sd * 10000) div nd").cast("double") / 1e4
+    mu4 = F.expr("(su * 10000) div nu").cast("double") / 1e4
+    ratio6 = (
+        F.expr(
+            "(cast(sd as decimal(38,0)) * nu * 1000000)"
+            " div (cast(nd as decimal(38,0)) * su)"
+        ).cast("double")
+        / 1e6
+    )
     return piv.select(
         F.col("nd").cast("long").alias("n_dup_docs"),
         F.col("nu").cast("long").alias("n_unique_docs"),
-        F.round(F.when(F.col("nd") > 0, md).otherwise(F.lit(-1.0)), 4).alias(
+        F.when(F.col("nd") > 0, md4).otherwise(F.lit(-1.0)).alias(
             "mean_chars_dup"
         ),
-        F.round(F.when(F.col("nu") > 0, mu).otherwise(F.lit(-1.0)), 4).alias(
+        F.when(F.col("nu") > 0, mu4).otherwise(F.lit(-1.0)).alias(
             "mean_chars_unique"
         ),
-        F.round(
-            F.when((F.col("nd") > 0) & (F.col("nu") > 0) & (F.col("su") > 0), md / mu)
-            .otherwise(F.lit(-1.0)),
-            6,
-        ).alias("length_ratio"),
+        F.when(
+            (F.col("nd") > 0) & (F.col("nu") > 0) & (F.col("su") > 0), ratio6
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("length_ratio"),
     )
 
 
@@ -480,13 +508,14 @@ piv AS (
 )
 SELECT CAST(nd AS BIGINT) AS n_dup_docs,
        CAST(nu AS BIGINT) AS n_unique_docs,
-       round(CASE WHEN nd > 0 THEN CAST(sd AS DOUBLE) / nd
-                  ELSE CAST(-1.0 AS DOUBLE) END, 4) AS mean_chars_dup,
-       round(CASE WHEN nu > 0 THEN CAST(su AS DOUBLE) / nu
-                  ELSE CAST(-1.0 AS DOUBLE) END, 4) AS mean_chars_unique,
-       round(CASE WHEN nd > 0 AND nu > 0 AND su > 0
-                  THEN (CAST(sd AS DOUBLE) / nd) / (CAST(su AS DOUBLE) / nu)
-                  ELSE CAST(-1.0 AS DOUBLE) END, 6) AS length_ratio
+       CASE WHEN nd > 0 THEN CAST((sd * 10000) // nd AS DOUBLE) / 10000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS mean_chars_dup,
+       CASE WHEN nu > 0 THEN CAST((su * 10000) // nu AS DOUBLE) / 10000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS mean_chars_unique,
+       CASE WHEN nd > 0 AND nu > 0 AND su > 0
+            THEN CAST((CAST(sd AS HUGEINT) * nu * 1000000)
+                      // (CAST(nd AS HUGEINT) * su) AS DOUBLE) / 1000000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS length_ratio
 FROM piv
 """
 
