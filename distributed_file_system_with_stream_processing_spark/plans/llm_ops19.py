@@ -53,12 +53,14 @@ def customer_balance_band_behavior(spark: SparkSession, sf_dir: str) -> DataFram
         "band",
         F.round(F.col("band") * (_CBB_BAND_CENTS / 100.0), 2).alias("balance_lo"),
         F.col("n_customers").cast("long").alias("n_customers"),
-        F.round(F.col("t_orders").cast("double") / F.col("n_customers"), 4).alias(
+        # exact integer floor-division means (r7 conversion; see
+        # llm_ops21.orders_basket_size_profile)
+        (F.expr("(t_orders * 10000) div n_customers").cast("double") / 1e4).alias(
             "avg_orders"
         ),
-        F.round(
-            F.col("t_cents").cast("double") / F.col("n_customers") / 100.0, 2
-        ).alias("avg_spend"),
+        (F.expr("t_cents div n_customers").cast("double") / 100.0).alias(
+            "avg_spend"
+        ),
     )
 
 
@@ -78,8 +80,9 @@ j AS (
 SELECT band,
        round(CAST(band AS DOUBLE) * {_CBB_BAND_CENTS / 100.0}, 2) AS balance_lo,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(CAST(sum(n_orders) AS DOUBLE) / count(*), 4) AS avg_orders,
-       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 2) AS avg_spend
+       CAST((sum(n_orders) * 10000) // count(*) AS DOUBLE) / 10000.0
+           AS avg_orders,
+       CAST(sum(cents) // count(*) AS DOUBLE) / 100.0 AS avg_spend
 FROM j GROUP BY band
 """
 
@@ -118,8 +121,10 @@ def lineitem_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("gross") / 100.0, 2).alias("gross_revenue"),
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
-        F.round(F.col("qty").cast("double") / F.col("n_lines"), 4).alias("avg_qty"),
-        F.round(F.col("gross").cast("double") / F.col("tg"), 6).alias(
+        # qty is an integral-valued double sum; the cast is exact
+        (F.expr("(cast(qty as long) * 10000) div n_lines").cast("double") / 1e4)
+        .alias("avg_qty"),
+        (F.expr("(gross * 1000000) div tg").cast("double") / 1e6).alias(
             "gross_share"
         ),
     )
@@ -142,9 +147,10 @@ agg AS (
 SELECT disc_pct, CAST(n_lines AS BIGINT) AS n_lines,
        round(gross / 100.0, 2) AS gross_revenue,
        round(net / 100.0, 2) AS net_revenue,
-       round(CAST(qty AS DOUBLE) / n_lines, 4) AS avg_qty,
-       round(CAST(gross AS DOUBLE) / (SELECT sum(gross) FROM agg), 6)
-           AS gross_share
+       CAST((CAST(qty AS BIGINT) * 10000) // n_lines AS DOUBLE) / 10000.0
+           AS avg_qty,
+       CAST((gross * 1000000) // (SELECT sum(gross) FROM agg) AS DOUBLE)
+           / 1000000.0 AS gross_share
 FROM agg
 """
 
@@ -238,9 +244,16 @@ def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_name").alias("nation"),
         cust.alias("n_customers"),
         supp.alias("n_suppliers"),
-        F.round(
-            F.when(supp > 0, cust.cast("double") / supp).otherwise(F.lit(-1.0)), 4
-        ).alias("cust_per_supp"),
+        # exact integer floor-division ratio (r7 conversion)
+        F.when(
+            supp > 0,
+            F.expr(
+                "(coalesce(n_cust, 0) * 10000) div coalesce(n_supp, 0)"
+            ).cast("double")
+            / 1e4,
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("cust_per_supp"),
     )
 
 
@@ -250,9 +263,10 @@ ns AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
 SELECT n_name AS nation,
        CAST(coalesce(nc.n_cust, 0) AS BIGINT) AS n_customers,
        CAST(coalesce(ns.n_supp, 0) AS BIGINT) AS n_suppliers,
-       round(CASE WHEN coalesce(ns.n_supp, 0) > 0
-                  THEN CAST(coalesce(nc.n_cust, 0) AS DOUBLE) / ns.n_supp
-                  ELSE CAST(-1.0 AS DOUBLE) END, 4) AS cust_per_supp
+       CASE WHEN coalesce(ns.n_supp, 0) > 0
+            THEN CAST((coalesce(nc.n_cust, 0) * 10000) // ns.n_supp AS DOUBLE)
+                 / 10000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS cust_per_supp
 FROM nation n
 LEFT JOIN nc ON n.n_nationkey = nc.c_nationkey
 LEFT JOIN ns ON n.n_nationkey = ns.s_nationkey
@@ -436,7 +450,10 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("segment").agg(
         F.max("n").cast("long").alias("n_gaps"),
-        F.round(F.sum("gap").cast("double") / F.max("n"), 4).alias("mean_days"),
+        # exact integer floor-division mean (r7 conversion)
+        (F.expr("(sum(gap) * 10000) div max(n)").cast("double") / 1e4).alias(
+            "mean_days"
+        ),
         pick(0.5).cast("long").alias("p50_days"),
         pick(0.9).cast("long").alias("p90_days"),
     )
@@ -457,7 +474,7 @@ seg AS (
     WHERE gap IS NOT NULL
 )
 SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
-       round(CAST(sum(gap) AS DOUBLE) / count(*), 4) AS mean_days,
+       CAST((sum(gap) * 10000) // count(*) AS DOUBLE) / 10000.0 AS mean_days,
        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
            AS p50_days,
        CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)
@@ -493,7 +510,8 @@ def lineitem_returned_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("tot") / 100.0, 2).alias("revenue"),
         F.round(F.col("ret") / 100.0, 2).alias("returned_revenue"),
-        F.round(F.col("ret").cast("double") / F.col("tot"), 6).alias(
+        # exact integer floor-division share (r7 conversion)
+        (F.expr("(ret * 1000000) div tot").cast("double") / 1e6).alias(
             "returned_share"
         ),
     )
@@ -509,7 +527,8 @@ WITH rows_ AS (
 SELECT year, CAST(count(*) AS BIGINT) AS n_lines,
        round(sum(c) / 100.0, 2) AS revenue,
        round(sum(c * is_r) / 100.0, 2) AS returned_revenue,
-       round(CAST(sum(c * is_r) AS DOUBLE) / sum(c), 6) AS returned_share
+       CAST((sum(c * is_r) * 1000000) // sum(c) AS DOUBLE) / 1000000.0
+           AS returned_share
 FROM rows_ GROUP BY year
 """
 
