@@ -84,7 +84,9 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
-        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias("max_cusum"),
+        # exact integer floor-division mean (r7 conversion; see
+        # llm_ops21.orders_basket_size_profile)
+        (F.expr("(s * 100) div n").cast("double") / 1e4).alias("max_cusum"),
         F.col("sec").cast("long").alias("peak_epoch_s"),
     )
 
@@ -118,7 +120,7 @@ top AS (
     FROM s
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_events,
-       round(CAST(s AS DOUBLE) / n / 100.0, 4) AS max_cusum,
+       CAST((s * 100) // n AS DOUBLE) / 10000.0 AS max_cusum,
        CAST(sec AS BIGINT) AS peak_epoch_s
 FROM top WHERE rn = 1
 """
@@ -169,15 +171,17 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = terms.filter(F.col("ck") > 0).select(
         "event_type", "k", "ck", lt.alias("lt")
     ).groupBy("event_type", "k", "ck").agg(F.sum("lt").alias("sl"))
+    # alpha = (k-1)·NANO/sl is RATIONAL (the log terms are already
+    # micro-quantized integers): exact integer floor-division at 6 dp
     alpha = F.when(
         F.col("sl") > 0,
-        (F.col("k") - 1).cast("double") / (F.col("sl").cast("double") / _NANO),
+        F.expr(f"((k - 1) * {_NANO} * 1000000) div sl").cast("double") / 1e6,
     ).otherwise(F.lit(-1.0))
     out = agg.select(
         "event_type",
         F.col("k").cast("long").alias("k_used"),
         F.round(F.col("ck") / 100.0, 2).alias("x_k"),
-        F.round(alpha, 6).alias("hill_alpha"),
+        alpha.alias("hill_alpha"),
     )
     return out
 
@@ -209,9 +213,9 @@ agg AS (
 )
 SELECT event_type, CAST(k AS BIGINT) AS k_used,
        round(ck / 100.0, 2) AS x_k,
-       round(CASE WHEN sl > 0
-                  THEN CAST(k - 1 AS DOUBLE) / (CAST(sl AS DOUBLE) / {_NANO})
-                  ELSE CAST(-1.0 AS DOUBLE) END, 6) AS hill_alpha
+       CASE WHEN sl > 0
+            THEN CAST(((k - 1) * {_NANO} * 1000000) // sl AS DOUBLE) / 1000000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS hill_alpha
 FROM agg
 """
 
@@ -292,17 +296,18 @@ def events_wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wau"))
     )
     prev = F.lag("wau").over(Window.orderBy("week"))
-    return wau.select(
+    lagged = wau.withColumn("prev_w", F.coalesce(prev, F.lit(0)).cast("long"))
+    return lagged.select(
         F.col("week").cast("long").alias("week"),
         F.col("wau").cast("long").alias("wau"),
-        F.coalesce(prev, F.lit(0)).cast("long").alias("prev_wau"),
-        F.round(
-            F.when(
-                prev.isNotNull() & (prev > 0),
-                (F.col("wau") - prev).cast("double") / prev,
-            ).otherwise(F.lit(-1.0)),
-            6,
-        ).alias("wow_growth"),
+        F.col("prev_w").alias("prev_wau"),
+        # exact integer floor-division growth — div truncates toward
+        # zero in BOTH engines for shrink weeks (tests/test_oracle_types)
+        F.when(
+            F.col("prev_w") > 0,
+            F.expr("((wau - prev_w) * 1000000) div prev_w").cast("double")
+            / 1e6,
+        ).otherwise(F.lit(-1.0)).alias("wow_growth"),
     )
 
 
@@ -318,9 +323,9 @@ lagged AS (
 )
 SELECT CAST(week AS BIGINT) AS week, CAST(wau AS BIGINT) AS wau,
        CAST(coalesce(prev, 0) AS BIGINT) AS prev_wau,
-       round(CASE WHEN prev IS NOT NULL AND prev > 0
-                  THEN CAST(wau - prev AS DOUBLE) / prev
-                  ELSE CAST(-1.0 AS DOUBLE) END, 6) AS wow_growth
+       CASE WHEN prev IS NOT NULL AND prev > 0
+            THEN CAST(((wau - prev) * 1000000) // prev AS DOUBLE) / 1000000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS wow_growth
 FROM lagged
 """
 
@@ -420,11 +425,14 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sec % _DAY_S) / 3600).cast("long").alias("hour"),
     ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
     day_tot = F.sum("n").over(Window.partitionBy("dow"))
-    return cell.select(
+    return cell.withColumn("dt", day_tot).select(
         "dow",
         "hour",
         F.col("n").cast("long").alias("n_events"),
-        F.round(F.col("n") / day_tot, 6).alias("share_of_dow"),
+        # exact integer floor-division share (r7 conversion)
+        (F.expr("(n * 1000000) div dt").cast("double") / 1e6).alias(
+            "share_of_dow"
+        ),
     )
 
 
@@ -437,8 +445,8 @@ WITH cell AS (
 )
 SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
        CAST(n AS BIGINT) AS n_events,
-       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY dow), 6)
-           AS share_of_dow
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY dow) AS DOUBLE)
+           / 1000000.0 AS share_of_dow
 FROM cell
 """
 
@@ -573,10 +581,11 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(F.col("p05") / 100.0, 2).alias("p05"),
         F.round(F.col("p95") / 100.0, 2).alias("p95"),
-        F.round(F.col("sraw").cast("double") / F.col("n") / 100.0, 4).alias(
+        # exact integer floor-division means (r7 conversion)
+        (F.expr("(sraw * 100) div n").cast("double") / 1e4).alias(
             "raw_mean"
         ),
-        F.round(F.col("swin").cast("double") / F.col("n") / 100.0, 4).alias(
+        (F.expr("(swin * 100) div n").cast("double") / 1e4).alias(
             "winsorized_mean"
         ),
     )
@@ -602,8 +611,8 @@ agg AS (
 SELECT a.event_type, CAST(a.n AS BIGINT) AS n_events,
        round(p.p05 / 100.0, 2) AS p05,
        round(p.p95 / 100.0, 2) AS p95,
-       round(CAST(a.sraw AS DOUBLE) / a.n / 100.0, 4) AS raw_mean,
-       round(CAST(a.swin AS DOUBLE) / a.n / 100.0, 4) AS winsorized_mean
+       CAST((a.sraw * 100) // a.n AS DOUBLE) / 10000.0 AS raw_mean,
+       CAST((a.swin * 100) // a.n AS DOUBLE) / 10000.0 AS winsorized_mean
 FROM agg a JOIN pcts p USING (event_type)
 """
 
@@ -629,7 +638,9 @@ def events_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").cast("long").alias("n_distinct"),
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
-        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("mean_k"),
+        (F.expr("(sum(k) * 10000) div count(1)").cast("double") / 1e4).alias(
+            "mean_k"
+        ),
     )
 
 
@@ -642,7 +653,7 @@ SELECT event_type,
        CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
        CAST(min(k) AS BIGINT) AS min_k,
        CAST(max(k) AS BIGINT) AS max_k,
-       round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS mean_k
+       CAST((sum(k) * 10000) // count(*) AS DOUBLE) / 10000.0 AS mean_k
 FROM base WHERE k IS NOT NULL
 GROUP BY event_type
 """
@@ -708,7 +719,9 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.crossJoin(broadcast(tot)).select(
         "attributed_type",
         F.col("n_purchases").cast("long").alias("n_purchases"),
-        F.round(F.col("n_purchases").cast("double") / F.col("t"), 6).alias("share"),
+        (F.expr("(n_purchases * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
     )
 
 
@@ -735,7 +748,8 @@ att AS (
 ),
 agg AS (SELECT attributed_type, count(*) AS n FROM att GROUP BY attributed_type)
 SELECT attributed_type, CAST(n AS BIGINT) AS n_purchases,
-       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM agg), 6) AS share
+       CAST((n * 1000000) // (SELECT sum(n) FROM agg) AS DOUBLE) / 1000000.0
+           AS share
 FROM agg
 """
 
