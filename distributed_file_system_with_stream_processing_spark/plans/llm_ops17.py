@@ -154,9 +154,21 @@ def docs_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     )
     intercept = (F.col("sy").cast("double") / _MICRO - beta * F.col("sx") / _MICRO) / n
+    # reported beta is an exact rational of the integer OLS sums,
+    # floor-divided in DECIMAL(38,0); k = exp(...) stays round()
+    # (irrational family). The full-precision double beta still feeds
+    # the intercept, matching the oracle's inline formula.
+    beta6 = (
+        F.expr(
+            "((cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+            " * 1000000) div (cast(n as decimal(38,0)) * sxx"
+            " - cast(sx as decimal(38,0)) * sx)"
+        ).cast("double")
+        / 1e6
+    )
     return s.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(beta, 6).alias("beta"),
+        beta6.alias("beta"),
         F.round(F.exp(intercept), 6).alias("k"),
     )
 
@@ -175,8 +187,9 @@ s AS (
     FROM pts
 )
 SELECT CAST(n AS BIGINT) AS n_points,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta,
+       CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS DOUBLE)
+           / 1000000.0 AS beta,
        round(exp((CAST(sy AS DOUBLE) / {_MICRO}
                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
@@ -229,8 +242,13 @@ def docs_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         F.col("total_occurrences").cast("long").alias("total_occurrences"),
         F.col("oov_occurrences").cast("long").alias("oov_occurrences"),
-        F.round(
-            F.col("oov_occurrences").cast("double") / F.col("total_occurrences"), 6
+        # exact integer floor-division rate (r7 conversion; see
+        # llm_ops21.orders_basket_size_profile)
+        (
+            F.expr("(oov_occurrences * 1000000) div total_occurrences").cast(
+                "double"
+            )
+            / 1e6
         ).alias("oov_rate"),
     )
 
@@ -286,7 +304,9 @@ def docs_term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"),
         F.col("cf").cast("long").alias("cf"),
         F.col("df").cast("long").alias("df"),
-        F.round(F.col("cf").cast("double") / F.col("df"), 6).alias("burstiness"),
+        (F.expr("(cf * 1000000) div df").cast("double") / 1e6).alias(
+            "burstiness"
+        ),
     )
     return q.orderBy(
         F.col("burstiness").desc(), F.col("cf").desc(), F.col("token").asc()
@@ -304,7 +324,7 @@ stats AS (
     FROM per_doc GROUP BY w
 )
 SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
-       round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+       CAST((cf * 1000000) // df AS DOUBLE) / 1000000.0 AS burstiness
 FROM stats WHERE df >= {_BURST_MIN_DF}
 ORDER BY burstiness DESC, cf DESC, token ASC LIMIT {_BURST_TOPK}
 """
@@ -351,11 +371,18 @@ def docs_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aspw = F.when(F.col("tw") > 0, F.col("ts").cast("double") / F.col("tw")).otherwise(
         F.lit(0.0)
     )
+    # reported ratios are exact integer floor-division quotients (r7);
+    # the flesch composite keeps the full-precision doubles (its float
+    # coefficients make it irrational-family, like sqrt/log sites)
+    awpd4 = F.expr("(tw * 10000) div n_docs").cast("double") / 1e4
+    aspw4 = F.when(
+        F.col("tw") > 0, F.expr("(ts * 10000) div tw").cast("double") / 1e4
+    ).otherwise(F.lit(0.0))
     return per.select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(awpd, 4).alias("avg_words_per_doc"),
-        F.round(aspw, 4).alias("avg_syllables_per_word"),
+        awpd4.alias("avg_words_per_doc"),
+        aspw4.alias("avg_syllables_per_word"),
         F.round(F.lit(206.835) - F.lit(1.015) * awpd - F.lit(84.6) * aspw, 4).alias(
             "flesch_proxy"
         ),
@@ -377,9 +404,9 @@ agg AS (
     FROM per GROUP BY source
 )
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-       round(CAST(tw AS DOUBLE) / n_docs, 4) AS avg_words_per_doc,
-       round(CASE WHEN tw > 0 THEN CAST(ts AS DOUBLE) / tw
-                  ELSE CAST(0.0 AS DOUBLE) END, 4) AS avg_syllables_per_word,
+       CAST((tw * 10000) // n_docs AS DOUBLE) / 10000.0 AS avg_words_per_doc,
+       CASE WHEN tw > 0 THEN CAST((ts * 10000) // tw AS DOUBLE) / 10000.0
+            ELSE CAST(0.0 AS DOUBLE) END AS avg_syllables_per_word,
        round(206.835 - 1.015 * (CAST(tw AS DOUBLE) / n_docs)
              - 84.6 * (CASE WHEN tw > 0 THEN CAST(ts AS DOUBLE) / tw
                             ELSE CAST(0.0 AS DOUBLE) END), 4) AS flesch_proxy
@@ -407,15 +434,21 @@ def docs_source_concentration_by_lang(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("c").alias("tot"),
         F.sum(F.col("i") * F.col("c")).alias("ic"),
     )
-    n = F.col("n_sources").cast("double")
-    gini = (F.lit(2.0) * F.col("ic").cast("double")) / (
-        n * F.col("tot").cast("double")
-    ) - (n + F.lit(1.0)) / n
+    # G = (2·ic − (n+1)·tot)/(n·tot): ONE exact rational, floor-divided
+    # at 6 dp in DECIMAL(38,0) (r7 conversion — headroom past BIGINT at
+    # corpus scale)
+    gini = (
+        F.expr(
+            "((2 * cast(ic as decimal(38,0)) - (n_sources + 1) * tot)"
+            " * 1000000) div (cast(n_sources as decimal(38,0)) * tot)"
+        ).cast("double")
+        / 1e6
+    )
     return agg.select(
         "lang",
         F.col("n_sources").cast("long").alias("n_sources"),
         F.col("tot").cast("long").alias("n_docs"),
-        F.round(gini, 6).alias("gini"),
+        gini.alias("gini"),
     )
 
 
@@ -434,8 +467,9 @@ agg AS (
 )
 SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
        CAST(tot AS BIGINT) AS n_docs,
-       round(2.0 * ic / (CAST(n_sources AS DOUBLE) * tot)
-             - (n_sources + 1.0) / n_sources, 6) AS gini
+       CAST(((2 * CAST(ic AS HUGEINT) - (n_sources + 1) * tot) * 1000000)
+            // (CAST(n_sources AS HUGEINT) * tot) AS DOUBLE) / 1000000.0
+           AS gini
 FROM agg
 """
 
@@ -496,8 +530,10 @@ def docs_length_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         (F.col("band") * _LBQ_BAND).cast("long").alias("chars_lo"),
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(F.col("tt").cast("double") / F.col("n_docs"), 4).alias("avg_tokens"),
-        F.round(F.col("tq").cast("double") / F.col("n_docs") / _MICRO, 6).alias(
+        (F.expr("(tt * 10000) div n_docs").cast("double") / 1e4).alias(
+            "avg_tokens"
+        ),
+        (F.expr("tq div n_docs").cast("double") / _MICRO).alias(
             "avg_quality"
         ),
     )
@@ -538,8 +574,8 @@ agg AS (
 )
 SELECT band, CAST(band * {_LBQ_BAND} AS BIGINT) AS chars_lo,
        CAST(n_docs AS BIGINT) AS n_docs,
-       round(CAST(tt AS DOUBLE) / n_docs, 4) AS avg_tokens,
-       round(CAST(tq AS DOUBLE) / n_docs / {_MICRO}, 6) AS avg_quality
+       CAST((tt * 10000) // n_docs AS DOUBLE) / 10000.0 AS avg_tokens,
+       CAST(tq // n_docs AS DOUBLE) / {_MICRO}.0 AS avg_quality
 FROM agg
 """
 
@@ -567,15 +603,26 @@ def docs_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rows.agg(
         F.count(F.lit(1)).alias("tn"), F.sum("is_train").alias("tt")
     )
-    share = F.col("n_train").cast("double") / F.col("n_docs")
-    gshare = F.col("tt").cast("double") / F.col("tn")
+    # exact integer floor-division shares; the deviation
+    # cross-multiplies in DECIMAL(38,0) so |a/b − c/d| floors the same
+    # exact rational in both engines (r7 conversion)
+    share6 = F.expr("(n_train * 1000000) div n_docs").cast("double") / 1e6
+    gshare6 = F.expr("(tt * 1000000) div tn").cast("double") / 1e6
+    dev6 = (
+        F.expr(
+            "(abs(cast(n_train as decimal(38,0)) * tn - cast(tt as"
+            " decimal(38,0)) * n_docs) * 1000000)"
+            " div (cast(n_docs as decimal(38,0)) * tn)"
+        ).cast("double")
+        / 1e6
+    )
     return per.crossJoin(broadcast(tot)).select(
         "lang",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_train").cast("long").alias("n_train"),
-        F.round(share, 6).alias("train_share"),
-        F.round(gshare, 6).alias("global_share"),
-        F.round(F.abs(share - gshare), 6).alias("abs_dev"),
+        share6.alias("train_share"),
+        gshare6.alias("global_share"),
+        dev6.alias("abs_dev"),
     )
 
 
@@ -591,10 +638,12 @@ per AS (SELECT lang, count(*) AS n_docs, sum(is_train) AS n_train
 tot AS (SELECT count(*) AS tn, sum(is_train) AS tt FROM m)
 SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_train AS BIGINT) AS n_train,
-       round(CAST(n_train AS DOUBLE) / n_docs, 6) AS train_share,
-       round(CAST(tt AS DOUBLE) / tn, 6) AS global_share,
-       round(abs(CAST(n_train AS DOUBLE) / n_docs - CAST(tt AS DOUBLE) / tn), 6)
-           AS abs_dev
+       CAST((n_train * 1000000) // n_docs AS DOUBLE) / 1000000.0
+           AS train_share,
+       CAST((tt * 1000000) // tn AS DOUBLE) / 1000000.0 AS global_share,
+       CAST((abs(CAST(n_train AS HUGEINT) * tn - CAST(tt AS HUGEINT) * n_docs)
+             * 1000000) // (CAST(n_docs AS HUGEINT) * tn) AS DOUBLE)
+           / 1000000.0 AS abs_dev
 FROM per CROSS JOIN tot
 """
 
@@ -635,11 +684,11 @@ def docs_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fold.select(
         F.col("n_clusters").cast("long").alias("n_clusters"),
-        F.round(F.col("sp").cast("double") / F.col("n_clusters") / _MICRO, 6).alias(
+        (F.expr("sp div n_clusters").cast("double") / _MICRO).alias(
             "avg_purity"
         ),
         F.col("n_pure").cast("long").alias("n_pure"),
-        F.round(F.col("n_pure").cast("double") / F.col("n_clusters"), 6).alias(
+        (F.expr("(n_pure * 1000000) div n_clusters").cast("double") / 1e6).alias(
             "share_pure"
         ),
     )
@@ -675,9 +724,10 @@ fold AS (
     FROM per
 )
 SELECT CAST(n_clusters AS BIGINT) AS n_clusters,
-       round(CAST(sp AS DOUBLE) / n_clusters / {_MICRO}, 6) AS avg_purity,
+       CAST(sp // n_clusters AS DOUBLE) / {_MICRO}.0 AS avg_purity,
        CAST(n_pure AS BIGINT) AS n_pure,
-       round(CAST(n_pure AS DOUBLE) / n_clusters, 6) AS share_pure
+       CAST((n_pure * 1000000) // n_clusters AS DOUBLE) / 1000000.0
+           AS share_pure
 FROM fold""",
         1,
     )
@@ -726,24 +776,32 @@ def docs_hapax_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qo"
         ),
     )
-    q_h = F.col("qh").cast("double") / F.col("n_hapax") / _MICRO
-    q_o = F.col("qo").cast("double") / F.col("n_other") / _MICRO
+    # exact integer floor-division means; the lift cross-multiplies in
+    # DECIMAL(38,0) (r7 conversion — see llm_ops21)
+    q_h = F.expr("qh div n_hapax").cast("double") / _MICRO
+    q_o = F.expr("qo div n_other").cast("double") / _MICRO
+    lift6 = (
+        F.expr(
+            "(cast(qh as decimal(38,0)) * n_other * 1000000)"
+            " div (cast(qo as decimal(38,0)) * n_hapax)"
+        ).cast("double")
+        / 1e6
+    )
     return agg.select(
         F.col("n_hapax").cast("long").alias("n_hapax_docs"),
         F.col("n_other").cast("long").alias("n_other_docs"),
-        F.round(F.when(F.col("n_hapax") > 0, q_h).otherwise(F.lit(0.0)), 6).alias(
+        F.when(F.col("n_hapax") > 0, q_h).otherwise(F.lit(0.0)).alias(
             "q_hapax"
         ),
-        F.round(F.when(F.col("n_other") > 0, q_o).otherwise(F.lit(0.0)), 6).alias(
+        F.when(F.col("n_other") > 0, q_o).otherwise(F.lit(0.0)).alias(
             "q_other"
         ),
-        F.round(
-            F.when(
-                (F.col("n_hapax") > 0) & (F.col("n_other") > 0) & (F.col("qo") > 0),
-                q_h / q_o,
-            ).otherwise(F.lit(-1.0)),
-            6,
-        ).alias("lift"),
+        F.when(
+            (F.col("n_hapax") > 0) & (F.col("n_other") > 0) & (F.col("qo") > 0),
+            lift6,
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("lift"),
     )
 
 
@@ -765,16 +823,16 @@ agg AS (
 )
 SELECT CAST(n_hapax AS BIGINT) AS n_hapax_docs,
        CAST(n_other AS BIGINT) AS n_other_docs,
-       round(CASE WHEN n_hapax > 0
-                  THEN CAST(qh AS DOUBLE) / n_hapax / {_MICRO}
-                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS q_hapax,
-       round(CASE WHEN n_other > 0
-                  THEN CAST(qo AS DOUBLE) / n_other / {_MICRO}
-                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS q_other,
-       round(CASE WHEN n_hapax > 0 AND n_other > 0 AND qo > 0
-                  THEN (CAST(qh AS DOUBLE) / n_hapax / {_MICRO})
-                       / (CAST(qo AS DOUBLE) / n_other / {_MICRO})
-                  ELSE CAST(-1.0 AS DOUBLE) END, 6) AS lift
+       CASE WHEN n_hapax > 0
+            THEN CAST(qh // n_hapax AS DOUBLE) / {_MICRO}.0
+            ELSE CAST(0.0 AS DOUBLE) END AS q_hapax,
+       CASE WHEN n_other > 0
+            THEN CAST(qo // n_other AS DOUBLE) / {_MICRO}.0
+            ELSE CAST(0.0 AS DOUBLE) END AS q_other,
+       CASE WHEN n_hapax > 0 AND n_other > 0 AND qo > 0
+            THEN CAST((CAST(qh AS HUGEINT) * n_other * 1000000)
+                      // (CAST(qo AS HUGEINT) * n_hapax) AS DOUBLE) / 1000000.0
+            ELSE CAST(-1.0 AS DOUBLE) END AS lift
 FROM agg
 """
 
@@ -810,7 +868,8 @@ def docs_char_bigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
     return tot.join(ent, "lang").select(
         "lang",
         F.col("n").cast("long").alias("n_bigrams"),
-        F.round(F.col("s").cast("double") / _NANO, 6).alias("entropy"),
+        # s is an integer nano sum: floor to micro exactly (r7)
+        (F.expr("s div 1000").cast("double") / 1e6).alias("entropy"),
     )
 
 
@@ -829,7 +888,7 @@ ent AS (
     FROM cnt JOIN tot USING (lang) GROUP BY cnt.lang
 )
 SELECT t.lang, CAST(t.n AS BIGINT) AS n_bigrams,
-       round(CAST(e.s AS DOUBLE) / {_NANO}, 6) AS entropy
+       CAST(e.s // 1000 AS DOUBLE) / 1000000.0 AS entropy
 FROM tot t JOIN ent e USING (lang)
 """
 
