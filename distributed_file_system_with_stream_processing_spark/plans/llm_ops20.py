@@ -419,10 +419,12 @@ def embedding_sparsity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("dim"),
         F.col("n").cast("long").alias("n_vectors"),
         F.col("n_small").cast("long").alias("n_near_zero"),
-        F.round(F.col("n_small").cast("double") / F.col("n"), 6).alias(
+        # exact integer floor-division share/mean (r7 conversion; see
+        # llm_ops21.orders_basket_size_profile)
+        (F.expr("(n_small * 1000000) div n").cast("double") / 1e6).alias(
             "near_zero_share"
         ),
-        F.round(F.col("sa").cast("double") / F.col("n") / _MICRO, 6).alias(
+        (F.expr("sa div n").cast("double") / _MICRO).alias(
             "mean_abs"
         ),
     )
@@ -439,9 +441,9 @@ SELECT CAST(d AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(CASE WHEN abs(qv) < {_SPARSE_EPS_MICRO} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_near_zero,
-       round(CAST(sum(CASE WHEN abs(qv) < {_SPARSE_EPS_MICRO} THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 6) AS near_zero_share,
-       round(CAST(sum(abs(qv)) AS DOUBLE) / count(*) / {_MICRO}, 6) AS mean_abs
+       CAST((sum(CASE WHEN abs(qv) < {_SPARSE_EPS_MICRO} THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS near_zero_share,
+       CAST(sum(abs(qv)) // count(*) AS DOUBLE) / {_MICRO}.0 AS mean_abs
 FROM ex GROUP BY d
 """
 
