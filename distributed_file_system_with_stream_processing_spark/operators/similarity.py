@@ -215,7 +215,15 @@ def _neardup_sig_np(
       is NULL, IF(NULL ≥ 0) → 0) but keeps its REAL nrm (sq_norm pads
       nothing — v against itself); a NULL vector or NULL element
       poisons everything it touches (keys 0, nrm NaN — the HOF's
-      NULL; NULL/NaN sim never passes the verify threshold).
+      NULL; NULL/NaN sim never passes the verify threshold);
+    - a NaN ELEMENT is masked the same way (keys 0, nrm NaN) — the
+      one DOCUMENTED divergence from the HOF (r8 advice): Spark
+      evaluates ``NaN >= 0D`` as true (NaN-largest) where numpy's
+      ``dots >= 0`` is False, so rather than claim bit-parity on a
+      value the two engines order differently, NaN rows are routed
+      deterministically to the key-0 bucket. Harmless to the PAIR
+      result either way: a NaN row's nrm is NaN, its cosine is NaN,
+      and a NaN similarity never passes the verify threshold.
 
     The kernel widens float32 → float64 itself (exact), replacing the
     per-element ``as_double`` transform."""
@@ -267,6 +275,9 @@ def _neardup_sig_np(
                     vm = vm.astype(np.float64, copy=False)
                     nrm = np.sqrt(_seq_dot_np(vm, vm))
                     keys = _band_keys(vm)
+                    bad = np.isnan(vm).any(axis=1)
+                    if bad.any():
+                        keys[bad] = 0  # NaN mask — see docstring
                     out_v = list(vm)  # exact float32→float64 widening
                     done = True
             except (ValueError, TypeError):
@@ -291,7 +302,9 @@ def _neardup_sig_np(
                         nrm[i] = nrms[j]
                         out_v[i] = vm[j]
                     if length == dim:
-                        keys[np.asarray(idxs)] = _band_keys(vm)
+                        kk = _band_keys(vm)
+                        kk[np.isnan(vm).any(axis=1)] = 0  # NaN mask
+                        keys[np.asarray(idxs)] = kk
             out = pd.DataFrame({"id": pdf["id"].to_numpy()})
             out["v"] = out_v
             out["nrm"] = nrm
@@ -313,7 +326,14 @@ def _pair_dot_expr(a: str, b: str, dim: int) -> str:
     pairs × 64 elements at sf1, and a numpy kernel would ship 4.9M ×
     two 64-double vectors (~5 GB) through Arrow just to multiply them.
     A single 64-term expression compiles fine — it was the 4096-term
-    signature expansion that broke Janino, not this."""
+    signature expansion that broke Janino, not this.
+
+    The expression truncates at exactly ``dim`` terms where the old
+    fold ran over max(len(a), len(b)) — observable only for a pair
+    where BOTH vectors are LONGER than dim (r8 advice). Since r8 the
+    divergence is unreachable: ``banded_neardup_pairs`` filters
+    len(v) ≠ dim rows out of the signature stream before any pair can
+    form (see the filter note there)."""
     terms = "".join(
         f" + (element_at({a}, {i}) * element_at({b}, {i}))"
         for i in range(1, dim + 1)
@@ -370,7 +390,18 @@ def banded_neardup_pairs(
     """
     n_planes = bands * rows_per_band
     mat = hyperplane_matrix(dim, n_planes)
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Rows whose vector length ≠ dim are excluded UP FRONT (r8
+    # advice): they can never form a legitimate sign-LSH match (every
+    # plane dot NULL-pads, so they'd all collide in the key-0 bucket
+    # — quadratic junk-candidate generation in a dirty corpus) and
+    # the codegen'd verify dot is only defined at exactly `dim`
+    # terms. The size() filter is a JVM predicate ahead of the Arrow
+    # stage, pushed into the scan; size(NULL) is never == dim, so
+    # NULL vectors drop here too. The oracle mirrors with
+    # len(embedding) = dim.
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.size(F.col("v")) == dim
+    )
 
     # Signature shapes tried, in order of abandonment (r7/r8 HOF
     # sweep): per-bit Column expressions embedding 64 copies of the

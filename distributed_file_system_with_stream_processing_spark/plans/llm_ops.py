@@ -700,7 +700,9 @@ def _banded_neardup_body(bucket_cap: int | None = None) -> str:
     generated only if its LOWER-id member ranks ≤ cap in the bucket's
     id order (row_number CTE, the deterministic id order both engines
     share) — per-bucket fan-out ≤ cap·|bucket|, connectivity to the
-    representatives preserved."""
+    representatives preserved. The ``len(embedding) = 64`` predicate
+    mirrors the operator's r8 size(v) = dim pre-filter (malformed
+    rows never enter the signature stream in either engine)."""
     if bucket_cap is None:
         cand = """cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -721,7 +723,8 @@ cand AS (
     WHERE a.rnk <= {bucket_cap}
 )"""
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE len(embedding) = 64),
 planes(pid, pv) AS (VALUES
 {_planes_values_sql(64, 64)}
 ),

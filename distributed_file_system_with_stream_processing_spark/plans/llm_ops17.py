@@ -155,7 +155,7 @@ def docs_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     intercept = (F.col("sy").cast("double") / _MICRO - beta * F.col("sx") / _MICRO) / n
     # reported beta is an exact rational of the integer OLS sums,
-    # floor-divided in DECIMAL(38,0); k = exp(...) stays round()
+    # truncating-divided (toward zero) in DECIMAL(38,0); k = exp(...) stays round()
     # (irrational family). The full-precision double beta still feeds
     # the intercept, matching the oracle's inline formula.
     beta6 = (
@@ -242,7 +242,7 @@ def docs_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         F.col("total_occurrences").cast("long").alias("total_occurrences"),
         F.col("oov_occurrences").cast("long").alias("oov_occurrences"),
-        # exact integer floor-division rate (r7 conversion; see
+        # exact truncating integer-division rate (r7 conversion; see
         # llm_ops21.orders_basket_size_profile)
         (
             F.expr("(oov_occurrences * 1000000) div total_occurrences").cast(
@@ -371,7 +371,7 @@ def docs_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aspw = F.when(F.col("tw") > 0, F.col("ts").cast("double") / F.col("tw")).otherwise(
         F.lit(0.0)
     )
-    # reported ratios are exact integer floor-division quotients (r7);
+    # reported ratios are exact truncating integer-division quotients (r7);
     # the flesch composite keeps the full-precision doubles (its float
     # coefficients make it irrational-family, like sqrt/log sites)
     awpd4 = F.expr("(tw * 10000) div n_docs").cast("double") / 1e4
@@ -434,7 +434,7 @@ def docs_source_concentration_by_lang(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("c").alias("tot"),
         F.sum(F.col("i") * F.col("c")).alias("ic"),
     )
-    # G = (2·ic − (n+1)·tot)/(n·tot): ONE exact rational, floor-divided
+    # G = (2·ic − (n+1)·tot)/(n·tot): ONE exact rational, truncating-divided (toward zero)
     # at 6 dp in DECIMAL(38,0) (r7 conversion — headroom past BIGINT at
     # corpus scale)
     gini = (
@@ -603,7 +603,7 @@ def docs_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rows.agg(
         F.count(F.lit(1)).alias("tn"), F.sum("is_train").alias("tt")
     )
-    # exact integer floor-division shares; the deviation
+    # exact truncating integer-division shares; the deviation
     # cross-multiplies in DECIMAL(38,0) so |a/b − c/d| floors the same
     # exact rational in both engines (r7 conversion)
     share6 = F.expr("(n_train * 1000000) div n_docs").cast("double") / 1e6
@@ -776,7 +776,7 @@ def docs_hapax_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qo"
         ),
     )
-    # exact integer floor-division means; the lift cross-multiplies in
+    # exact truncating integer-division means; the lift cross-multiplies in
     # DECIMAL(38,0) (r7 conversion — see llm_ops21)
     q_h = F.expr("qh div n_hapax").cast("double") / _MICRO
     q_o = F.expr("qo div n_other").cast("double") / _MICRO

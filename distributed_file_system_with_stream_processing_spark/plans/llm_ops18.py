@@ -84,7 +84,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
-        # exact integer floor-division mean (r7 conversion; see
+        # exact truncating integer-division mean (r7 conversion; see
         # llm_ops21.orders_basket_size_profile)
         (F.expr("(s * 100) div n").cast("double") / 1e4).alias("max_cusum"),
         F.col("sec").cast("long").alias("peak_epoch_s"),
@@ -172,7 +172,7 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "k", "ck", lt.alias("lt")
     ).groupBy("event_type", "k", "ck").agg(F.sum("lt").alias("sl"))
     # alpha = (k-1)·NANO/sl is RATIONAL (the log terms are already
-    # micro-quantized integers): exact integer floor-division at 6 dp
+    # micro-quantized integers): exact truncating integer-division at 6 dp
     alpha = F.when(
         F.col("sl") > 0,
         F.expr(f"((k - 1) * {_NANO} * 1000000) div sl").cast("double") / 1e6,
@@ -301,7 +301,7 @@ def events_wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week").cast("long").alias("week"),
         F.col("wau").cast("long").alias("wau"),
         F.col("prev_w").alias("prev_wau"),
-        # exact integer floor-division growth — div truncates toward
+        # exact truncating integer-division growth — div truncates toward
         # zero in BOTH engines for shrink weeks (tests/test_oracle_types)
         F.when(
             F.col("prev_w") > 0,
@@ -429,7 +429,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "hour",
         F.col("n").cast("long").alias("n_events"),
-        # exact integer floor-division share (r7 conversion)
+        # exact truncating integer-division share (r7 conversion)
         (F.expr("(n * 1000000) div dt").cast("double") / 1e6).alias(
             "share_of_dow"
         ),
@@ -581,7 +581,7 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(F.col("p05") / 100.0, 2).alias("p05"),
         F.round(F.col("p95") / 100.0, 2).alias("p95"),
-        # exact integer floor-division means (r7 conversion)
+        # exact truncating integer-division means (r7 conversion)
         (F.expr("(sraw * 100) div n").cast("double") / 1e4).alias(
             "raw_mean"
         ),

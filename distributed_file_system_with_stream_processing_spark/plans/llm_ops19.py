@@ -53,7 +53,7 @@ def customer_balance_band_behavior(spark: SparkSession, sf_dir: str) -> DataFram
         "band",
         F.round(F.col("band") * (_CBB_BAND_CENTS / 100.0), 2).alias("balance_lo"),
         F.col("n_customers").cast("long").alias("n_customers"),
-        # exact integer floor-division means (r7 conversion; see
+        # exact truncating integer-division means (r7 conversion; see
         # llm_ops21.orders_basket_size_profile)
         (F.expr("(t_orders * 10000) div n_customers").cast("double") / 1e4).alias(
             "avg_orders"
@@ -107,13 +107,18 @@ def lineitem_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
         cents.alias("gross_c"),
         net.alias("net_c"),
-        F.col("l_quantity"),
+        # quantity quantized at the ROW level (centi-units, the cents
+        # idiom — r8 advice): casting an aggregated double relied on
+        # Spark cast-as-long (truncate) == DuckDB CAST AS BIGINT
+        # (round half-even) agreeing, which holds only while the sum
+        # is exactly integral and < 2^53
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
     )
     agg = rows.groupBy("disc_pct").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("gross_c").alias("gross"),
         F.sum("net_c").alias("net"),
-        F.sum("l_quantity").alias("qty"),
+        F.sum("qty_c").alias("qc"),
     )
     tot = agg.agg(F.sum("gross").alias("tg"))
     return agg.crossJoin(broadcast(tot)).select(
@@ -121,8 +126,8 @@ def lineitem_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("gross") / 100.0, 2).alias("gross_revenue"),
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
-        # qty is an integral-valued double sum; the cast is exact
-        (F.expr("(cast(qty as long) * 10000) div n_lines").cast("double") / 1e4)
+        # mean of row-level centi-quantities: (Σqc·100) div n at 4 dp
+        (F.expr("(qc * 100) div n_lines").cast("double") / 1e4)
         .alias("avg_qty"),
         (F.expr("(gross * 1000000) div tg").cast("double") / 1e6).alias(
             "gross_share"
@@ -136,18 +141,18 @@ WITH rows_ AS (
            CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
            CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
                AS net_c,
-           l_quantity
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
     FROM lineitem
 ),
 agg AS (
     SELECT disc_pct, count(*) AS n_lines, sum(gross_c) AS gross,
-           sum(net_c) AS net, sum(l_quantity) AS qty
+           sum(net_c) AS net, sum(qty_c) AS qc
     FROM rows_ GROUP BY disc_pct
 )
 SELECT disc_pct, CAST(n_lines AS BIGINT) AS n_lines,
        round(gross / 100.0, 2) AS gross_revenue,
        round(net / 100.0, 2) AS net_revenue,
-       CAST((CAST(qty AS BIGINT) * 10000) // n_lines AS DOUBLE) / 10000.0
+       CAST((qc * 100) // n_lines AS DOUBLE) / 10000.0
            AS avg_qty,
        CAST((gross * 1000000) // (SELECT sum(gross) FROM agg) AS DOUBLE)
            / 1000000.0 AS gross_share
@@ -244,7 +249,7 @@ def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_name").alias("nation"),
         cust.alias("n_customers"),
         supp.alias("n_suppliers"),
-        # exact integer floor-division ratio (r7 conversion)
+        # exact truncating integer-division ratio (r7 conversion)
         F.when(
             supp > 0,
             F.expr(
@@ -450,7 +455,7 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("segment").agg(
         F.max("n").cast("long").alias("n_gaps"),
-        # exact integer floor-division mean (r7 conversion)
+        # exact truncating integer-division mean (r7 conversion)
         (F.expr("(sum(gap) * 10000) div max(n)").cast("double") / 1e4).alias(
             "mean_days"
         ),
@@ -510,7 +515,7 @@ def lineitem_returned_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("tot") / 100.0, 2).alias("revenue"),
         F.round(F.col("ret") / 100.0, 2).alias("returned_revenue"),
-        # exact integer floor-division share (r7 conversion)
+        # exact truncating integer-division share (r7 conversion)
         (F.expr("(ret * 1000000) div tot").cast("double") / 1e6).alias(
             "returned_share"
         ),

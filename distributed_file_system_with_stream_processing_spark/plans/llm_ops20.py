@@ -419,7 +419,7 @@ def embedding_sparsity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("dim"),
         F.col("n").cast("long").alias("n_vectors"),
         F.col("n_small").cast("long").alias("n_near_zero"),
-        # exact integer floor-division share/mean (r7 conversion; see
+        # exact truncating integer-division share/mean (r7 conversion; see
         # llm_ops21.orders_basket_size_profile)
         (F.expr("(n_small * 1000000) div n").cast("double") / 1e6).alias(
             "near_zero_share"

@@ -31,8 +31,10 @@ def orders_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the left join. One l_orderkey rollup + a co-keyed join + a
     ≤|sizes| fold.
 
-    Exactness (r7 conversion): share and mean value are integer
-    FLOOR-division quotients ((n·10⁶) div t, tc div n — exact BIGINT
+    Exactness (r7 conversion): share and mean value are exact
+    TRUNCATING integer-division quotients — Spark ``div`` ≡ DuckDB
+    ``//``, both truncate TOWARD ZERO (not floor: they differ from a
+    flooring engine at (-7, 2)) — ((n·10⁶) div t, tc div n — exact BIGINT
     arithmetic; tc is cents so tc div n is mean cents), never rounded
     double quotients: Spark's BigDecimal HALF_UP and DuckDB's double
     round diverge on exact .xxxx5 quotients, integer division cannot
@@ -102,7 +104,7 @@ def nation_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("tc")
     )
     yr = F.sum("tc").over(Window.partitionBy("year"))
-    # share is an exact integer floor-division quotient (see the
+    # share is an exact truncating integer-division quotient (see the
     # basket-profile docstring); revenue cents/100.0 at 2 dp is exact
     # already (the true value HAS 2 decimals) and stays a round()
     return cell.withColumn("yt", yr).select(
@@ -142,7 +144,7 @@ def events_hour_type_value_interaction(spark: SparkSession, sf_dir: str) -> Data
     whether value seasonality is real or just volume seasonality.
     Integer-cents sums; the type mean rides a broadcast.
 
-    Exactness: means are FLOOR-division integers at 4 dp
+    Exactness: means are TRUNCATING integer-division integers at 4 dp
     ((s·100) div n — exact BIGINT arithmetic; s is cents, so
     s·100/n = dollars·10⁴), never a rounded double quotient: Spark's
     BigDecimal HALF_UP and DuckDB's double round diverge on exact
@@ -278,7 +280,7 @@ def lineitem_tax_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
         F.round(F.col("tax") / 100.0, 2).alias("tax_take"),
-        # exact integer floor-division quotient (see basket profile)
+        # exact truncating integer-division quotient (see basket profile)
         (F.expr("(tax * 1000000) div net").cast("double") / 1e6).alias(
             "effective_rate"
         ),
@@ -314,7 +316,7 @@ def part_name_token_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + token rollup; the global mean rides a 1-row value.
 
     Exactness (r7 conversion): mean and premium are integer
-    floor-division quotients at 4 dp ((s·100) div n over cents =
+    truncating integer-division quotients at 4 dp ((s·100) div n over cents =
     dollars·10⁴), so both engines round the same exact rational (see
     the basket-profile docstring)."""
     p = load_table(spark, sf_dir, "part")
@@ -392,7 +394,7 @@ def docs_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "split",
         F.col("n_docs").cast("long").alias("n_docs"),
-        # exact integer floor-division mean (see basket profile)
+        # exact truncating integer-division mean (see basket profile)
         (F.expr("sq div n_docs").cast("double") / _MICRO).alias(
             "mean_quality"
         ),
@@ -443,7 +445,7 @@ def docs_dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean length, and the duplicated/unique length ratio — short-dup
     bias means boilerplate fragments dominate the dup mass (dedup
     saves less than the doc count suggests). Integer sums; means and
-    the ratio are exact integer floor-division quotients (the ratio
+    the ratio are exact truncating integer-division quotients (the ratio
     cross-multiplies in DECIMAL(38,0)/HUGEINT so both engines divide
     the same exact integers — see the basket-profile docstring);
     sentinel -1 when either side is empty."""

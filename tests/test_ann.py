@@ -779,14 +779,45 @@ def test_neardup_sig_kernel_edge_rows(spark):
             (2, [1.0, None, 1.0, 1.0]),
             (3, [3.0, 4.0]),          # wrong length: nrm = 5.0
             (4, [1.0, 1.0, 1.0, 1.0]),
+            (5, [float("nan"), 1.0, 1.0, 1.0]),  # NaN mask (r8 advice)
         ],
         "id long, v array<double>",
     )
     out = {r["id"]: r for r in S._neardup_sig_np(df, mat, 2, 2, dim).collect()}
-    for vid in (1, 2, 3):
+    for vid in (1, 2, 3, 5):
         assert out[vid]["_k0"] == 0 and out[vid]["_k1"] == 0, vid
     assert out[1]["nrm"] is None or math.isnan(out[1]["nrm"])
     assert out[2]["nrm"] is None or math.isnan(out[2]["nrm"])
     assert out[3]["nrm"] == 5.0
     assert out[4]["nrm"] == 2.0
     assert out[4]["_k0"] >= 0  # real keys computed for the good row
+    # NaN element: keys masked to 0 (numpy NaN>=0 is False where Spark
+    # orders NaN largest — divergence documented, so pin OUR contract),
+    # nrm NaN (NULL after Arrow) → can never pass a cosine verify
+    assert out[5]["nrm"] is None or math.isnan(out[5]["nrm"])
+
+
+def test_banded_neardup_drops_malformed_rows(spark):
+    """r8: len(v) != dim rows are filtered BEFORE the signature stage
+    (JVM predicate) — they must neither pair with each other via the
+    key-0 bucket nor crash the kernel; NULL vectors drop too."""
+    from distributed_file_system_with_stream_processing_spark.operators import similarity as S
+
+    dim = 4
+    good = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (1, good),
+        (2, list(good)),              # exact dup of 1 — must pair
+        (3, good + [5.0]),            # oversize — dropped
+        (4, good + [6.0]),            # oversize — dropped (no 3-4 pair)
+        (5, good[:2]),                # short — dropped
+        (6, None),                    # NULL vector — dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.banded_neardup_pairs(
+            emb, threshold=0.99, bands=2, rows_per_band=2, dim=dim
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -59,5 +59,8 @@ def test_integral_div_matches_duckdb(spark, duck):
     for (s, n), d in got.items():
         want = duck.execute("select ? // ?", [s, n]).fetchone()[0]
         assert d == want, (s, n, d, want)
-        # and both equal C-style truncation
-        assert d == int(s / n) if abs(s) < 2**52 else True
+        # and both equal C-style truncation — only checkable while
+        # s/n is exactly representable; the near-overflow magnitudes
+        # above are cross-engine-checked but skip this reference
+        if abs(s) < 2**52:
+            assert d == int(s / n)
