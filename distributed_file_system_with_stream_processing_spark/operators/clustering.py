@@ -215,6 +215,7 @@ def semdedup_kmeans(
     iters: int = 2,
     threshold: float = 0.35,
     dim: int = 64,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """The FULL SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embeddings, then compare pairs only WITHIN a
@@ -242,7 +243,11 @@ def semdedup_kmeans(
     same association).
     """
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    cents = kmeans_fit(emb, id_col, vec_col, k, iters, dim)
+    if cents is None:
+        # callers that run more than once per session pass pre-trained
+        # centroids (plans/_backbones.kmeans_centroids) — same Lloyd
+        # pipeline, trained once per (session, sf_dir, params)
+        cents = kmeans_fit(emb, id_col, vec_col, k, iters, dim)
     assigned = _spread(e).selectExpr(
         "id", "v", f"CAST({_argmin_expr('v', cents)} AS BIGINT) AS cluster"
     ).withColumn("nrm", F.sqrt(V.sq_norm(F.col("v"))))
@@ -340,6 +345,7 @@ def ivf_trained_ann(
     query_ids_below: int = 10,
     k: int = 5,
     dim: int = 64,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN via IVF with TRAINED (k-means) cells — the production IVF
     shape, upgrading ``similarity.ivf_ann``'s seeded cells.
@@ -354,9 +360,12 @@ def ivf_trained_ann(
     """
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     base = e.filter(F.col("id") >= query_ids_below)
-    cents = kmeans_fit(
-        base, id_col="id", vec_col="v", k=n_cells, iters=iters, dim=dim
-    )
+    if cents is None:
+        # see semdedup_kmeans: pre-trained centroids come from the
+        # session backbone cache when a caller re-runs per session
+        cents = kmeans_fit(
+            base, id_col="id", vec_col="v", k=n_cells, iters=iters, dim=dim
+        )
     base_cells = _spread(base).selectExpr(
         "id AS neighbor_id", "v AS bv", f"{_argmin_expr('v', cents)} AS cell"
     )

@@ -55,6 +55,7 @@ def clear() -> None:
         except Exception:  # context already stopped — nothing to free
             pass
     _CACHE.clear()
+    _MODELS.clear()
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +107,132 @@ def substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring_pairs",
         lambda: dedup_exact_substring(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained k-means model backbones (r8 verdict #2): through r7 eight
+# queries re-ran Lloyd training inline on every invocation —
+# semantic_dedup_kmeans, semdedup_cell_stats, embedding_knn_graph,
+# embedding_hubness, ann_ivf_trained, ivf_cell_balance,
+# ann_recall_audit, ann_probe_recall_curve — and training dominated
+# the expensive bench tail (2.0–6.4 s each at sf0.1, ~6 of the 10
+# costliest entries). Training is DETERMINISTIC (lowest-id seeds,
+# exact integer component sums, driver-side division — the unrolled
+# CTE the oracles replicate), so memoizing the centroid literals per
+# (session, sf_dir, params) changes no output bit. Centroids are
+# metadata (k·dim plain floats), cached as Python lists; the derived
+# corpus-scale TABLES (the semdedup verdict table, the kNN edge list,
+# the IVF top-k) persist through _cached like the dedup backbones.
+
+_MODELS: dict[tuple[str, str, str], object] = {}
+
+
+def _model(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    if key not in _MODELS:
+        _MODELS[key] = build()
+    return _MODELS[key]
+
+
+def embeddings_n(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count (sizes the dynamic ⌈√n⌉ cell count) — one
+    metadata count() job per (session, sf_dir)."""
+    return _model(
+        spark, sf_dir, "emb_n",
+        lambda: load_table(spark, sf_dir, "embeddings").count(),
+    )
+
+
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int,
+    iters: int,
+    dim: int = 64,
+    min_id: int | None = None,
+) -> list[list[float]]:
+    """Lloyd centroids trained ONCE per (session, sf_dir, k, iters,
+    dim, min_id). ``min_id`` replicates the IVF queries' base-only
+    training (id ≥ query_ids_below); None trains on the full table
+    exactly like the inline ``kmeans_fit(emb, ...)`` call it
+    replaces — the builder mirrors each call-site's frame shape so
+    the trained literals are bit-identical to the pre-r8 inline run."""
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+
+    def build() -> list[list[float]]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        if min_id is None:
+            return C.kmeans_fit(emb, k=k, iters=iters, dim=dim)
+        e = emb.select(
+            F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+        ).filter(F.col("id") >= min_id)
+        return C.kmeans_fit(e, id_col="id", vec_col="v", k=k, iters=iters, dim=dim)
+
+    return _model(spark, sf_dir, f"kmeans:{k}:{iters}:{dim}:{min_id}", build)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ``ann_ivf_trained`` result (n_cells=16, iters=2,
+    probe 3, top-5 over base id≥10) — persisted once per session;
+    ``ann_recall_audit`` grades this exact table, so both queries now
+    read one materialization."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
+        _DIM,
+        _KM_ITERS,
+    )
+
+    def build() -> DataFrame:
+        return C.ivf_trained_ann(
+            load_table(spark, sf_dir, "embeddings"),
+            n_cells=16,
+            iters=_KM_ITERS,
+            probe_cells=3,
+            query_ids_below=10,
+            k=5,
+            dim=_DIM,
+            cents=kmeans_centroids(
+                spark, sf_dir, k=16, iters=_KM_ITERS, dim=_DIM, min_id=10
+            ),
+        )
+
+    return _cached(spark, sf_dir, "ivf_topk", build)
+
+
+def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ``semantic_dedup_kmeans`` verdict table
+    (vec_id, cluster, keep) at the default parameterization —
+    persisted once per session; ``semdedup_cell_stats`` rolls this
+    exact table up."""
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops3 import (
+        _SD_ITERS,
+        _SD_K,
+        _SD_THRESHOLD,
+    )
+
+    def build() -> DataFrame:
+        return C.semdedup_kmeans(
+            load_table(spark, sf_dir, "embeddings"),
+            k=_SD_K,
+            iters=_SD_ITERS,
+            threshold=_SD_THRESHOLD,
+            dim=64,
+            cents=kmeans_centroids(spark, sf_dir, k=_SD_K, iters=_SD_ITERS),
+        )
+
+    return _cached(spark, sf_dir, "semdedup_verdicts", build)
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ``embedding_knn_graph`` edge list (within-cell
+    cosine top-k over ⌈√n⌉ trained cells) — persisted once per
+    session; ``embedding_hubness`` reads the same edges."""
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops7 as L7
+
+    return _cached(spark, sf_dir, "knn_graph", lambda: L7._knn_graph_plan(spark, sf_dir))
 
 
 def exact_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -526,18 +526,15 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-3 cell join and exact cosine re-rank, so the driver hash
     covers training, cell assignment, probing, and ranking end to
     end. Recall@5 vs the exact baseline stays pinned in
-    tests/test_ann.py."""
-    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    tests/test_ann.py.
 
-    return C.ivf_trained_ann(
-        load_table(spark, sf_dir, "embeddings"),
-        n_cells=16,
-        iters=_KM_ITERS,
-        probe_cells=3,
-        query_ids_below=10,
-        k=5,
-        dim=_DIM,
-    )
+    r8: the top-k table is a session-persisted backbone
+    (plans/_backbones.ivf_topk — centroids train once per (session,
+    sf_dir) and ``ann_recall_audit`` grades the same
+    materialization)."""
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
+    return B.ivf_topk(spark, sf_dir)
 
 
 def _ivf_trained_oracle_sql() -> str:

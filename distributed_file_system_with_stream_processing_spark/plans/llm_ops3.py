@@ -46,16 +46,15 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle chains the unrolled-Lloyd CTE (bit-stable, shared with
     embedding_kmeans_assign) into the within-cell pair join, so this
     is a full value-hash row despite the iterative training step.
-    """
-    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
 
-    return C.semdedup_kmeans(
-        load_table(spark, sf_dir, "embeddings"),
-        k=_SD_K,
-        iters=_SD_ITERS,
-        threshold=_SD_THRESHOLD,
-        dim=64,
-    )
+    r8: the verdict table is a session-persisted backbone
+    (plans/_backbones.semdedup_verdicts — Lloyd trains once per
+    (session, sf_dir); ``semdedup_cell_stats`` rolls up the same
+    materialization instead of retraining).
+    """
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
+    return B.semdedup_verdicts(spark, sf_dir)
 
 
 def _semdedup_kmeans_sql() -> str:

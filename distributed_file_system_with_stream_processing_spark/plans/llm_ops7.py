@@ -719,20 +719,34 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the self-join fan-out is bounded; at real scale the operator
     takes cells as an explicit corpus-sized parameter (SemDeDup's 50k
     cells on LAION keep cells O(1)-sized, making pair work linear).
-    """
+
+    r8: the edge list is a session-persisted backbone
+    (plans/_backbones.knn_graph — centroids train once per (session,
+    sf_dir), ``embedding_hubness`` reads the same materialized edges;
+    the _backbones.py stance applied to the Lloyd trainer)."""
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
+    return B.knn_graph(spark, sf_dir)
+
+
+def _knn_graph_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-persisted kNN-graph plan — built by the backbone cache;
+    identical operators/parameters to the pre-r8 inline derivation
+    (kmeans_centroids memoizes the same kmeans_fit call)."""
     from distributed_file_system_with_stream_processing_spark.functions import (
         vector as V,
     )
     from distributed_file_system_with_stream_processing_spark.operators import (
         clustering as C,
     )
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
         _KM_ITERS,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = _knn_cells(emb.count())
-    cents = C.kmeans_fit(emb, k=cells, iters=_KM_ITERS)
+    cells = _knn_cells(B.embeddings_n(spark, sf_dir))
+    cents = B.kmeans_centroids(spark, sf_dir, k=cells, iters=_KM_ITERS)
     assigned = C.ivf_index_prepare(emb, cents)
     a = assigned.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"

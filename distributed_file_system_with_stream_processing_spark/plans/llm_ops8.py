@@ -1244,26 +1244,20 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrievals, the comparison is metadata-scale.
     """
     from distributed_file_system_with_stream_processing_spark.operators import (
-        clustering as C,
         similarity as S,
     )
-    from distributed_file_system_with_stream_processing_spark.plans.llm_ops2 import (
-        _KM_ITERS,
-    )
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, query_ids_below=10, k=_ARA_K).select(
         "query_id", "neighbor_id"
     )
-    ivf = C.ivf_trained_ann(
-        emb,
-        n_cells=16,
-        iters=_KM_ITERS,
-        probe_cells=3,
-        query_ids_below=10,
-        k=_ARA_K,
-        dim=64,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # r8: grade the SAME persisted table ann_ivf_trained returns
+    # (identical parameterization — n_cells=16, probe 3, k=_ARA_K=5);
+    # through r7 this retrained the cells inline per run
+    ivf = B.ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
     return (
         exact.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

@@ -583,10 +583,16 @@ def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from distributed_file_system_with_stream_processing_spark.functions import vector as V
 
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v"))
     base = e.filter(F.col("id") >= 10)
-    cents = C.kmeans_fit(base, id_col="id", vec_col="v", k=_PRC_CELLS, iters=_KM_ITERS)
+    # r8: the shared session-trained IVF centroids (same k/iters/base
+    # as ann_ivf_trained) — Lloyd no longer retrains per run
+    cents = B.kmeans_centroids(
+        spark, sf_dir, k=_PRC_CELLS, iters=_KM_ITERS, min_id=10
+    )
     base_cells = spread(base).selectExpr(
         "id AS neighbor_id", f"{C._argmin_expr('v', cents)} AS cell"
     )
@@ -721,10 +727,16 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KM_ITERS,
     )
 
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v"))
     base = e.filter(F.col("id") >= 10)
-    cents = C.kmeans_fit(base, id_col="id", vec_col="v", k=_ICB_CELLS, iters=_KM_ITERS)
+    # r8: the shared session-trained IVF centroids (see
+    # ann_probe_recall_curve) — same k/iters/base as ann_ivf_trained
+    cents = B.kmeans_centroids(
+        spark, sf_dir, k=_ICB_CELLS, iters=_KM_ITERS, min_id=10
+    )
     cells = spread(base).selectExpr(f"{C._argmin_expr('v', cents)} AS cell")
     agg = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(Window.partitionBy())
