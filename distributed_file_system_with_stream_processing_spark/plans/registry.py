@@ -36,6 +36,7 @@ from distributed_file_system_with_stream_processing_spark.plans import (
     llm_ops19,
     llm_ops20,
     llm_ops21,
+    llm_ops22,
     rainstorm_queries,
 )
 
@@ -68,6 +69,7 @@ _MODULES = (
     llm_ops19,
     llm_ops20,
     llm_ops21,
+    llm_ops22,
 )
 
 QUERIES: dict[str, QueryFn] = {}
