@@ -190,6 +190,7 @@ SELECT CAST(n AS BIGINT) AS n_points,
        CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
             // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS DOUBLE)
            / 1000000.0 AS beta,
+       -- ok-round: irrational (exp/ln family, no grid boundary)
        round(exp((CAST(sy AS DOUBLE) / {_MICRO}
                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
@@ -243,7 +244,9 @@ def docs_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_occurrences").cast("long").alias("total_occurrences"),
         F.col("oov_occurrences").cast("long").alias("oov_occurrences"),
         # exact truncating integer-division rate (r7 conversion; see
-        # llm_ops21.orders_basket_size_profile)
+        # llm_ops21.orders_basket_size_profile — r8 fixed the ORACLE,
+        # which had kept round(): masked at test SFs only because the
+        # synthetic oov count is 0 there)
         (
             F.expr("(oov_occurrences * 1000000) div total_occurrences").cast(
                 "double"
@@ -267,8 +270,8 @@ SELECT CAST(cutoff AS BIGINT) AS cutoff,
        CAST(sum(cf) AS BIGINT) AS total_occurrences,
        CAST(sum(CASE WHEN rank > cutoff THEN cf ELSE 0 END) AS BIGINT)
            AS oov_occurrences,
-       round(CAST(sum(CASE WHEN rank > cutoff THEN cf ELSE 0 END) AS DOUBLE)
-             / sum(cf), 6) AS oov_rate
+       CAST((sum(CASE WHEN rank > cutoff THEN cf ELSE 0 END) * 1000000)
+            // sum(cf) AS DOUBLE) / 1000000.0 AS oov_rate
 FROM rk CROSS JOIN cuts
 GROUP BY cutoff
 """
@@ -407,6 +410,7 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST((tw * 10000) // n_docs AS DOUBLE) / 10000.0 AS avg_words_per_doc,
        CASE WHEN tw > 0 THEN CAST((ts * 10000) // tw AS DOUBLE) / 10000.0
             ELSE CAST(0.0 AS DOUBLE) END AS avg_syllables_per_word,
+       -- ok-round: irrational (float-coefficient flesch composite)
        round(206.835 - 1.015 * (CAST(tw AS DOUBLE) / n_docs)
              - 84.6 * (CASE WHEN tw > 0 THEN CAST(ts AS DOUBLE) / tw
                             ELSE CAST(0.0 AS DOUBLE) END), 4) AS flesch_proxy
@@ -543,6 +547,8 @@ _QUALITY_MU_CTE = rf"""
 q AS (
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_tok,
+           -- the llm_ops text_quality_score twin, identical fold —
+           -- ok-round: float-coefficient quality composite
            CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
                 CAST(0.25 AS DOUBLE) + CAST(0.002 AS DOUBLE) * len(ws)
                 + CAST(1.2 AS DOUBLE) *
@@ -673,7 +679,10 @@ def docs_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per_cs.groupBy("cluster_id").agg(
         F.sum("cnt").alias("sz"), F.max("cnt").alias("max_cnt")
     )
-    purity_mu = F.round(F.col("max_cnt") * _MICRO / F.col("sz")).cast("long")
+    # r8 conversion: the per-cluster purity quantization is itself a
+    # rational quotient — truncating integer division, not a rounded
+    # double (round(m·10⁶/sz) has a real .5 boundary when sz | 2m·10⁶)
+    purity_mu = F.expr(f"(max_cnt * {_MICRO}) div sz")
     fold = per.select(
         purity_mu.alias("p_mu"),
         (F.col("max_cnt") == F.col("sz")).cast("long").alias("pure"),
@@ -719,7 +728,7 @@ per AS (
 ),
 fold AS (
     SELECT count(*) AS n_clusters,
-           sum(CAST(round(max_cnt * {_MICRO} / sz) AS BIGINT)) AS sp,
+           sum((max_cnt * {_MICRO}) // sz) AS sp,
            sum(CASE WHEN max_cnt = sz THEN 1 ELSE 0 END) AS n_pure
     FROM per
 )
@@ -883,6 +892,7 @@ cnt AS (SELECT lang, bg, count(*) AS c FROM bg GROUP BY lang, bg),
 tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang),
 ent AS (
     SELECT cnt.lang,
+           -- ok-round: irrational (p·ln p entropy term)
            sum(CAST(round(-(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n))
                           * {_NANO}) AS BIGINT)) AS s
     FROM cnt JOIN tot USING (lang) GROUP BY cnt.lang
@@ -938,13 +948,16 @@ def docs_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = bits.groupBy("bit").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("set_").alias("n_set")
     )
-    share = F.col("n_set").cast("double") / F.col("n_docs")
+    # r8 conversion: share is an exact truncating integer-division
+    # quotient, and with share on the 1e-6 grid the skew is exact
+    # integer |share_mu − 500000| — no round() anywhere
+    share_mu = F.expr("(n_set * 1000000) div n_docs")
     return agg.select(
         F.col("bit").cast("long").alias("bit"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_set").cast("long").alias("n_set"),
-        F.round(share, 6).alias("share_set"),
-        F.round(F.abs(share - F.lit(0.5)), 6).alias("skew"),
+        (share_mu.cast("double") / 1e6).alias("share_set"),
+        (F.abs(share_mu - F.lit(500000)).cast("double") / 1e6).alias("skew"),
     )
 
 
@@ -967,8 +980,10 @@ def _simhash_bit_balance_oracle() -> str:
 SELECT CAST(bit AS BIGINT) AS bit,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(set_) AS BIGINT) AS n_set,
-       round(CAST(sum(set_) AS DOUBLE) / count(*), 6) AS share_set,
-       round(abs(CAST(sum(set_) AS DOUBLE) / count(*) - 0.5), 6) AS skew
+       CAST((sum(set_) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+           AS share_set,
+       CAST(abs((sum(set_) * 1000000) // count(*) - 500000) AS DOUBLE)
+           / 1000000.0 AS skew
 FROM bits GROUP BY bit
 """
     )

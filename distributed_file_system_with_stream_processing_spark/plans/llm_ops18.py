@@ -165,6 +165,7 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("c").alias("ck")
     )
     terms = topk.filter(F.col("rk") < F.col("k")).join(broadcast(xk), "event_type")
+    # ok-round: irrational (ln) quantization
     lt = F.round(
         F.log(F.col("c").cast("double") / F.col("ck")) * _NANO
     ).cast("long")
@@ -180,6 +181,7 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         "event_type",
         F.col("k").cast("long").alias("k_used"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("ck") / 100.0, 2).alias("x_k"),
         alpha.alias("hill_alpha"),
     )
@@ -205,6 +207,7 @@ topk AS (
 xk AS (SELECT event_type, c AS ck, k FROM topk WHERE rk = k),
 agg AS (
     SELECT t.event_type, x.k, x.ck,
+           -- ok-round: irrational (ln) quantization
            sum(CAST(round(ln(CAST(t.c AS DOUBLE) / x.ck) * {_NANO}) AS BIGINT))
                AS sl
     FROM topk t JOIN xk x USING (event_type)
@@ -212,6 +215,7 @@ agg AS (
     GROUP BY t.event_type, x.k, x.ck
 )
 SELECT event_type, CAST(k AS BIGINT) AS k_used,
+       -- ok-round: exact cents grid (2 dp)
        round(ck / 100.0, 2) AS x_k,
        CASE WHEN sl > 0
             THEN CAST(((k - 1) * {_NANO} * 1000000) // sl AS DOUBLE) / 1000000.0
@@ -251,6 +255,7 @@ def events_user_type_entropy_hist(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
             "bucket",
+            # ok-round: on-grid bin-edge constant product
             F.round(F.col("bucket") * (_UTE_BIN_NANO / _NANO), 2).alias("entropy_lo"),
             F.col("n_users").cast("long").alias("n_users"),
         )
@@ -265,11 +270,13 @@ WITH ut AS (
 tot AS (SELECT user_id, sum(c) AS n FROM ut GROUP BY user_id),
 ent AS (
     SELECT ut.user_id,
+           -- ok-round: irrational (p*ln p entropy term)
            sum(CAST(round(-(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n))
                           * {_NANO}) AS BIGINT)) AS e_nano
     FROM ut JOIN tot USING (user_id) GROUP BY ut.user_id
 )
 SELECT CAST(e_nano // {_UTE_BIN_NANO} AS BIGINT) AS bucket,
+       -- ok-round: on-grid bin-edge constant product
        round(CAST(e_nano // {_UTE_BIN_NANO} AS DOUBLE) * {_UTE_BIN_NANO / _NANO}, 2)
            AS entropy_lo,
        CAST(count(*) AS BIGINT) AS n_users
@@ -366,14 +373,18 @@ def events_type_user_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cs").alias("n_events"),
         F.sum(term).alias("lorenz"),
     )
-    gini = 1.0 - F.col("lorenz").cast("double") / (
-        F.col("n_users").cast("double") * F.col("n_events").cast("double")
+    # r8 conversion: gini = (U·E − lorenz)/(U·E) is an exact rational
+    # of integers — truncating integer-division at 6 dp in
+    # DECIMAL(38,0) (headroom: U·E·10⁶ ≤ 1e27 at any realistic scale)
+    gini_mu = F.expr(
+        "((cast(n_users as decimal(38,0)) * n_events - lorenz) * 1000000)"
+        " div (cast(n_users as decimal(38,0)) * n_events)"
     )
     return tot.select(
         "event_type",
         F.col("n_users").cast("long").alias("n_users"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(gini, 6).alias("gini_binned"),
+        (gini_mu.cast("double") / 1e6).alias("gini_binned"),
     )
 
 
@@ -399,8 +410,8 @@ tot AS (
 )
 SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
        CAST(n_events AS BIGINT) AS n_events,
-       round(1.0 - CAST(lorenz AS DOUBLE)
-             / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE)), 6)
+       CAST(((CAST(n_users AS HUGEINT) * n_events - lorenz) * 1000000)
+            // (CAST(n_users AS HUGEINT) * n_events) AS DOUBLE) / 1000000.0
            AS gini_binned
 FROM tot
 """
@@ -579,7 +590,9 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(pcts.select("event_type", "p05", "p95"), "event_type").select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("p05") / 100.0, 2).alias("p05"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("p95") / 100.0, 2).alias("p95"),
         # exact truncating integer-division means (r7 conversion)
         (F.expr("(sraw * 100) div n").cast("double") / 1e4).alias(
@@ -609,7 +622,9 @@ agg AS (
     GROUP BY b.event_type
 )
 SELECT a.event_type, CAST(a.n AS BIGINT) AS n_events,
+       -- ok-round: exact cents grid (2 dp)
        round(p.p05 / 100.0, 2) AS p05,
+       -- ok-round: exact cents grid (2 dp)
        round(p.p95 / 100.0, 2) AS p95,
        CAST((a.sraw * 100) // a.n AS DOUBLE) / 10000.0 AS raw_mean,
        CAST((a.swin * 100) // a.n AS DOUBLE) / 10000.0 AS winsorized_mean
@@ -978,6 +993,7 @@ pooled AS (
 ),
 pts AS (
     SELECT o,
+           -- ok-round: irrational (ln) quantization
            CAST(round(ln(CAST(act AS DOUBLE) / base) * {_MICRO}) AS BIGINT) AS ly
     FROM pooled WHERE act > 0
 ),
@@ -997,6 +1013,7 @@ fit AS (
 )
 SELECT CAST(np AS BIGINT) AS n_offsets,
        round(coalesce(slope, 0.0), 6) AS decay_slope,
+       -- ok-round: irrational (ln(2)/slope)
        round(CASE WHEN slope IS NOT NULL AND slope < 0
                   THEN -ln(2.0) / slope ELSE CAST(-1.0 AS DOUBLE) END, 4)
            AS half_life_weeks

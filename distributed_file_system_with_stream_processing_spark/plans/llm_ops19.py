@@ -51,6 +51,7 @@ def customer_balance_band_behavior(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return agg.select(
         "band",
+        # ok-round: on-grid bin-edge constant product
         F.round(F.col("band") * (_CBB_BAND_CENTS / 100.0), 2).alias("balance_lo"),
         F.col("n_customers").cast("long").alias("n_customers"),
         # exact truncating integer-division means (r7 conversion; see
@@ -124,7 +125,9 @@ def lineitem_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.crossJoin(broadcast(tot)).select(
         "disc_pct",
         F.col("n_lines").cast("long").alias("n_lines"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("gross") / 100.0, 2).alias("gross_revenue"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
         # mean of row-level centi-quantities: (Σqc·100) div n at 4 dp
         (F.expr("(qc * 100) div n_lines").cast("double") / 1e4)
@@ -150,7 +153,9 @@ agg AS (
     FROM rows_ GROUP BY disc_pct
 )
 SELECT disc_pct, CAST(n_lines AS BIGINT) AS n_lines,
+       -- ok-round: exact cents grid (2 dp)
        round(gross / 100.0, 2) AS gross_revenue,
+       -- ok-round: exact cents grid (2 dp)
        round(net / 100.0, 2) AS net_revenue,
        CAST((qc * 100) // n_lines AS DOUBLE) / 10000.0
            AS avg_qty,
@@ -192,10 +197,12 @@ def part_price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "band",
+        # ok-round: on-grid bin-edge constant product
         F.round(F.col("band") * (_PPB_BAND_CENTS / 100.0), 2).alias("price_lo"),
         F.col("n_parts").cast("long").alias("n_parts"),
         F.col("n_unsold").cast("long").alias("n_unsold"),
         F.col("t_lines").cast("long").alias("n_lines"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("t_net") / 100.0, 2).alias("net_revenue"),
     )
 
@@ -218,6 +225,7 @@ SELECT band,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(count(*) FILTER (WHERE n_lines IS NULL) AS BIGINT) AS n_unsold,
        CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lines,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(net_c) / 100.0, 2) AS net_revenue
 FROM j GROUP BY band
 """
@@ -317,6 +325,7 @@ def supplier_revenue_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stats.filter((F.col("k") >= _SRC_MIN_MONTHS) & (F.col("sx") > 0)).select(
         F.col("l_suppkey").alias("suppkey"),
         F.col("k").cast("long").alias("n_months"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("sx") / 100.0, 2).alias("total_revenue"),
         F.round(cv, 6).alias("cv"),
     )
@@ -337,7 +346,9 @@ stats AS (
     FROM monthly GROUP BY l_suppkey
 )
 SELECT suppkey, CAST(k AS BIGINT) AS n_months,
+       -- ok-round: exact cents grid (2 dp)
        round(sx / 100.0, 2) AS total_revenue,
+       -- ok-round: irrational (sqrt family)
        round(sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE) * sx) / (CAST(k AS DOUBLE) * k))
              / (CAST(sx AS DOUBLE) / k), 6) AS cv
@@ -378,6 +389,12 @@ def customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("col_t"),
         F.sum("obs").over(Window.partitionBy()).alias("n"),
     )
+    # r8 conversion: expected = row·col/n is a small-integer rational
+    # (the genuine .xxxx5 exposure class) — exact truncating integer
+    # division at 4 dp in DECIMAL(38,0) headroom
+    exp4 = F.expr(
+        "(cast(row_t as decimal(38,0)) * col_t * 10000) div n"
+    )
     exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
     contrib = (F.col("obs").cast("double") - exp) * (
         F.col("obs").cast("double") - exp
@@ -386,7 +403,13 @@ def customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("n_name").alias("nation"),
         F.col("obs").cast("long").alias("obs"),
-        F.round(exp, 4).alias("expected"),
+        (exp4.cast("double") / 1e4).alias("expected"),
+        # ok-round: documented triage KEEP — chi2_contrib is rational
+        # in principle, but the exact integer form
+        # (obs·n − row·col)²·10⁶ div (n·row·col) overflows
+        # DECIMAL(38)/HUGEINT headroom at target scale; both engines
+        # fold the identical double composite, and a boundary hit
+        # requires the huge-integer ratio to BE a ≤6-decimal value
         F.round(contrib, 6).alias("chi2_contrib"),
     )
     return out.orderBy(
@@ -408,7 +431,10 @@ m AS (
     FROM cell
 )
 SELECT segment, nation, CAST(obs AS BIGINT) AS obs,
-       round(CAST(row_t AS DOUBLE) * col_t / n, 4) AS expected,
+       CAST((CAST(row_t AS HUGEINT) * col_t * 10000) // n AS DOUBLE)
+           / 10000.0 AS expected,
+       -- exact integer form overflows HUGEINT at target scale —
+       -- ok-round: documented triage KEEP (see the Spark twin)
        round((CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE) * col_t / n)
              * (CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE) * col_t / n)
              / (CAST(row_t AS DOUBLE) * col_t / n), 6) AS chi2_contrib
@@ -513,7 +539,9 @@ def lineitem_returned_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg.select(
         "year",
         F.col("n_lines").cast("long").alias("n_lines"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("tot") / 100.0, 2).alias("revenue"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("ret") / 100.0, 2).alias("returned_revenue"),
         # exact truncating integer-division share (r7 conversion)
         (F.expr("(ret * 1000000) div tot").cast("double") / 1e6).alias(
@@ -530,7 +558,9 @@ WITH rows_ AS (
     FROM lineitem
 )
 SELECT year, CAST(count(*) AS BIGINT) AS n_lines,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(c) / 100.0, 2) AS revenue,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(c * is_r) / 100.0, 2) AS returned_revenue,
        CAST((sum(c * is_r) * 1000000) // sum(c) AS DOUBLE) / 1000000.0
            AS returned_share

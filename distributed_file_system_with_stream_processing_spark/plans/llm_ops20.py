@@ -62,6 +62,7 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "d",
+            # ok-round: irrational (x/sqrt-norm) quantization
             F.round(F.col("x") / F.col("nrm") * _MICRO).cast("long").alias("qv"),
         )
     )
@@ -90,24 +91,29 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = stats.agg(F.sum("n").alias("nn"))
     j = stats.join(cross, "label").crossJoin(broadcast(tot))
-    nd = F.col("n").cast("double")
-    intra = F.when(
+    # r8 conversion: intra/inter are exact rationals of the integer
+    # sums (qv is already micro-quantized) — truncating integer
+    # division at 6 dp in DECIMAL(38,0) headroom ((s2−ssq) ≤ n²·10¹²·d,
+    # divisor ≤ n²·10⁶; both well inside 38 digits at any SF), and the
+    # gap is the exact integer difference of the two micro values
+    intra_mu = F.when(
         F.col("n") >= 2,
-        (F.col("s2").cast("double") - F.col("ssq").cast("double"))
-        / (nd * (nd - 1))
-        / (_MICRO * _MICRO),
-    ).otherwise(F.lit(0.0))
-    rest = (F.col("nn") - F.col("n")).cast("double")
-    inter = F.when(
-        rest > 0,
-        F.col("xp").cast("double") / (nd * rest) / (_MICRO * _MICRO),
-    ).otherwise(F.lit(0.0))
+        F.expr(
+            f"(s2 - ssq) div (cast(n as decimal(38,0)) * (n - 1) * {_MICRO})"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    inter_mu = F.when(
+        (F.col("nn") - F.col("n")) > 0,
+        F.expr(
+            f"xp div (cast(n as decimal(38,0)) * (nn - n) * {_MICRO})"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     return j.select(
         F.col("label").cast("long").alias("label"),
         F.col("n").cast("long").alias("n_vectors"),
-        F.round(intra, 6).alias("intra_cosine"),
-        F.round(inter, 6).alias("inter_cosine"),
-        F.round(intra - inter, 6).alias("cohesion_gap"),
+        (intra_mu.cast("double") / 1e6).alias("intra_cosine"),
+        (inter_mu.cast("double") / 1e6).alias("inter_cosine"),
+        ((intra_mu - inter_mu).cast("double") / 1e6).alias("cohesion_gap"),
     )
 
 
@@ -119,6 +125,7 @@ WITH e AS (
 ),
 base AS (
     SELECT vec_id, label,
+           -- ok-round: irrational (x/sqrt-norm) quantization
            list_transform(v, x -> CAST(round(x / nrm * {_MICRO}) AS BIGINT)) AS q
     FROM e WHERE nrm > 0
 ),
@@ -139,31 +146,26 @@ cross_ AS (
     SELECT p.label, sum(CAST(p.sd AS HUGEINT) * (a.ad - p.sd)) AS xp
     FROM per_ld p JOIN all_d a USING (d) GROUP BY p.label
 ),
-tot AS (SELECT sum(n) AS nn FROM n_l)
-SELECT CAST(n_l.label AS BIGINT) AS label,
-       CAST(n_l.n AS BIGINT) AS n_vectors,
-       round(CASE WHEN n_l.n >= 2
-                  THEN (CAST(s2.s2 AS DOUBLE) - CAST(ssq.ssq AS DOUBLE))
-                       / (CAST(n_l.n AS DOUBLE) * (n_l.n - 1))
-                       / {_MICRO}.0 / {_MICRO}.0
-                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS intra_cosine,
-       round(CASE WHEN tot.nn - n_l.n > 0
-                  THEN CAST(cross_.xp AS DOUBLE)
-                       / (CAST(n_l.n AS DOUBLE) * (tot.nn - n_l.n))
-                       / {_MICRO}.0 / {_MICRO}.0
-                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS inter_cosine,
-       round((CASE WHEN n_l.n >= 2
-                   THEN (CAST(s2.s2 AS DOUBLE) - CAST(ssq.ssq AS DOUBLE))
-                        / (CAST(n_l.n AS DOUBLE) * (n_l.n - 1))
-                        / {_MICRO}.0 / {_MICRO}.0
-                   ELSE CAST(0.0 AS DOUBLE) END)
-             - (CASE WHEN tot.nn - n_l.n > 0
-                     THEN CAST(cross_.xp AS DOUBLE)
-                          / (CAST(n_l.n AS DOUBLE) * (tot.nn - n_l.n))
-                          / {_MICRO}.0 / {_MICRO}.0
-                     ELSE CAST(0.0 AS DOUBLE) END), 6) AS cohesion_gap
-FROM n_l JOIN s2 USING (label) JOIN ssq USING (label)
-         JOIN cross_ USING (label) CROSS JOIN tot
+tot AS (SELECT sum(n) AS nn FROM n_l),
+mu AS (
+    SELECT n_l.label, n_l.n,
+           CASE WHEN n_l.n >= 2
+                THEN (s2.s2 - ssq.ssq)
+                     // (CAST(n_l.n AS HUGEINT) * (n_l.n - 1) * {_MICRO})
+                ELSE 0 END AS intra_mu,
+           CASE WHEN tot.nn - n_l.n > 0
+                THEN cross_.xp
+                     // (CAST(n_l.n AS HUGEINT) * (tot.nn - n_l.n) * {_MICRO})
+                ELSE 0 END AS inter_mu
+    FROM n_l JOIN s2 USING (label) JOIN ssq USING (label)
+             JOIN cross_ USING (label) CROSS JOIN tot
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n_vectors,
+       CAST(intra_mu AS DOUBLE) / {_MICRO}.0 AS intra_cosine,
+       CAST(inter_mu AS DOUBLE) / {_MICRO}.0 AS inter_cosine,
+       CAST(intra_mu - inter_mu AS DOUBLE) / {_MICRO}.0 AS cohesion_gap
+FROM mu
 """
 
 
@@ -254,7 +256,9 @@ def embedding_dim_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.filter(den > 0).select(
         F.col("d1").cast("long").alias("d1"),
         F.col("d2").cast("long").alias("d2"),
+        # ok-round: irrational (sqrt in the denominator)
         F.round(num / den, 6).alias("corr"),
+        # ok-round: irrational (sqrt in the denominator)
         F.round(F.abs(num / den), 6).alias("abs_corr"),
     )
     return out.orderBy(
@@ -325,6 +329,10 @@ def embedding_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s²/n per label: one double round-trip, rounded to BIGINT so the
     # across-label fold is order-free (decimal DIVISION scales differ
     # between engines; a rounded double does not)
+    # s²/n exceeds 2^53 at any realistic corpus (round() on an
+    # already-integral double is identity in both engines) and the
+    # exact div would overflow the BIGINT result Spark's div returns —
+    # ok-round: documented triage KEEP
     sb_term = F.round(
         F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     ).cast("long")
@@ -370,17 +378,20 @@ per AS (
 ),
 tot AS (
     SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts, sum(ss) AS tss,
+           -- ok-round: documented triage KEEP (see the Spark twin)
            sum(CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)) AS sb_part
     FROM per
 )
 SELECT CAST(k AS BIGINT) AS n_labels,
        CAST(nn AS BIGINT) AS n_vectors,
+       -- ok-round: rational of >2^53 integers (exact form overflows)
        round(CASE WHEN k >= 2 AND CAST(tss AS DOUBLE) - CAST(sb_part AS DOUBLE) > 0
                   THEN ((CAST(sb_part AS DOUBLE)
                          - CAST(ts AS DOUBLE) * ts / nn) / (k - 1))
                        / ((CAST(tss AS DOUBLE) - CAST(sb_part AS DOUBLE))
                           / (nn - k))
                   ELSE CAST(-1.0 AS DOUBLE) END, 4) AS f_stat,
+       -- ok-round: rational of >2^53 integers (exact form overflows)
        round(CASE WHEN CAST(tss AS DOUBLE) - CAST(ts AS DOUBLE) * ts / nn > 0
                   THEN (CAST(sb_part AS DOUBLE) - CAST(ts AS DOUBLE) * ts / nn)
                        / (CAST(tss AS DOUBLE) - CAST(ts AS DOUBLE) * ts / nn)

@@ -110,6 +110,7 @@ def nation_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell.withColumn("yt", yr).select(
         F.col("year").cast("long").alias("year"),
         "nation",
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("tc") / 100.0, 2).alias("revenue"),
         (F.expr("(tc * 1000000) div yt").cast("double") / 1e6).alias(
             "share_of_year"
@@ -127,6 +128,7 @@ WITH cell AS (
     GROUP BY 1, 2
 )
 SELECT year, nation,
+       -- ok-round: exact cents grid (2 dp)
        round(tc / 100.0, 2) AS revenue,
        CAST((tc * 1000000) // sum(tc) OVER (PARTITION BY year) AS DOUBLE)
            / 1000000.0 AS share_of_year
@@ -278,7 +280,9 @@ def lineitem_tax_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "tax_pct",
         F.col("n_lines").cast("long").alias("n_lines"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("net") / 100.0, 2).alias("net_revenue"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("tax") / 100.0, 2).alias("tax_take"),
         # exact truncating integer-division quotient (see basket profile)
         (F.expr("(tax * 1000000) div net").cast("double") / 1e6).alias(
@@ -297,7 +301,9 @@ WITH rows_ AS (
     FROM lineitem
 )
 SELECT tax_pct, CAST(count(*) AS BIGINT) AS n_lines,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(net_c) / 100.0, 2) AS net_revenue,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(tax_c) / 100.0, 2) AS tax_take,
        CAST((sum(tax_c) * 1000000) // sum(net_c) AS DOUBLE) / 1000000.0
            AS effective_rate
@@ -398,7 +404,9 @@ def docs_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("sq div n_docs").cast("double") / _MICRO).alias(
             "mean_quality"
         ),
+        # ok-round: exact micro grid (6 dp)
         F.round(F.col("mn") / F.lit(float(_MICRO)), 6).alias("min_quality"),
+        # ok-round: exact micro grid (6 dp)
         F.round(F.col("mx") / F.lit(float(_MICRO)), 6).alias("max_quality"),
     )
 
@@ -411,6 +419,7 @@ WITH q AS (
                 WHEN ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT
                      % 1000 < {_QBS_VAL} THEN 'val'
                 ELSE 'test' END AS split,
+           -- ok-round: float-coefficient quality composite
            CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
                 CAST(0.25 AS DOUBLE) + CAST(0.002 AS DOUBLE) * len(ws)
                 + CAST(1.2 AS DOUBLE) *
@@ -429,7 +438,9 @@ WITH q AS (
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(q_mu) // count(*) AS DOUBLE) / {_MICRO}.0 AS mean_quality,
+       -- ok-round: exact micro grid (6 dp)
        round(min(q_mu) / {_MICRO}.0, 6) AS min_quality,
+       -- ok-round: exact micro grid (6 dp)
        round(max(q_mu) / {_MICRO}.0, 6) AS max_quality
 FROM q GROUP BY split
 """

@@ -316,6 +316,7 @@ SELECT source, CAST(n AS BIGINT) AS n_points,
        CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
             // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS DOUBLE)
            / 1000000.0 AS beta,
+       -- ok-round: irrational (exp/ln family, no grid boundary)
        round(exp((CAST(sy AS DOUBLE) / {_MICRO}
                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))

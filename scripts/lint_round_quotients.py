@@ -19,7 +19,17 @@ bulk conversion can be driven file-by-file:
 
 Sites are POTENTIAL divergences only: all are deterministic on the
 driver's fixed sf0.01 data (verified green repeatedly in r7); the
-exposure is to future data regeneration. Usage:
+exposure is to future data regeneration.
+
+Triage verdicts (r8): a site that KEEPS round() — the irrational
+family (sqrt/log/exp/float-coefficient composites: no exact grid
+boundary exists for the true value to land on) or exact-decimal
+projections (cents/100.0 at 2 dp, micro/10⁶ at 6 dp: the true value
+sits ON the grid) — is marked in place with ``ok-round: <reason>``
+(a ``#`` comment on/above the F.round call in Python; a ``--``
+comment on/above the round( line inside the oracle SQL). Marked
+sites are triaged survivors, not exposure; the inventory separates
+them so DONE == zero UNMARKED sites. Usage:
 
     python scripts/lint_round_quotients.py [--per-file]
 """
@@ -43,8 +53,14 @@ def _has_div(node: ast.AST) -> bool:
     )
 
 
-def scan_python(path: Path) -> list[tuple[int, str]]:
-    """(line, enclosing function) for every F.round(<div expr>, n)."""
+_MARK = "ok-round:"
+
+
+def scan_python(path: Path, *, unmarked_only: bool = False) -> list[tuple[int, str]]:
+    """(line, enclosing function) for every F.round(<div expr>, n).
+    With ``unmarked_only``, sites whose call line (or the line above)
+    carries an ``ok-round:`` triage marker are suppressed."""
+    src_lines = path.read_text().splitlines()
     tree = ast.parse(path.read_text())
     # map line -> innermost enclosing function name
     funcs: list[tuple[int, int, str]] = []
@@ -68,6 +84,10 @@ def scan_python(path: Path) -> list[tuple[int, str]]:
             and n.args
             and _has_div(n.args[0])
         ):
+            if unmarked_only:
+                ctx = "\n".join(src_lines[max(n.lineno - 2, 0) : n.lineno])
+                if _MARK in ctx:
+                    continue
             hits.append((n.lineno, enclosing(n.lineno)))
     return hits
 
@@ -75,9 +95,11 @@ def scan_python(path: Path) -> list[tuple[int, str]]:
 _SQL_ROUND = re.compile(r"round\s*\(", re.IGNORECASE)
 
 
-def _sql_round_quotients(sql: str) -> int:
+def _sql_round_quotients(sql: str, *, unmarked_only: bool = False) -> int:
     """Count round( calls whose FIRST argument contains a top-level /
-    (paren-depth scan; close enough for an inventory)."""
+    (paren-depth scan; close enough for an inventory). With
+    ``unmarked_only``, a site whose opening line (or the line above)
+    carries an ``ok-round:`` triage comment is suppressed."""
     count = 0
     for m in _SQL_ROUND.finditer(sql):
         depth, i = 1, m.end()
@@ -92,37 +114,58 @@ def _sql_round_quotients(sql: str) -> int:
                 saw_div = True
             i += 1
         if saw_div:
+            if unmarked_only:
+                line_start = sql.rfind("\n", 0, m.start())
+                prev_start = sql.rfind("\n", 0, max(line_start, 0))
+                line_end = sql.find("\n", m.start())
+                ctx = sql[max(prev_start, 0) : line_end if line_end >= 0 else len(sql)]
+                if _MARK in ctx:
+                    continue
             count += 1
     return count
 
 
-def scan_sql(path: Path) -> int:
+def scan_sql(path: Path, *, unmarked_only: bool = False) -> int:
     tree = ast.parse(path.read_text())
     total = 0
     for n in ast.walk(tree):
         if isinstance(n, ast.Constant) and isinstance(n.value, str):
             if "round(" in n.value.lower() and "/" in n.value:
-                total += _sql_round_quotients(n.value)
+                total += _sql_round_quotients(n.value, unmarked_only=unmarked_only)
     return total
 
 
 def main() -> int:
     per_file = "--per-file" in sys.argv
     total_py = total_sql = 0
+    um_py = um_sql = 0
     rows = []
     for path in sorted(PLANS.glob("*.py")):
         hits = scan_python(path)
         sqls = scan_sql(path)
+        u_hits = scan_python(path, unmarked_only=True)
+        u_sqls = scan_sql(path, unmarked_only=True)
         if hits or sqls:
-            rows.append((path.name, len(hits), sqls, sorted({f for _, f in hits})))
+            rows.append(
+                (path.name, len(hits), sqls, len(u_hits), u_sqls,
+                 sorted({f for _, f in u_hits}))
+            )
             total_py += len(hits)
             total_sql += sqls
-    for name, n_py, n_sql, fns in rows:
-        print(f"{name:24s} F.round-over-div: {n_py:3d}  sql-round-over-div: {n_sql:3d}")
+            um_py += len(u_hits)
+            um_sql += u_sqls
+    for name, n_py, n_sql, u_py, u_sql, fns in rows:
+        print(
+            f"{name:24s} py: {n_py:3d} ({u_py:3d} unmarked)"
+            f"  sql: {n_sql:3d} ({u_sql:3d} unmarked)"
+        )
         if per_file:
             for f in fns:
                 print(f"    {f}")
-    print(f"TOTAL python sites: {total_py}, sql sites: {total_sql}")
+    print(
+        f"TOTAL python sites: {total_py} ({um_py} unmarked), "
+        f"sql sites: {total_sql} ({um_sql} unmarked)"
+    )
     return 0
 
 
