@@ -193,6 +193,7 @@ def docs_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in ...50 puts the true value exactly on a 4-decimal midpoint,
         # where Spark (decimal-string HALF_UP) and DuckDB (binary
         # double) legitimately disagree — seen live at sf0.01.
+        # ok-round: exact micro grid (6 dp)
         F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
     )
 
@@ -224,6 +225,7 @@ scored AS (
     FROM tf JOIN idf i USING (term)
 )
 SELECT doc_id, count(*) AS n_hit_terms,
+       -- ok-round: exact micro grid (6 dp)
        round(CAST(sum(c_mu) AS DOUBLE) / {_BM25_MICRO}, 6) AS bm25
 FROM scored GROUP BY doc_id
 """
@@ -320,7 +322,8 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
-            F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
+            # ok-round: exact micro grid (6 dp)
+        F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
             "rank",
         )
     )
@@ -366,7 +369,8 @@ rk AS (
                               ORDER BY s DESC, doc_id) AS rank
     FROM scored
 )
-SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / {_BM25_MICRO}, 6) AS bm25,
+SELECT query_id, doc_id,  -- ok-round: exact micro grid (6 dp)
+       round(CAST(s AS DOUBLE) / {_BM25_MICRO}, 6) AS bm25,
        CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {_RET_K}
 """
@@ -401,6 +405,9 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = L.ann_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("item_id"), F.col("rank").alias("_ar")
     )
+    # 10^6/(60+rank): a .5 landing needs a divisor of 2*10^6 in
+    # [61, 60+k] with an ODD quotient; none exists (2*10^6 = 2^7*5^6) —
+    # ok-round: boundary-free rational for the fixed c=60
     c_mu = lambda col: F.coalesce(
         F.round(1000000.0 / (_RRF_C + F.col(col))).cast("long"), F.lit(0).cast("long")
     )
@@ -420,7 +427,8 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "item_id",
-            F.round(F.col("_s_mu").cast("double") / 1000000.0, 6).alias("rrf"),
+            # ok-round: exact micro grid (6 dp)
+        F.round(F.col("_s_mu").cast("double") / 1000000.0, 6).alias("rrf"),
             "in_bm25",
             "in_ann",
             "rank",
@@ -450,7 +458,9 @@ def _rrf_sql() -> str:
         + f"""fused AS (
     SELECT coalesce(bm.query_id, an.query_id) AS query_id,
            coalesce(bm.doc_id, an.neighbor_id) AS item_id,
+           -- ok-round: boundary-free rational for fixed c=60 (see twin)
            coalesce(CAST(round(1000000.0 / ({_RRF_C} + bm.rank)) AS BIGINT), 0)
+           -- ok-round: boundary-free rational for fixed c=60 (see twin)
          + coalesce(CAST(round(1000000.0 / ({_RRF_C} + an.rank)) AS BIGINT), 0) AS s_mu,
            bm.rank IS NOT NULL AS in_bm25,
            an.rank IS NOT NULL AS in_ann
@@ -463,6 +473,7 @@ fr AS (
                               ORDER BY s_mu DESC, item_id) AS rank
     FROM fused
 )
+-- ok-round: exact micro grid (6 dp)
 SELECT query_id, item_id, round(CAST(s_mu AS DOUBLE) / 1000000.0, 6) AS rrf,
        in_bm25, in_ann, CAST(rank AS BIGINT) AS rank
 FROM fr
@@ -507,6 +518,7 @@ def _dsir_lr_tbl(tfb: DataFrame) -> DataFrame:
     tot = bc.agg(F.sum("raw_n").alias("r_tot"), F.sum("tgt_n").alias("t_tot"))
     return bc.crossJoin(broadcast(tot)).select(
         "bucket",
+        # ok-round: irrational (ln-mixture importance weight)
         F.round(
             (
                 F.log(
@@ -589,6 +601,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_tokens",
+        # ok-round: exact micro grid (6 dp)
         F.round(F.col("_s").cast("double") / _DSIR_MICRO, 6).alias("log_weight"),
     )
 
@@ -610,6 +623,7 @@ bc AS (
 tot AS (SELECT sum(raw_n) AS r_tot, sum(tgt_n) AS t_tot FROM bc),
 lr AS (
     SELECT bucket,
+           -- ok-round: irrational (ln-mixture importance weight)
            CAST(round((ln(CAST(tgt_n + 1 AS DOUBLE) / (t.t_tot + {_DSIR_BUCKETS}))
                        - ln(CAST(raw_n + 1 AS DOUBLE) / (t.r_tot + {_DSIR_BUCKETS})))
                       * {_DSIR_MICRO}) AS BIGINT) AS lr_mu
@@ -621,6 +635,7 @@ agg AS (
 ),
 w AS (
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           -- ok-round: exact micro grid (6 dp)
            round(CAST(s AS DOUBLE) / {_DSIR_MICRO}, 6) AS log_weight
     FROM agg
 )"""
@@ -656,6 +671,7 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_importance_weights(spark, sf_dir)
     u = (T.hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
     g = -F.log(-F.log(u))
+    # ok-round: irrational (gumbel + ln-weight composite)
     key_mu = F.round((F.col("log_weight") / _RS_TEMP + g) * 1000000.0).cast("long")
     sel = (
         w.select("doc_id", "log_weight", key_mu.alias("key_mu"))
@@ -674,6 +690,7 @@ DSIR_RESAMPLE_SQL = (
     + f""",
 gk AS (
     SELECT doc_id, log_weight,
+           -- ok-round: irrational (gumbel + ln-weight composite)
            CAST(round((log_weight / {_RS_TEMP}
                  + (-ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
                             / 4294967296.0))))
@@ -709,6 +726,7 @@ def dsir_resample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     u = (T.hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
     g = -F.log(-F.log(u))
+    # ok-round: irrational (gumbel + ln-weight composite)
     key_mu = F.round((F.col("log_weight") / _RS_TEMP + g) * 1000000.0).cast("long")
     win = Window.partitionBy("source").orderBy(F.desc("key_mu"), F.asc("doc_id"))
     return (
@@ -725,6 +743,7 @@ DSIR_RESAMPLE_STRAT_SQL = (
     + f""",
 gk AS (
     SELECT d.source, w.doc_id, w.log_weight,
+           -- ok-round: irrational (gumbel + ln-weight composite)
            CAST(round((w.log_weight / {_RS_TEMP}
                  + (-ln(-ln((('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
                             / 4294967296.0))))
@@ -765,8 +784,9 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
             "n_members",
             "n_dups",
-            F.round(
-                F.col("n_dups").cast("double") / F.col("n_members"), 6
+            # r8 conversion: exact truncating integer-division rate
+            (
+                F.expr("(n_dups * 1000000) div n_members").cast("double") / 1e6
             ).alias("dup_rate"),
         )
     )
@@ -783,8 +803,8 @@ def _semdedup_cell_stats_sql() -> str:
         + ")\n"
         "SELECT cluster, count(*) AS n_members,\n"
         "       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,\n"
-        "       round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)\n"
-        "             / count(*), 6) AS dup_rate\n"
+        "       CAST((sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1000000)\n"
+        "            // count(*) AS DOUBLE) / 1000000.0 AS dup_rate\n"
         "FROM sd GROUP BY cluster"
     )
 

@@ -100,6 +100,7 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(cf), "term")
         .crossJoin(broadcast(total))
     )
+    # ok-round: irrational (ln) quantization
     gain_mu = F.round(
         F.log(
             1.0
@@ -114,6 +115,7 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_g").alias("_gs"))
     )
     # per-doc length norm: |q| · round(log(μ/(dl+μ))·1e6)
+    # ok-round: irrational (ln) quantization
     norm_mu = F.round(
         F.log(F.lit(_QL_MU) / (F.col("dl") + F.lit(_QL_MU))) * _QL_MICRO
     ).cast("long")
@@ -129,6 +131,7 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
+            # ok-round: exact micro grid (6 dp)
             F.round(F.col("_s").cast("double") / _QL_MICRO, 6).alias("ql_score"),
             "rank",
         )
@@ -158,6 +161,7 @@ scored AS (
     SELECT p.query_id, p.doc_id, p.dl, sum(p.g) AS gs
     FROM (
         SELECT q.query_id, po.doc_id, po.dl,
+               -- ok-round: irrational (ln) quantization
                CAST(round(ln(1.0 + (po.tf * t.clen)
                                    / ({_QL_MU} * c.cf)) * {_QL_MICRO}) AS BIGINT) AS g
         FROM postings po
@@ -180,6 +184,7 @@ rk AS (
     FROM final
 )
 SELECT query_id, doc_id,
+       -- ok-round: exact micro grid (6 dp)
        round(CAST(sc AS DOUBLE) / {_QL_MICRO}, 6) AS ql_score,
        CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {_QL_K}
@@ -296,9 +301,10 @@ def docs_template_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_shingle",
         "shingle_df",
         "n_docs",
-        F.round(F.col("shingle_df").cast("double") / F.col("n_docs"), 6).alias(
-            "coverage"
-        ),
+        # r8 conversion: exact truncating integer-division rate
+        (
+            F.expr("(shingle_df * 1000000) div n_docs").cast("double") / 1e6
+        ).alias("coverage"),
     )
 
 
@@ -324,7 +330,7 @@ rk AS (
 )
 SELECT r.source, r.s AS top_shingle, CAST(r.df AS BIGINT) AS shingle_df,
        CAST(n.n_docs AS BIGINT) AS n_docs,
-       round(CAST(r.df AS DOUBLE) / n.n_docs, 6) AS coverage
+       CAST((r.df * 1000000) // n.n_docs AS DOUBLE) / 1000000.0 AS coverage
 FROM rk r JOIN nd n USING (source) WHERE r.rn = 1
 """
 
@@ -378,14 +384,21 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # se = 0 iff pooled conversion is 0 or 1 (the small-fixture A/A
     # degenerate case): the lift is 0 there too, so z reports 0.0 -
     # never NULL/inf (the driver hash cannot order NULLs)
+    # ok-round: irrational (sqrt standard error)
     z = F.when(se > 0, F.round((p1 - p0) / se, 6)).otherwise(F.lit(0.0))
     return t.select(
         F.col("n0").cast("long").alias("n_control"),
         F.col("c0").cast("long").alias("conv_control"),
         F.col("n1").cast("long").alias("n_treatment"),
         F.col("c1").cast("long").alias("conv_treatment"),
-        F.round(p0, 6).alias("rate_control"),
-        F.round(p1, 6).alias("rate_treatment"),
+        # r8 conversion: exact truncating integer-division rates;
+        # z keeps round() (sqrt in the denominator — irrational)
+        (F.expr("(c0 * 1000000) div n0").cast("double") / 1e6).alias(
+            "rate_control"
+        ),
+        (F.expr("(c1 * 1000000) div n1").cast("double") / 1e6).alias(
+            "rate_treatment"
+        ),
         z.alias("z_score"),
     )
 
@@ -406,9 +419,10 @@ t AS (
 )
 SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
        CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
-       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
-       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treatment,
+       CAST((c0 * 1000000) // n0 AS DOUBLE) / 1000000.0 AS rate_control,
+       CAST((c1 * 1000000) // n1 AS DOUBLE) / 1000000.0 AS rate_treatment,
        CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+            -- ok-round: irrational (sqrt standard error)
             THEN round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
                  / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                         * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -472,6 +486,7 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstat = F.when(
         arms_ok,
         F.when(
+            # ok-round: irrational (sqrt standard error)
             se2 > 0, F.round((m("s1", "n1") - m("s0", "n0")) / F.sqrt(se2), 6)
         ).otherwise(F.lit(0.0)),
     ).otherwise(F.lit(0.0))
@@ -479,6 +494,8 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         arms_ok,
         F.when(
             se2 > 0,
+            # welch df: rational of HUGEINT-overflowing squares —
+            # ok-round: documented triage KEEP (identical double fold)
             F.round(
                 (se2 * se2)
                 / (
@@ -492,8 +509,10 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
-        F.round(m("s0", "n0"), 6).alias("mean_control"),
-        F.round(m("s1", "n1"), 6).alias("mean_treatment"),
+        # r8 conversion: exact truncating integer-division means
+        # (s is the micro-sum, so s div n IS the 6 dp mean)
+        (F.expr("s0 div n0").cast("double") / 1e6).alias("mean_control"),
+        (F.expr("s1 div n1").cast("double") / 1e6).alias("mean_treatment"),
         tstat.alias("t_stat"),
         dfw.alias("welch_df"),
     )
@@ -524,14 +543,16 @@ v AS (
     FROM t
 )
 SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
-       round(CAST(s0 AS DOUBLE) / {_AB_MICRO} / n0, 6) AS mean_control,
-       round(CAST(s1 AS DOUBLE) / {_AB_MICRO} / n1, 6) AS mean_treatment,
+       CAST(s0 // n0 AS DOUBLE) / {_AB_MICRO} AS mean_control,
+       CAST(s1 // n1 AS DOUBLE) / {_AB_MICRO} AS mean_treatment,
        CASE WHEN n0 > 1 AND n1 > 1 AND (v0 / n0 + v1 / n1) > 0
+            -- ok-round: irrational (sqrt standard error)
             THEN round((CAST(s1 AS DOUBLE) / {_AB_MICRO} / n1
                         - CAST(s0 AS DOUBLE) / {_AB_MICRO} / n0)
                        / sqrt(v0 / n0 + v1 / n1), 6)
             ELSE 0.0 END AS t_stat,
        CASE WHEN n0 > 1 AND n1 > 1 AND (v0 / n0 + v1 / n1) > 0
+            -- ok-round: documented triage KEEP (see the Spark twin)
             THEN round((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
                        / ((v0 / n0) * (v0 / n0) / (n0 - 1)
                           + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
@@ -632,8 +653,10 @@ def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("probe").cast("long").alias("probe"),
             F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
             F.col("n_true").cast("long").alias("n_true"),
-            F.round(
-                F.coalesce("n_found", F.lit(0)).cast("double") / F.col("n_true"), 6
+            # r8 conversion: exact truncating integer-division rate
+            (
+                F.expr("(coalesce(n_found, 0) * 1000000) div n_true")
+                .cast("double") / 1e6
             ).alias("candidate_recall"),
         )
     )
@@ -687,7 +710,8 @@ nt AS (SELECT count(*) AS n_true FROM ex)
 SELECT CAST(g.p AS BIGINT) AS probe,
        CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
        CAST(nt.n_true AS BIGINT) AS n_true,
-       round(CAST(coalesce(f.n_found, 0) AS DOUBLE) / nt.n_true, 6) AS candidate_recall
+       CAST((coalesce(f.n_found, 0) * 1000000) // nt.n_true AS DOUBLE)
+           / 1000000.0 AS candidate_recall
 FROM (SELECT unnest(range(1, {_PRC_MAXPROBE + 1})) AS p) g
 LEFT JOIN found f ON g.p = f.probe
 CROSS JOIN nt
@@ -740,12 +764,17 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spread(base).selectExpr(f"{C._argmin_expr('v', cents)} AS cell")
     agg = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(Window.partitionBy())
-    return agg.select(
+    # r8 conversion: share and balance are exact truncating
+    # integer-division quotients of the cell counts
+    return agg.withColumn("t", total).select(
         F.col("cell").cast("long").alias("cell"),
         "n_vectors",
-        F.round(F.col("n_vectors").cast("double") / total, 6).alias("share"),
-        F.round(
-            F.col("n_vectors").cast("double") * _ICB_CELLS / total, 6
+        (F.expr("(n_vectors * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
+        (
+            F.expr(f"(n_vectors * {_ICB_CELLS} * 1000000) div t").cast("double")
+            / 1e6
         ).alias("balance"),
     )
 
@@ -762,8 +791,10 @@ def _cell_balance_sql() -> str:
         + f""",
 agg AS (SELECT c AS cell, count(*) AS n_vectors FROM fin GROUP BY c)
 SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vectors AS BIGINT) AS n_vectors,
-       round(CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER (), 6) AS share,
-       round(CAST(n_vectors AS DOUBLE) * {_ICB_CELLS} / sum(n_vectors) OVER (), 6) AS balance
+       CAST((n_vectors * 1000000) // sum(n_vectors) OVER () AS DOUBLE)
+           / 1000000.0 AS share,
+       CAST((n_vectors * {_ICB_CELLS} * 1000000) // sum(n_vectors) OVER ()
+            AS DOUBLE) / 1000000.0 AS balance
 FROM agg
 """
     )
@@ -809,15 +840,17 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy()
-    return agg.select(
+    # r8 conversion: shares are exact truncating integer-division
+    # quotients of the postings mass
+    return agg.withColumn("t", F.sum("postings").over(w)).select(
         "df_bucket",
         "n_shingles",
         F.col("postings").cast("long").alias("postings"),
-        F.round(F.col("postings").cast("double") / F.sum("postings").over(w), 6).alias(
+        (F.expr("(postings * 1000000) div t").cast("double") / 1e6).alias(
             "mass_share"
         ),
-        F.round(
-            F.col("postings_over_cap").cast("double") / F.sum("postings").over(w), 6
+        (
+            F.expr("(postings_over_cap * 1000000) div t").cast("double") / 1e6
         ).alias("capped_mass_share"),
     )
 
@@ -841,8 +874,10 @@ agg AS (
 )
 SELECT df_bucket, CAST(n_shingles AS BIGINT) AS n_shingles,
        CAST(postings AS BIGINT) AS postings,
-       round(CAST(postings AS DOUBLE) / sum(postings) OVER (), 6) AS mass_share,
-       round(CAST(postings_over_cap AS DOUBLE) / sum(postings) OVER (), 6) AS capped_mass_share
+       CAST((postings * 1000000) // sum(postings) OVER () AS DOUBLE)
+           / 1000000.0 AS mass_share,
+       CAST((postings_over_cap * 1000000) // sum(postings) OVER () AS DOUBLE)
+           / 1000000.0 AS capped_mass_share
 FROM agg
 """
 
@@ -890,6 +925,7 @@ def docs_ppl_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPS_MICRO
     ).cast("long")
@@ -901,9 +937,9 @@ def docs_ppl_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
         .select(
             "doc_id",
-            F.round(
-                -(F.col("_s").cast("double") / F.col("n_tokens"))
-            ).cast("long").alias("ll_mu"),
+            # r8 conversion: exact truncating integer division (the
+            # rounded rational mean had a real .5 boundary)
+            F.expr("-(_s div n_tokens)").cast("long").alias("ll_mu"),
         )
     )
     per = scored.join(
@@ -920,6 +956,7 @@ def docs_ppl_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     for q in _PPS_QS:
         at = F.ceil(F.col("n") * q / 100.0).cast("long")
         aggs.append(
+            # ok-round: exact micro grid (6 dp)
             F.round(
                 F.min(F.when(F.col("rn") == at, F.col("ll_mu"))).cast("double")
                 / _PPS_MICRO,
@@ -933,6 +970,8 @@ def _ppl_pct_sql() -> str:
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
 
     pct = ", ".join(
+        # ok-round: exact micro grid (6 dp) — and ceil(n·q/100) is an
+        # exact small-rational ceiling, identical in both engines
         f"round(CAST(min(CASE WHEN rn = CAST(ceil(n * {q} / 100.0) AS BIGINT)"
         f" THEN ll_mu END) AS DOUBLE) / {_PPS_MICRO}, 6) AS p{q}_logloss"
         for q in _PPS_QS
@@ -945,9 +984,10 @@ ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
 nc AS (SELECT sum(ctot) AS n_corpus FROM ct),
 scored AS (
     SELECT tf.doc_id,
-           CAST(round(-(CAST(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
-                                                    * {_PPS_MICRO}) AS BIGINT)) AS DOUBLE)
-                        / sum(tf.tf))) AS BIGINT) AS ll_mu
+           -- inner round: ok-round: irrational (ln) quantization
+           -(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
+                                    * {_PPS_MICRO}) AS BIGINT))
+             // sum(tf.tf)) AS ll_mu
     FROM tf JOIN ct USING (term) CROSS JOIN nc
     GROUP BY tf.doc_id
 ),
@@ -1073,10 +1113,10 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("long").alias("day"),
             F.coalesce("n_surviving", F.lit(0)).cast("long").alias("n_surviving"),
             F.col("n_users").cast("long").alias("n_users"),
-            F.round(
-                F.coalesce("n_surviving", F.lit(0)).cast("double")
-                / F.col("n_users"),
-                6,
+            # r8 conversion: exact truncating integer-division rate
+            (
+                F.expr("(coalesce(n_surviving, 0) * 1000000) div n_users")
+                .cast("double") / 1e6
             ).alias("survival"),
         )
     )
@@ -1099,7 +1139,8 @@ curve AS (
 SELECT CAST(g.d AS BIGINT) AS day,
        CAST(coalesce(c.n_surviving, 0) AS BIGINT) AS n_surviving,
        CAST(tot.n_users AS BIGINT) AS n_users,
-       round(CAST(coalesce(c.n_surviving, 0) AS DOUBLE) / tot.n_users, 6) AS survival
+       CAST((coalesce(c.n_surviving, 0) * 1000000) // tot.n_users AS DOUBLE)
+           / 1000000.0 AS survival
 FROM (SELECT unnest({list(_SURV_DAYS)}) AS d) g
 LEFT JOIN curve c ON g.d = c.day
 CROSS JOIN tot
@@ -1142,14 +1183,18 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("rk") * dec("cents")).alias("rs"),
     )
     n = F.col("n").cast("double")
-    gini = (
-        F.lit(2.0) * F.col("rs").cast("double") / (n * F.col("s").cast("double"))
-        - (n + 1.0) / n
+    # r8 conversion: gini = (2·rs − (n+1)·s)/(n·s) is ONE exact
+    # rational of the integer fold — truncating integer division at
+    # 6 dp in DECIMAL(38,0) (the llm_ops17 source-Gini idiom)
+    gini_mu = F.expr(
+        "((2 * rs - (cast(n as decimal(38,0)) + 1) * s) * 1000000)"
+        " div (cast(n as decimal(38,0)) * s)"
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("s") / 100.0, 2).alias("total_revenue"),
-        F.round(gini, 6).alias("gini"),
+        (gini_mu.cast("double") / 1e6).alias("gini"),
     )
 
 
@@ -1170,9 +1215,10 @@ agg AS (
     FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
+       -- ok-round: exact cents grid (2 dp)
        round(s / 100.0, 2) AS total_revenue,
-       round(2.0 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+       CAST(((2 * rs - (CAST(n AS HUGEINT) + 1) * s) * 1000000)
+            // (CAST(n AS HUGEINT) * s) AS DOUBLE) / 1000000.0 AS gini
 FROM agg
 """
 
@@ -1202,13 +1248,15 @@ def supplier_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
     hist = per.groupBy("n_suppliers").agg(F.count(F.lit(1)).alias("n_parts"))
-    share = F.col("n_parts").cast("double") / F.sum("n_parts").over(
-        Window.partitionBy()
-    )
-    return hist.select(
+    # r8 conversion: exact truncating integer-division share
+    return hist.withColumn(
+        "t", F.sum("n_parts").over(Window.partitionBy())
+    ).select(
         F.col("n_suppliers").cast("long").alias("n_suppliers"),
         "n_parts",
-        F.round(share, 6).alias("share"),
+        (F.expr("(n_parts * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
     )
 
 
@@ -1220,7 +1268,8 @@ WITH per AS (
 h AS (SELECT n_suppliers, count(*) AS n_parts FROM per GROUP BY n_suppliers)
 SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
        CAST(n_parts AS BIGINT) AS n_parts,
-       round(CAST(n_parts AS DOUBLE) / sum(n_parts) OVER (), 6) AS share
+       CAST((n_parts * 1000000) // sum(n_parts) OVER () AS DOUBLE)
+           / 1000000.0 AS share
 FROM h
 """
 

@@ -58,8 +58,9 @@ _MARK = "ok-round:"
 
 def scan_python(path: Path, *, unmarked_only: bool = False) -> list[tuple[int, str]]:
     """(line, enclosing function) for every F.round(<div expr>, n).
-    With ``unmarked_only``, sites whose call line (or the line above)
-    carries an ``ok-round:`` triage marker are suppressed."""
+    With ``unmarked_only``, sites whose call line (or one of the 3
+    lines above — multi-line calls) carries an ``ok-round:`` triage
+    marker are suppressed."""
     src_lines = path.read_text().splitlines()
     tree = ast.parse(path.read_text())
     # map line -> innermost enclosing function name
@@ -85,7 +86,7 @@ def scan_python(path: Path, *, unmarked_only: bool = False) -> list[tuple[int, s
             and _has_div(n.args[0])
         ):
             if unmarked_only:
-                ctx = "\n".join(src_lines[max(n.lineno - 2, 0) : n.lineno])
+                ctx = "\n".join(src_lines[max(n.lineno - 4, 0) : n.lineno])
                 if _MARK in ctx:
                     continue
             hits.append((n.lineno, enclosing(n.lineno)))
@@ -98,8 +99,9 @@ _SQL_ROUND = re.compile(r"round\s*\(", re.IGNORECASE)
 def _sql_round_quotients(sql: str, *, unmarked_only: bool = False) -> int:
     """Count round( calls whose FIRST argument contains a top-level /
     (paren-depth scan; close enough for an inventory). With
-    ``unmarked_only``, a site whose opening line (or the line above)
-    carries an ``ok-round:`` triage comment is suppressed."""
+    ``unmarked_only``, a site whose opening line (or one of the 3
+    lines above) carries an ``ok-round:`` triage comment is
+    suppressed."""
     count = 0
     for m in _SQL_ROUND.finditer(sql):
         depth, i = 1, m.end()
@@ -115,10 +117,14 @@ def _sql_round_quotients(sql: str, *, unmarked_only: bool = False) -> int:
             i += 1
         if saw_div:
             if unmarked_only:
-                line_start = sql.rfind("\n", 0, m.start())
-                prev_start = sql.rfind("\n", 0, max(line_start, 0))
+                start = m.start()
+                for _ in range(4):
+                    start = sql.rfind("\n", 0, max(start, 0))
+                    if start <= 0:
+                        start = 0
+                        break
                 line_end = sql.find("\n", m.start())
-                ctx = sql[max(prev_start, 0) : line_end if line_end >= 0 else len(sql)]
+                ctx = sql[start : line_end if line_end >= 0 else len(sql)]
                 if _MARK in ctx:
                     continue
             count += 1

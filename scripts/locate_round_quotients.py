@@ -28,7 +28,7 @@ def locate(path: Path) -> None:
             and n.args
             and _has_div(n.args[0])
         ):
-            ctx = "\n".join(lines[max(n.lineno - 2, 0) : n.lineno])
+            ctx = "\n".join(lines[max(n.lineno - 4, 0) : n.lineno])
             if _MARK in ctx:
                 continue
             snippet = " ".join(
@@ -55,10 +55,14 @@ def locate(path: Path) -> None:
                 i += 1
             if not saw_div:
                 continue
-            line_start = s.rfind("\n", 0, m.start())
-            prev_start = s.rfind("\n", 0, max(line_start, 0))
+            start = m.start()
+            for _ in range(4):
+                start = s.rfind("\n", 0, max(start, 0))
+                if start <= 0:
+                    start = 0
+                    break
             line_end = s.find("\n", m.start())
-            ctx = s[max(prev_start, 0) : line_end if line_end >= 0 else len(s)]
+            ctx = s[start : line_end if line_end >= 0 else len(s)]
             if _MARK in ctx:
                 continue
             in_str_line = s.count("\n", 0, m.start())
