@@ -125,7 +125,8 @@ def docs_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "vocab",
         "hapax",
-        F.round(F.col("hapax").cast("double") / F.col("vocab"), 6).alias(
+        # r8 conversion: exact truncating integer-division rate
+        (F.expr("(hapax * 1000000) div vocab").cast("double") / 1e6).alias(
             "hapax_share"
         ),
     )
@@ -138,8 +139,8 @@ tf AS (SELECT source, term, count(*) AS tf FROM ex GROUP BY source, term)
 SELECT source,
        CAST(count(*) AS BIGINT) AS vocab,
        CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS hapax_share
+       CAST((sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS DOUBLE) / 1000000.0 AS hapax_share
 FROM tf GROUP BY source
 """
 
@@ -189,8 +190,10 @@ def docs_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "distinct_grams",
         F.col("total_grams").cast("long").alias("total_grams"),
-        F.round(
-            F.col("distinct_grams").cast("double") / F.col("total_grams"), 6
+        # r8 conversion: exact truncating integer-division rate
+        (
+            F.expr("(distinct_grams * 1000000) div total_grams")
+            .cast("double") / 1e6
         ).alias("distinct_ratio"),
     )
 
@@ -211,7 +214,7 @@ per AS (SELECT source, g, count(*) AS n FROM g GROUP BY source, g)
 SELECT source,
        CAST(count(*) AS BIGINT) AS distinct_grams,
        CAST(sum(n) AS BIGINT) AS total_grams,
-       round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio
+       CAST((count(*) * 1000000) // sum(n) AS DOUBLE) / 1000000.0 AS distinct_ratio
 FROM per GROUP BY source
 """
 
@@ -251,7 +254,8 @@ def docs_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("dup_docs").cast("long").alias("dup_docs"),
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(F.col("dup_docs").cast("double") / F.col("n_docs"), 6).alias(
+        # r8 conversion: exact truncating integer-division rate
+        (F.expr("(dup_docs * 1000000) div n_docs").cast("double") / 1e6).alias(
             "dup_share"
         ),
     )
@@ -267,7 +271,8 @@ g AS (SELECT source, pfx, count(*) AS n FROM t GROUP BY source, pfx)
 SELECT source,
        CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
        CAST(sum(n) AS BIGINT) AS n_docs,
-       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+       CAST((sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000) // sum(n)
+            AS DOUBLE) / 1000000.0
            AS dup_share
 FROM g GROUP BY source
 """
@@ -323,10 +328,10 @@ def docs_casefold_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("norm_dup_docs") - F.col("raw_dup_docs"))
         .cast("long")
         .alias("extra_dup_docs"),
-        F.round(
-            (F.col("norm_dup_docs") - F.col("raw_dup_docs")).cast("double")
-            / F.col("n_docs"),
-            6,
+        # r8 conversion: exact truncating integer-division rate
+        (
+            F.expr("((norm_dup_docs - raw_dup_docs) * 1000000) div n_docs")
+            .cast("double") / 1e6
         ).alias("extra_share"),
     )
 
@@ -347,7 +352,8 @@ SELECT CAST(raw.total AS BIGINT) AS n_docs,
        CAST(raw.dup_docs AS BIGINT) AS raw_dup_docs,
        CAST(nrm.dup_docs AS BIGINT) AS norm_dup_docs,
        CAST(nrm.dup_docs - raw.dup_docs AS BIGINT) AS extra_dup_docs,
-       round(CAST(nrm.dup_docs - raw.dup_docs AS DOUBLE) / raw.total, 6)
+       CAST(((nrm.dup_docs - raw.dup_docs) * 1000000) // raw.total AS DOUBLE)
+           / 1000000.0
            AS extra_share
 FROM raw CROSS JOIN nrm
 """
@@ -668,6 +674,7 @@ def events_hour_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("n_hours").cast("long").alias("n_hours"),
+        # ok-round: exact nano grid (6 dp)
         F.round(F.col("s").cast("double") / _HE_NANO, 6).alias("hour_entropy"),
     )
 
@@ -684,6 +691,7 @@ totals AS (
 ),
 ent AS (
     SELECT tc.event_type,
+           -- ok-round: irrational (p*ln p entropy term)
            sum(CAST(round(-(CAST(tc.c AS DOUBLE) / t.n_events
                             * ln(CAST(tc.c AS DOUBLE) / t.n_events))
                           * {_HE_NANO}) AS BIGINT)) AS s
@@ -693,6 +701,7 @@ ent AS (
 SELECT t.event_type,
        CAST(t.n_events AS BIGINT) AS n_events,
        CAST(t.n_hours AS BIGINT) AS n_hours,
+       -- ok-round: exact nano grid (6 dp)
        round(CAST(e.s AS DOUBLE) / {_HE_NANO}, 6) AS hour_entropy
 FROM totals t JOIN ent e USING (event_type)
 """
@@ -752,6 +761,7 @@ def events_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
     return sums.select(
         F.col("n").cast("long").alias("n_pairs"),
+        # ok-round: irrational (sqrt in the denominator)
         F.when((vx > 0) & (vy > 0), F.round(num / den, 6))
         .otherwise(F.lit(0.0))
         .alias("lag1_r"),
@@ -784,6 +794,7 @@ s AS (
 SELECT CAST(n AS BIGINT) AS n_pairs,
        CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
              AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+       -- ok-round: irrational (sqrt in the denominator)
             THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                        / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                           * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
@@ -822,10 +833,14 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_events"))
     total = F.sum("n_events").over(Window.partitionBy())
-    return hist.select(
+    # r8 conversion: exact truncating integer-division rate
+    return hist.withColumn("t", total).select(
         "digit",
         "n_events",
-        F.round(F.col("n_events").cast("double") / total, 6).alias("share"),
+        (F.expr("(n_events * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
+        # ok-round: irrational (log10 expectation)
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
     )
 
@@ -841,7 +856,9 @@ d AS (
 h AS (SELECT digit, count(*) AS n_events FROM d GROUP BY digit)
 SELECT digit,
        CAST(n_events AS BIGINT) AS n_events,
-       round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 6) AS share,
+       CAST((n_events * 1000000) // sum(n_events) OVER () AS DOUBLE)
+           / 1000000.0 AS share,
+       -- ok-round: irrational (log10 expectation)
        round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
 FROM h
 """

@@ -66,14 +66,18 @@ def customer_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).alias("lorenz"),
         F.count(F.lit(1)).alias("n_bins"),
     )
-    gini = 1.0 - tot["lorenz"].cast("double") / (
-        tot["n_customers"].cast("double") * tot["total_cents"].cast("double")
+    # r8 conversion: gini = (N·S − lorenz)/(N·S) is an exact rational
+    # — truncating integer division at 6 dp in DECIMAL(38,0)
+    gini_mu = F.expr(
+        "((cast(n_customers as decimal(38,0)) * total_cents - lorenz)"
+        " * 1000000) div (cast(n_customers as decimal(38,0)) * total_cents)"
     )
     return tot.select(
         F.col("n_customers").cast("long").alias("n_customers"),
         F.col("n_bins").cast("long").alias("n_bins"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
-        F.round(gini, 6).alias("gini_binned"),
+        (gini_mu.cast("double") / 1e6).alias("gini_binned"),
     )
 
 
@@ -101,9 +105,11 @@ tot AS (
 )
 SELECT CAST(n_customers AS BIGINT) AS n_customers,
        CAST(n_bins AS BIGINT) AS n_bins,
+       -- ok-round: exact cents grid (2 dp)
        round(total_cents / 100.0, 2) AS total_revenue,
-       round(1.0 - CAST(lorenz AS DOUBLE)
-             / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+       CAST(((CAST(n_customers AS HUGEINT) * total_cents - lorenz) * 1000000)
+            // (CAST(n_customers AS HUGEINT) * total_cents) AS DOUBLE)
+           / 1000000.0
            AS gini_binned
 FROM tot
 """
@@ -200,7 +206,9 @@ def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "p_brand",
         F.col("n").cast("long").alias("n_parts"),
-        F.round(F.col("sc") / 100.0 / F.col("n"), 2).alias("avg_price"),
+        # r8 conversion: exact truncating integer-division mean cents
+        (F.expr("sc div n").cast("double") / 100.0).alias("avg_price"),
+        # ok-round: irrational (sqrt family)
         F.when(F.col("sc") > 0, F.round(F.sqrt(F.greatest(cv2, F.lit(0.0))), 6))
         .otherwise(F.lit(0.0))
         .alias("price_cv"),
@@ -217,9 +225,10 @@ WITH per AS (
 )
 SELECT p_brand,
        CAST(n AS BIGINT) AS n_parts,
-       round(sc / 100.0 / n, 2) AS avg_price,
+       CAST(sc // n AS DOUBLE) / 100.0 AS avg_price,
        CASE WHEN sc > 0
-            THEN round(sqrt(greatest(
+            THEN -- ok-round: irrational (sqrt family)
+       round(sqrt(greatest(
                      CAST(CAST(n AS HUGEINT) * scc AS DOUBLE)
                      / CAST(CAST(sc AS HUGEINT) * sc AS DOUBLE) - 1.0, 0.0)), 6)
             ELSE CAST(0.0 AS DOUBLE) END AS price_cv
@@ -258,14 +267,20 @@ def customer_mktsegment_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
     )
     w = Window.partitionBy()
-    overall_avg = F.sum("s").over(w).cast("double") / F.sum("n").over(w)
-    seg_avg = F.col("s").cast("double") / F.col("n")
-    return seg.select(
+    # r8 conversion: mean cents are exact truncating integer-division
+    # quotients; the gap is their exact integer difference
+    seg_mu = F.expr("s div n")
+    return seg.withColumn("ts", F.sum("s").over(w)).withColumn(
+        "tn", F.sum("n").over(w)
+    ).select(
         "c_mktsegment",
         F.col("n").cast("long").alias("n_customers"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("s") / 100.0, 2).alias("revenue"),
-        F.round(seg_avg / 100.0, 2).alias("avg_per_customer"),
-        F.round((seg_avg - overall_avg) / 100.0, 2).alias("gap_vs_mean"),
+        (seg_mu.cast("double") / 100.0).alias("avg_per_customer"),
+        (
+            (seg_mu - F.expr("ts div tn")).cast("double") / 100.0
+        ).alias("gap_vs_mean"),
     )
 
 
@@ -282,10 +297,10 @@ seg AS (
 )
 SELECT c_mktsegment,
        CAST(n AS BIGINT) AS n_customers,
+       -- ok-round: exact cents grid (2 dp)
        round(s / 100.0, 2) AS revenue,
-       round(CAST(s AS DOUBLE) / n / 100.0, 2) AS avg_per_customer,
-       round((CAST(s AS DOUBLE) / n
-              - CAST(sum(s) OVER () AS DOUBLE) / sum(n) OVER ()) / 100.0, 2)
+       CAST(s // n AS DOUBLE) / 100.0 AS avg_per_customer,
+       CAST(s // n - sum(s) OVER () // sum(n) OVER () AS DOUBLE) / 100.0
            AS gap_vs_mean
 FROM seg
 """
@@ -329,8 +344,11 @@ def supplier_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("n_name").agg(
         F.max("cnt").cast("long").alias("n_suppliers"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.25) / 100.0, 2).alias("q1"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.5) / 100.0, 2).alias("median"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.75) / 100.0, 2).alias("q3"),
     )
 
@@ -342,8 +360,11 @@ WITH base AS (
 )
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_suppliers,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS q1,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS median,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS q3
 FROM base GROUP BY n_name
 """
@@ -378,12 +399,19 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     total = F.sum("n_orders").over(Window.partitionBy())
-    share = F.col("n_orders").cast("double") / total
-    return hist.select(
+    # r8 conversion: share = n/t and dev = (7n − t)/(7t) are exact
+    # rationals — truncating integer division at 6 dp (signed: div
+    # truncates toward zero in both engines)
+    return hist.withColumn("t", total).select(
         F.col("weekday").cast("long").alias("weekday"),
         "n_orders",
-        F.round(share, 6).alias("share"),
-        F.round(share - 1.0 / 7.0, 6).alias("dev_from_uniform"),
+        (F.expr("(n_orders * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
+        (
+            F.expr("((7 * n_orders - t) * 1000000) div (7 * t)")
+            .cast("double") / 1e6
+        ).alias("dev_from_uniform"),
     )
 
 
@@ -395,8 +423,10 @@ WITH h AS (
 )
 SELECT CAST(weekday AS BIGINT) AS weekday,
        CAST(n_orders AS BIGINT) AS n_orders,
-       round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6) AS share,
-       round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER () - 1.0 / 7.0, 6)
+       CAST((n_orders * 1000000) // sum(n_orders) OVER () AS DOUBLE)
+           / 1000000.0 AS share,
+       CAST(((7 * n_orders - sum(n_orders) OVER ()) * 1000000)
+            // (7 * sum(n_orders) OVER ()) AS DOUBLE) / 1000000.0
            AS dev_from_uniform
 FROM h
 """
@@ -450,8 +480,11 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return both.join(broadcast(n), F.col("nk") == F.col("n_nationkey")).select(
         "n_name",
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("e") / 100.0, 2).alias("export_revenue"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("i") / 100.0, 2).alias("import_spend"),
+        # ok-round: exact cents grid (2 dp)
         F.round((F.col("e") - F.col("i")) / 100.0, 2).alias("net_balance"),
     )
 
@@ -476,8 +509,11 @@ bal AS (
     FROM exports FULL OUTER JOIN imports USING (nk)
 )
 SELECT n_name,
+       -- ok-round: exact cents grid (2 dp)
        round(e / 100.0, 2) AS export_revenue,
+       -- ok-round: exact cents grid (2 dp)
        round(i / 100.0, 2) AS import_spend,
+       -- ok-round: exact cents grid (2 dp)
        round((e - i) / 100.0, 2) AS net_balance
 FROM bal JOIN nation ON nk = n_nationkey
 """
