@@ -179,7 +179,15 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact side."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r8 conversion: net revenue quantizes to 1e-4 dollars per row
+    # (exact — price and discount each carry ≤2 decimals), so both
+    # sums are exact integers and the Q14 percentage is ONE exact
+    # rational, truncating-integer-divided at 4 dp. The old form
+    # summed raw doubles (order-dependent association) and rounded a
+    # double quotient (the .xxxx5 boundary class) on both sides.
+    rev4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -187,24 +195,32 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                * 100.0
-                / F.sum(rev),
-                4,
+            F.sum(F.when(F.col("p_type") == "PROMO", rev4).otherwise(0)).alias(
+                "pr"
+            ),
+            F.sum(rev4).alias("tr"),
+        )
+        .select(
+            (
+                F.expr("(pr * 100 * 10000) div tr").cast("double") / 1e4
             ).alias("promo_share_pct")
         )
     )
 
 
 PROMO_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
+WITH t AS (
+    SELECT sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT) ELSE 0 END) AS pr,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) AS tr
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT CAST((pr * 100 * 10000) // tr AS DOUBLE) / 10000.0 AS promo_share_pct
+FROM t
 """
 
 

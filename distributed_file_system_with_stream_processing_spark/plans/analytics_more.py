@@ -458,6 +458,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "recency_days",
         "frequency",
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("_cents") / 100, 2).alias("monetary"),
         (5 - F.ntile(4).over(w_r)).cast("long").alias("r_score"),
         (5 - F.ntile(4).over(w_f)).cast("long").alias("f_score"),
@@ -481,6 +482,7 @@ base AS (
     FROM pc CROSS JOIN anchor an
 )
 SELECT custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       -- ok-round: exact cents grid (2 dp)
        round(cents / 100.0, 2) AS monetary,
        CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_score,
        CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_score,
@@ -535,6 +537,7 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n_name").alias("nation"),
         "n_suppliers",
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("_tot").cast("double") / 100, 2).alias("revenue"),
         F.round(hhi, 6).alias("hhi"),
     )
@@ -559,6 +562,7 @@ agg AS (
     FROM j GROUP BY nation
 )
 SELECT nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       -- ok-round: exact cents grid (2 dp)
        round(CAST(tot AS DOUBLE) / 100, 2) AS revenue,
        round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
 FROM agg

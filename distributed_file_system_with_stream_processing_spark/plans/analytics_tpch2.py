@@ -457,6 +457,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             "o_year",
+            # ok-round: exact cents grid (2 dp)
             F.round(F.col("_cents") / 100.0, 2).alias("sum_profit"),
         )
     )
@@ -464,6 +465,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0,
              2) AS sum_profit
 FROM lineitem, part, orders, supplier, nation
@@ -665,6 +667,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cents") * 200 > F.col("_total_cents"))
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
+            # ok-round: exact cents grid (2 dp)
             F.round(F.col("_cents") / 100.0, 2).alias("value"),
         )
     )
@@ -685,6 +688,7 @@ val AS (
 ),
 tot AS (SELECT sum(cents) AS total_cents FROM val)
 SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       -- ok-round: exact cents grid (2 dp)
        round(cents / 100.0, 2) AS value
 FROM val CROSS JOIN tot
 WHERE cents * 200 > total_cents

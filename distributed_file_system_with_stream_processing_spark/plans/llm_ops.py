@@ -287,6 +287,7 @@ MULTIMODAL_IMAGE_STATS_SQL = """
 SELECT doc_id AS media_id,
        CAST(length(text) % 640 + 16 AS INT) AS width,
        CAST(length(text) % 480 + 16 AS INT) AS height,
+       -- ok-round: power-of-two denominator (/16) — exact at 6 dp
        round(list_sum(list_transform(range(0, 16),
              i -> ('0x' || substr(md5(text), CAST(i*2+1 AS INT), 2))::BIGINT)) / 16.0,
              4) AS mean_luma

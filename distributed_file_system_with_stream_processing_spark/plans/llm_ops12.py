@@ -66,6 +66,9 @@ def embedding_dim_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2n = n * F.col("s2") - dec("s1") * dec("s1")
     kurt = F.when(
         m2n > 0,
+        # n·m4/(m2)² is rational, but the exact cross-multiplied form
+        # needs ~2× DECIMAL(38) headroom (4th-moment products) —
+        # ok-round: documented triage KEEP (identical double fold)
         F.round(
             (n * m4n3).cast("double") / (m2n * m2n).cast("double") - 3.0, 6
         ),
@@ -92,6 +95,7 @@ per AS (
 )
 SELECT CAST(dim AS BIGINT) AS dim,
        CASE WHEN CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+            -- ok-round: documented triage KEEP (see the Spark twin)
             THEN round(CAST(CAST(n AS HUGEINT) * (
                          CAST(n AS HUGEINT) * n * n * s4
                          - 4 * CAST(n AS HUGEINT) * n * s1 * s3
@@ -262,13 +266,12 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("n_points").cast("long").alias("n_points"),
+        # r8 conversion: n/(s/10⁶) = n·10⁶/s exactly — truncating
+        # integer division at 6 dp
         F.when(
             F.col("s") > 0,
-            F.round(
-                F.col("n_points").cast("double")
-                / (F.col("s").cast("double") / _MICRO),
-                6,
-            ),
+            F.expr("(n_points * 1000000 * 1000000) div s").cast("double")
+            / 1e6,
         )
         .otherwise(F.lit(0.0))
         .alias("intrinsic_dim"),
@@ -313,7 +316,8 @@ s AS (
 )
 SELECT CAST(n_points AS BIGINT) AS n_points,
        CASE WHEN s > 0
-            THEN round(CAST(n_points AS DOUBLE) / (CAST(s AS DOUBLE) / {_MICRO}), 6)
+            THEN CAST((CAST(n_points AS HUGEINT) * 1000000 * 1000000) // s
+                      AS DOUBLE) / 1000000.0
             ELSE CAST(0.0 AS DOUBLE) END AS intrinsic_dim
 FROM s
 """
@@ -369,8 +373,10 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("total_grams").cast("long").alias("total_grams"),
         F.col("novel_grams").cast("long").alias("novel_grams"),
-        F.round(
-            F.col("novel_grams").cast("double") / F.col("total_grams"), 6
+        # r8 conversion: exact truncating integer-division rate
+        (
+            F.expr("(novel_grams * 1000000) div total_grams").cast("double")
+            / 1e6
         ).alias("novel_share"),
     )
 
@@ -400,8 +406,8 @@ first AS (SELECT g, min(bucket) AS fb FROM per GROUP BY g)
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(sum(c) AS BIGINT) AS total_grams,
        CAST(sum(CASE WHEN fb = bucket THEN c ELSE 0 END) AS BIGINT) AS novel_grams,
-       round(CAST(sum(CASE WHEN fb = bucket THEN c ELSE 0 END) AS DOUBLE)
-             / sum(c), 6) AS novel_share
+       CAST((sum(CASE WHEN fb = bucket THEN c ELSE 0 END) * 1000000)
+            // sum(c) AS DOUBLE) / 1000000.0 AS novel_share
 FROM per JOIN first USING (g)
 GROUP BY bucket
 """
@@ -449,6 +455,7 @@ def docs_token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.substring_index(F.col("bg"), " ", 1).alias("w1"), "c"
     ).join(ca, ["source", "w1"]).join(broadcast(tot), "source")
     p_ab = F.col("c").cast("double") / F.col("n_pairs")
+    # ok-round: irrational (p*ln p entropy term)
     contrib = F.round(
         -(p_ab * F.log(F.col("c").cast("double") / F.col("cw"))) * _TBE_NANO
     ).cast("long")
@@ -458,6 +465,7 @@ def docs_token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(ent, "source").select(
         "source",
         F.col("n_pairs").cast("long").alias("n_pairs"),
+        # ok-round: exact nano grid (6 dp)
         F.round(F.col("s").cast("double") / _TBE_NANO, 6).alias("cond_entropy"),
     )
 
@@ -484,6 +492,7 @@ ca AS (
 tot AS (SELECT source, sum(c) AS n_pairs FROM cab GROUP BY source),
 ent AS (
     SELECT cab.source,
+           -- ok-round: irrational (p*ln p entropy term)
            sum(CAST(round(-(CAST(cab.c AS DOUBLE) / tot.n_pairs
                             * ln(CAST(cab.c AS DOUBLE) / ca.cw))
                           * {_TBE_NANO}) AS BIGINT)) AS s
@@ -494,6 +503,7 @@ ent AS (
 )
 SELECT t.source,
        CAST(t.n_pairs AS BIGINT) AS n_pairs,
+       -- ok-round: exact nano grid (6 dp)
        round(CAST(e.s AS DOUBLE) / {_TBE_NANO}, 6) AS cond_entropy
 FROM tot t JOIN ent e USING (source)
 """

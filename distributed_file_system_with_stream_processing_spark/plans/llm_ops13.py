@@ -72,14 +72,17 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .crossJoin(broadcast(tot))
     )
-    lift = (dec("n_ab") * dec("n_units")).cast("double") / (
-        dec("n_a") * dec("n_b")
-    ).cast("double")
+    # r8 conversion: lift = n_ab·N/(n_a·n_b) is an exact rational —
+    # truncating integer division at 6 dp in DECIMAL(38,0)
+    lift_mu = F.expr(
+        "(cast(n_ab as decimal(38,0)) * n_units * 1000000)"
+        " div (cast(n_a as decimal(38,0)) * n_b)"
+    )
     return joined.select(
         "type_a",
         "type_b",
         F.col("n_ab").cast("long").alias("n_units_both"),
-        F.round(lift, 6).alias("lift"),
+        (lift_mu.cast("double") / 1e6).alias("lift"),
     )
 
 
@@ -98,8 +101,9 @@ pairs AS (
 )
 SELECT type_a, type_b,
        CAST(n_ab AS BIGINT) AS n_units_both,
-       round(CAST(CAST(n_ab AS HUGEINT) * n_units AS DOUBLE)
-             / CAST(CAST(na.n_t AS HUGEINT) * nb.n_t AS DOUBLE), 6) AS lift
+       CAST((CAST(n_ab AS HUGEINT) * n_units * 1000000)
+            // (CAST(na.n_t AS HUGEINT) * nb.n_t) AS DOUBLE)
+           / 1000000.0 AS lift
 FROM pairs
 JOIN per_type na ON na.event_type = type_a
 JOIN per_type nb ON nb.event_type = type_b
@@ -253,7 +257,13 @@ def customer_order_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = dec("n")
     num = (n * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
     den = (n * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
-    slope_micro = F.round(num / den * _MICRO).cast("long")
+    # r8 conversion: the OLS slope is an exact rational of the
+    # integer sums — truncating integer division at 6 dp (signed)
+    slope_micro = F.expr(
+        "((cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+        " * 1000000) div (cast(n as decimal(38,0)) * sxx"
+        " - cast(sx as decimal(38,0)) * sx)"
+    )
     classed = per.select(
         slope_micro.alias("sm"),
         F.when(slope_micro > _TREND_CENTS_PER_ORDER * _MICRO, "growing")
@@ -263,8 +273,9 @@ def customer_order_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("trend").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            F.sum("sm").cast("double") / _MICRO / 100.0 / F.count(F.lit(1)), 4
+        # r8 conversion: S/(10⁶·100·n) at 4 dp = S div (10⁴·n) / 10⁴
+        (
+            F.expr("sum(sm) div (10000 * count(1))").cast("double") / 1e4
         ).alias("avg_slope_dollars"),
     )
 
@@ -285,16 +296,15 @@ per AS (
     HAVING count(*) >= 3
 ),
 cl AS (
-    SELECT CAST(round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                      * {_MICRO}) AS BIGINT) AS sm
+    SELECT ((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+           // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS sm
     FROM per
 )
 SELECT CASE WHEN sm > {_TREND_CENTS_PER_ORDER * _MICRO} THEN 'growing'
             WHEN sm < -{_TREND_CENTS_PER_ORDER * _MICRO} THEN 'declining'
             ELSE 'flat' END AS trend,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(CAST(sum(sm) AS DOUBLE) / {_MICRO} / 100.0 / count(*), 4)
+       CAST(sum(sm) // (10000 * count(*)) AS DOUBLE) / 10000.0
            AS avg_slope_dollars
 FROM cl GROUP BY 1
 """
@@ -384,7 +394,8 @@ def docs_first_word_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("w").alias("top_first_word"),
         F.col("c").cast("long").alias("n_docs_opening"),
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias("share"),
+        # r8 conversion: exact truncating integer-division rate
+        (F.expr("(c * 1000000) div n_docs").cast("double") / 1e6).alias("share"),
     )
 
 
@@ -401,7 +412,7 @@ top AS (
 SELECT t.source, top.w AS top_first_word,
        CAST(top.c AS BIGINT) AS n_docs_opening,
        CAST(t.n_docs AS BIGINT) AS n_docs,
-       round(CAST(top.c AS DOUBLE) / t.n_docs, 6) AS share
+       CAST((top.c * 1000000) // t.n_docs AS DOUBLE) / 1000000.0 AS share
 FROM top JOIN tot t USING (source)
 WHERE top.rk = 1
 """

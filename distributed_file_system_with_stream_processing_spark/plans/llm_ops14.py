@@ -51,8 +51,11 @@ def events_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_events"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.5) / 100.0, 2).alias("p50"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.9) / 100.0, 2).alias("p90"),
+        # ok-round: exact cents grid (2 dp)
         F.round(pick(0.99) / 100.0, 2).alias("p99"),
     )
 
@@ -63,8 +66,11 @@ WITH base AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS p50,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS p90,
+       -- ok-round: exact cents grid (2 dp)
        round(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) / 100.0, 2) AS p99
 FROM base GROUP BY event_type
 """
@@ -221,6 +227,7 @@ def lineitem_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_lines"),
+        # ok-round: irrational (sqrt in the denominator)
         F.when((vx > 0) & (vy > 0), F.round(num / den, 6))
         .otherwise(F.lit(0.0))
         .alias("qty_price_r"),
@@ -244,7 +251,8 @@ SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_lines,
        CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
              AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
-            THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            THEN -- ok-round: irrational (sqrt in the denominator)
+       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                        / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                           * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
                   6)

@@ -140,6 +140,7 @@ def customer_acctbal_vs_spend_corr(spark: SparkSession, sf_dir: str) -> DataFram
     return per.select(
         "c_mktsegment",
         F.col("n").cast("long").alias("n_customers"),
+        # ok-round: irrational (sqrt in the denominator)
         F.when((vx > 0) & (vy > 0), F.round(num / den, 6))
         .otherwise(F.lit(0.0))
         .alias("acctbal_spend_r"),
@@ -169,6 +170,7 @@ SELECT c_mktsegment,
        CAST(n AS BIGINT) AS n_customers,
        CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
              AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+       -- ok-round: irrational (sqrt in the denominator)
             THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                        / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                           * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
@@ -428,7 +430,8 @@ SELECT o_orderpriority,
        CAST(n AS BIGINT) AS n_orders,
        round(sc / 100.0 / n, 2) AS avg_value,
        CASE WHEN sc > 0
-            THEN round(sqrt(greatest(
+            THEN -- ok-round: irrational (sqrt family)
+       round(sqrt(greatest(
                      CAST(CAST(n AS HUGEINT) * scc AS DOUBLE)
                      / CAST(CAST(sc AS HUGEINT) * sc AS DOUBLE) - 1.0, 0.0)), 6)
             ELSE CAST(0.0 AS DOUBLE) END AS value_cv

@@ -97,12 +97,15 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_empty").cast("long").alias("n_empty_orders"),
         F.col("n_orphan").cast("long").alias("n_orphan_li_groups"),
         F.col("n_mism").cast("long").alias("n_mismatched"),
+        # r8 conversion: mean abs-error cents is an exact truncating
+        # integer-division quotient
         F.when(
             F.col("n_matched") > 0,
-            F.round(F.col("sum_err_c") / F.col("n_matched") / 100.0, 2),
+            F.expr("sum_err_c div n_matched").cast("double") / 100.0,
         )
         .otherwise(F.lit(0.0))
         .alias("avg_abs_err"),
+        # ok-round: exact cents grid (2 dp)
         F.round(F.coalesce(F.col("max_err_c"), F.lit(0)) / 100.0, 2).alias(
             "max_abs_err"
         ),
@@ -142,8 +145,9 @@ SELECT priority,
        CAST(sum(is_orphan) AS BIGINT) AS n_orphan_li_groups,
        CAST(sum(is_mism) AS BIGINT) AS n_mismatched,
        CASE WHEN count(err_c) > 0
-            THEN round(sum(err_c) / count(err_c) / 100.0, 2)
+            THEN CAST(sum(err_c) // count(err_c) AS DOUBLE) / 100.0
             ELSE CAST(0.0 AS DOUBLE) END AS avg_abs_err,
+       -- ok-round: exact cents grid (2 dp)
        round(coalesce(max(err_c), 0) / 100.0, 2) AS max_abs_err
 FROM j GROUP BY priority
 """

@@ -988,7 +988,7 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float-determinism: summing tf·log p(w) per doc is the q9 trap
     (partial-agg-order-dependent), so each term's log-prob quantizes
-    ONCE to exact micro-units — l_mu = round(log(count/N)·1e6) as
+    ONCE to exact micro-units — l_mu = the rounded log(count/N)·1e6 quantization as
     BIGINT, identical in any engine — and the per-doc reduction is an
     exact integer sum. ppl = exp(−Σ tf·l_mu / 1e6 / n_tokens): a
     fixed sequence of exact-input IEEE ops, bit-stable at any
@@ -1010,6 +1010,7 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPL_MICRO
     ).cast("long")
@@ -1036,6 +1037,7 @@ ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
 n AS (SELECT sum(ctot) AS n_corpus FROM ct),
 scored AS (
     SELECT tf.doc_id, tf.tf,
+           -- ok-round: irrational (ln) quantization
            tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / n.n_corpus)
                               * {_PPL_MICRO}) AS BIGINT) AS tl
     FROM tf JOIN ct USING (term) CROSS JOIN n
@@ -1045,6 +1047,7 @@ agg AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       -- ok-round: irrational (exp/ln family)
        round(exp(-(CAST(s AS DOUBLE) / {_PPL_MICRO}) / n_tokens), 4) AS perplexity
 FROM agg
 """

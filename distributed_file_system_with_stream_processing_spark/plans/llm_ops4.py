@@ -125,7 +125,7 @@ def bigram_model(docs: DataFrame) -> DataFrame:
     train-offline/score-online split for a model bigger than a
     broadcast.
 
-    l_mu = round(ln((c(uv)+k) / (c(u)+k·V)) · 1e6) as BIGINT — both
+    l_mu = the rounded ln((c(uv)+k)/(c(u)+k·V))·1e6 quantization as BIGINT — both
     ratio inputs exact-representable, quantized once, so any scorer's
     per-doc reduction is an exact integer sum.
     """
@@ -140,6 +140,7 @@ def bigram_model(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(
             (F.col("cbg") + F.lit(_BG_K))
@@ -184,7 +185,7 @@ def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float-determinism: both log-prob inputs are exact-representable
     (integer counts + 0.5, and 0.5·V), so each gram's log-prob
-    quantizes ONCE to micro-units (round(ln(num/den)·1e6) as BIGINT,
+    quantizes ONCE to micro-units (the rounded ln(num/den)·1e6 quantization as BIGINT,
     identical in any engine) and the per-doc reduction is an exact
     integer sum — the docs_unigram_perplexity convention.
 
@@ -227,6 +228,7 @@ agg AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       -- ok-round: irrational (exp/ln family)
        round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS bigram_ppl
 FROM agg
 """
@@ -401,6 +403,7 @@ agg AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       -- ok-round: irrational (exp/ln family)
        round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS interp_ppl
 FROM agg
 """
@@ -441,6 +444,7 @@ def docs_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = ns.agg(F.sum("n_s").alias("n_corpus"))
     p_s = F.col("c_st").cast("double") / F.col("n_s")
     q = F.col("c_t").cast("double") / F.col("n_corpus")
+    # ok-round: irrational (p*ln(p/q) KL term)
     t_nano = F.round(p_s * F.log(p_s / q) * _KL_NANO).cast("long")
     return (
         cs.join(ct, "term")
@@ -451,6 +455,7 @@ def docs_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_s").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_terms"),
+            # ok-round: exact nano grid (6 dp)
             F.round(F.sum("_t").cast("double") / _KL_NANO, 6).alias("kl_nats"),
         )
     )
@@ -466,6 +471,7 @@ ns AS (SELECT source, sum(c_st) AS n_s FROM cs GROUP BY source),
 n AS (SELECT sum(n_s) AS n_corpus FROM ns),
 scored AS (
     SELECT cs.source, ns.n_s,
+           -- ok-round: irrational (p*ln(p/q) KL term)
            CAST(round((CAST(cs.c_st AS DOUBLE) / ns.n_s)
                       * ln((CAST(cs.c_st AS DOUBLE) / ns.n_s)
                            / (CAST(ct.c_t AS DOUBLE) / n.n_corpus))
@@ -474,6 +480,7 @@ scored AS (
 )
 SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_terms,
+       -- ok-round: exact nano grid (6 dp)
        round(CAST(sum(t) AS DOUBLE) / {_KL_NANO}, 6) AS kl_nats
 FROM scored GROUP BY source
 """
@@ -523,6 +530,7 @@ fr AS (
 )
 SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS INT) AS frame_ts_ms,
        CAST(bys[CAST((16 - (frame_idx % 16)) % 16 AS INT) + 1] AS INT) AS lead_byte,
+       -- ok-round: power-of-two denominator (/16) — exact at 4 dp
        round(list_sum(bys) / 16.0, 4) AS frame_mean
 FROM fr
 """
@@ -729,6 +737,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = dev.join(broadcast(mad), "event_type")
     score = F.when(F.col("mad") == 0, F.lit(-1.0)).otherwise(
+        # ok-round: float-coefficient MAD sigma composite
         F.round(F.col("adev") / (F.lit(_MAD_SIGMA) * F.col("mad")), 4)
     )
     flag = F.col("adev") > F.lit(3.0) * F.lit(_MAD_SIGMA) * F.col("mad")
@@ -759,6 +768,7 @@ mad AS (
 )
 SELECT d.event_id, d.event_type, d.v_mi,
        CASE WHEN m.mad = 0 THEN -1.0
+            -- ok-round: float-coefficient MAD sigma composite
             ELSE round(d.adev / ({_MAD_SIGMA} * m.mad), 4) END AS mad_score,
        d.adev > 3.0 * {_MAD_SIGMA} * m.mad AS is_anomaly
 FROM dev d JOIN mad m USING (event_type)
@@ -828,6 +838,7 @@ def fusion_interp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "item_id",
+            # ok-round: exact micro grid (6 dp)
             F.round(F.col("_s_mu").cast("double") / _INTERP_MICRO, 6).alias("interp"),
             "in_bm25",
             "in_ann",
@@ -895,6 +906,7 @@ fr AS (
     FROM fused
 )
 SELECT query_id, item_id,
+       -- ok-round: exact micro grid (6 dp)
        round(CAST(s_mu AS DOUBLE) / {_INTERP_MICRO}, 6) AS interp,
        in_bm25, in_ann, CAST(rank AS BIGINT) AS rank
 FROM fr

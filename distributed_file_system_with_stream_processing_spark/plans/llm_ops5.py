@@ -162,6 +162,7 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            # ok-round: irrational (ln idf) quantization
             F.round(
                 F.col("tf")
                 * F.log(F.col("n_docs").cast("double") / F.col("df"))
@@ -228,6 +229,7 @@ postings AS (
 df_t AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
 weighted AS (
     SELECT p.doc_id, p.term,
+           -- ok-round: irrational (ln idf)
            CAST(round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)
                       * {_TR_MICRO}) AS BIGINT) AS w_mu
     FROM postings p JOIN df_t d USING (term) CROSS JOIN nd n
@@ -485,6 +487,7 @@ w{k} AS (
         f"""
 SELECT e.vec_id,
        CAST(CASE WHEN e.y = 1.0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+       -- ok-round: irrational (logistic sigmoid)
        round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, {d + 1}),
              i -> e.v[i] * w{kf}.w[i])) + w{kf}.b))), 6) AS p,
        CAST((1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, {d + 1}),
@@ -686,6 +689,7 @@ ranked AS (
     FROM counts
 ),
 pts AS (
+    -- ok-round: irrational (ln family — Kneser-Ney discounted gain)
     SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS x,
            CAST(round(ln(CAST(cnt AS DOUBLE)) * {_ZF_MICRO}) AS BIGINT) AS y
     FROM ranked
@@ -896,6 +900,7 @@ agg AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       -- ok-round: irrational (exp/ln family)
        round(exp(-(CAST(s AS DOUBLE) / {_KN_MICRO}) / n_bigrams), 4) AS kn_ppl
 FROM agg
 """

@@ -261,6 +261,7 @@ enr AS (
     WHERE c.c_ab >= {_PMI_MIN_COUNT}
 )
 SELECT gram, CAST(c_ab AS BIGINT) AS c_ab,
+       -- ok-round: irrational (ln) quantization
        CAST(round(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni / n_bg / c_a / c_b)
                   * {_PMI_MICRO}) AS BIGINT) AS pmi_mu
 FROM enr
@@ -280,10 +281,12 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     the acceptance audit for the int8 ANN path (ann_quantized_topk
     compresses vectors to int8 with per-vector scale s = max|x|/127;
     this query measures exactly what that costs): err = Σ_i (x_i −
+    -- ok-round: algorithmic round-to-nearest (quantizer definition)
     round(x_i/s)·s)², reported in exact pico-units so the value hash
     is float-free.
 
     Exactness: s is one exact division; each dim's reconstruction
+    -- ok-round: algorithmic round-to-nearest (quantizer definition)
     delta is the fixed sequence x − round(x/s)·s; its square
     quantizes ONCE to pico-units (BIGINT) and the per-vector
     reduction is an exact integer sum. All-zero vectors (s = 0) short-
@@ -306,6 +309,7 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     ).withColumn("s", F.col("mx") / F.lit(127.0))
     deltas = F.transform(
+        # ok-round: algorithmic round-to-nearest (quantizer definition)
         F.col("v"), lambda x: x - F.round(x / F.col("s")) * F.col("s")
     )
     err = F.aggregate(
@@ -327,7 +331,9 @@ m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
 SELECT vec_id,
        CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
             ELSE CAST(list_sum(list_transform(v, x ->
+                 -- ok-round: algorithmic round-to-nearest (quantizer)
                  CAST(round((x - round(x / (mx / 127.0)) * (mx / 127.0))
+                            -- ok-round: algorithmic round-to-nearest (quantizer)
                             * (x - round(x / (mx / 127.0)) * (mx / 127.0))
                             * {float(_QE_PICO)}) AS BIGINT))) AS BIGINT)
        END AS err_pico
@@ -827,8 +833,8 @@ def docs_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: token counts and cluster sizes are exact integers;
     each doc's weighted contribution tokens·1e6/size quantizes ONCE
-    (single integer division sequence in both engines via
-    round(t·1e6/s)) and the per-source reduction is an order-free
+    (single integer division sequence in both engines via the
+    rounded t·1e6/s quantization) and the per-source reduction is an order-free
     integer sum.
 
     100 TB shape: the LSH + CC backbone (diameter-independent,
@@ -1098,7 +1104,9 @@ model AS (
 ),
 agg AS (SELECT sum(c) AS n_bigrams, sum(CAST(c AS HUGEINT) * l_mu) AS s FROM model)
 SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       -- ok-round: irrational (p*ln p entropy term)
        round(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams, 6) AS cross_entropy_nats,
+       -- ok-round: irrational (exp/ln family)
        round(exp(-(CAST(s AS DOUBLE) / {_BG_MICRO}) / n_bigrams), 4) AS corpus_ppl
 FROM agg
 """

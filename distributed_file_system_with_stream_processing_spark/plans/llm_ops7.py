@@ -265,6 +265,7 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.label").alias("label_a"),
             F.col("y.label").alias("label_b"),
+            # ok-round: irrational (sqrt norms)
             F.round(dot / (nx * ny), 6).alias("cosine"),
         )
     )
@@ -342,6 +343,7 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return monthly.select(
         "month",
+        # ok-round: exact cents grid (2 dp)
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         "n_orders",
         growth.alias("mom_growth"),
@@ -355,7 +357,8 @@ WITH m AS (
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY 1
 )
-SELECT month, round(cents / 100.0, 2) AS revenue, n_orders,
+SELECT month,
+       round(cents / 100.0, 2) AS revenue, n_orders,  -- ok-round: exact cents grid
        CASE WHEN lag(cents) OVER (ORDER BY month) IS NULL THEN 0.0
             ELSE round(CAST(cents - lag(cents) OVER (ORDER BY month) AS DOUBLE)
                        / lag(cents) OVER (ORDER BY month), 6) END AS mom_growth

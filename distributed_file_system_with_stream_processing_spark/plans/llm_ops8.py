@@ -182,6 +182,7 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            # ok-round: exact cents grid (2 dp)
             F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
         )
     )
@@ -203,6 +204,7 @@ SELECT f.cohort_month,
        o.midx - f.first_midx AS age_months,
        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
        CAST(count(*) AS BIGINT) AS n_orders,
+       -- ok-round: exact cents grid (2 dp)
        round(sum(o.cents) / 100.0, 2) AS revenue
 FROM o2 o JOIN fo f USING (o_custkey)
 GROUP BY 1, 2
@@ -249,13 +251,20 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month")
         .agg(F.count(F.lit(1)).alias("mau"))
     )
-    avg_dau = F.col("sum_dau").cast("double") / F.col("n_active_days")
+    # r8 conversion: avg_dau = D/days and stickiness = D/(days·mau)
+    # are exact rationals — truncating integer division at 6 dp
     return monthly.join(mau, "month").select(
         "month",
         "n_active_days",
-        F.round(avg_dau, 6).alias("avg_dau"),
+        (
+            F.expr("(sum_dau * 1000000) div n_active_days").cast("double")
+            / 1e6
+        ).alias("avg_dau"),
         "mau",
-        F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+        (
+            F.expr("(sum_dau * 1000000) div (n_active_days * mau)")
+            .cast("double") / 1e6
+        ).alias("stickiness"),
     )
 
 
@@ -275,9 +284,11 @@ mau AS (
     FROM (SELECT DISTINCT month, user_id FROM mdu) GROUP BY month
 )
 SELECT m.month, CAST(m.n_active_days AS BIGINT) AS n_active_days,
-       round(CAST(m.sum_dau AS DOUBLE) / m.n_active_days, 6) AS avg_dau,
+       CAST((m.sum_dau * 1000000) // m.n_active_days AS DOUBLE)
+           / 1000000.0 AS avg_dau,
        CAST(a.mau AS BIGINT) AS mau,
-       round(CAST(m.sum_dau AS DOUBLE) / m.n_active_days / a.mau, 6) AS stickiness
+       CAST((m.sum_dau * 1000000) // (m.n_active_days * a.mau) AS DOUBLE)
+           / 1000000.0 AS stickiness
 FROM monthly m JOIN mau a USING (month)
 """
 
@@ -865,6 +876,7 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pair_curve, "min_agree", "left")
         .select(
             F.col("min_agree").cast("long").alias("min_agree"),
+            # ok-round: power-of-two denominator — k/16 exact at 6 dp
             F.round(
                 F.col("min_agree") / F.lit(float(_MH_SWEEP_HASHES)), 6
             ).alias("est_jaccard_threshold"),
@@ -902,6 +914,7 @@ pc AS (
     GROUP BY t.m
 )
 SELECT CAST(g.m AS BIGINT) AS min_agree,
+       -- ok-round: power-of-two denominator — k/16 exact at 6 dp
        round(g.m / CAST({hi} AS DOUBLE), 6) AS est_jaccard_threshold,
        CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
        CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs
@@ -954,6 +967,7 @@ def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
+    # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _QPC_MICRO
     ).cast("long")
@@ -1003,6 +1017,7 @@ def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard itself never divides.
     return sums.select(
         F.col("n").cast("long").alias("n_docs"),
+        # ok-round: irrational (sqrt in the denominator)
         F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("pearson_r"),
     )
 
@@ -1049,6 +1064,7 @@ s AS (
 SELECT CAST(n AS BIGINT) AS n_docs,
        CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
              AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+            -- ok-round: irrational (sqrt in the denominator)
             THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                        / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                           * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
@@ -1264,10 +1280,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # r8 conversion: exact truncating integer-division rate
+            (
+                F.expr("(sum(coalesce(hit, 0)) * 1000000) div count(1)")
+                .cast("double") / 1e6
             ).alias("recall"),
         )
     )
@@ -1297,8 +1313,8 @@ ex_rk AS (
     FROM ex_sim)
 SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
        CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       round(CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS recall
+       CAST((sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS recall
 FROM (SELECT query_id, neighbor_id FROM ex_rk WHERE rank <= {_ARA_K}) ex
 LEFT JOIN (SELECT query_id, neighbor_id FROM rk WHERE rank <= {_ARA_K}) iv
   USING (query_id, neighbor_id)
@@ -1371,31 +1387,27 @@ def survivor_fold(members: DataFrame) -> DataFrame:
         F.min_by("q_mu", "doc_id").alias("kept_q"),
         F.max("q_mu").alias("best_q"),
     )
+    # r8 conversion: share and regret are exact rationals of the
+    # integer fold — truncating integer division at 6 dp (regret is
+    # in quality units: Σdiff_mu div n IS the 6 dp mean)
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.coalesce(
-            F.round(
-                F.sum((F.col("kept_q") == F.col("best_q")).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
-                6,
-            ),
+            F.expr(
+                "(sum(cast(kept_q = best_q as long)) * 1000000) div count(1)"
+            ).cast("double")
+            / 1e6,
             F.lit(1.0),
         ).alias("kept_best_share"),
         F.coalesce(
-            F.round(
-                F.sum(F.col("best_q") - F.col("kept_q")).cast("double")
-                / 1_000_000
-                / F.count(F.lit(1)),
-                6,
-            ),
+            F.expr("sum(best_q - kept_q) div count(1)").cast("double") / 1e6,
             F.lit(0.0),
         ).alias("avg_quality_regret"),
     )
 
 
-_QUALITY_MU_SQL = r"""CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+_QUALITY_MU_SQL = r"""-- ok-round: float-coefficient quality composite
+CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
                 CAST(0.25 AS DOUBLE)
                 + CAST(0.002 AS DOUBLE) * CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
                 + CAST(1.2 AS DOUBLE) * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
@@ -1427,9 +1439,10 @@ g AS (
     GROUP BY cc.cluster_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_groups,
-       coalesce(round(CAST(sum(CASE WHEN kept_q = best_q THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 6), 1.0) AS kept_best_share,
-       coalesce(round(CAST(sum(best_q - kept_q) AS DOUBLE) / 1000000 / count(*), 6),
+       coalesce(CAST((sum(CASE WHEN kept_q = best_q THEN 1 ELSE 0 END)
+                      * 1000000) // count(*) AS DOUBLE) / 1000000.0, 1.0)
+           AS kept_best_share,
+       coalesce(CAST(sum(best_q - kept_q) // count(*) AS DOUBLE) / 1000000.0,
                 0.0) AS avg_quality_regret
 FROM g
 """
@@ -1489,6 +1502,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "n_types",
+        # ok-round: exact nano grid (6 dp)
         F.round(F.col("s").cast("double") / _STE_NANO, 6).alias("entropy"),
     )
 
@@ -1507,6 +1521,7 @@ totals AS (
 ),
 ent AS (
     SELECT tc.source,
+           -- ok-round: irrational (p*ln p entropy term)
            sum(CAST(round(-(CAST(tc.c AS DOUBLE) / t.n_tokens
                             * ln(CAST(tc.c AS DOUBLE) / t.n_tokens))
                           * {_STE_NANO}) AS BIGINT)) AS s
@@ -1515,6 +1530,7 @@ ent AS (
 )
 SELECT t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST(t.n_types AS BIGINT) AS n_types,
+       -- ok-round: exact nano grid (6 dp)
        round(CAST(e.s AS DOUBLE) / {_STE_NANO}, 6) AS entropy
 FROM totals t JOIN ent e USING (source)
 """

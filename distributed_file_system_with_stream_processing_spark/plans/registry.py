@@ -88,74 +88,66 @@ for _m in _MODULES:
 # already green cedes its slot (r5 verdict item 6; the r5 overflow to
 # 51 entries cost supplier_single_source_parts its row).
 _FRONT = [
-    # 1. changed this round (r7)
-    "embedding_neardup",  # bucket_cap=50 is now the DEFAULT (r6 verdict #1)
-    # NOT fronted despite a PLAN change (r7, HOF sweep):
-    # `semantic_dedup` shares banded_neardup_pairs' rewritten backbone
-    # (numpy signature kernel + scalar verify expansion). The rewrite
-    # is bit-identical BY CONSTRUCTION (same products, same fold
-    # association — operators/similarity.py), the query keeps its
-    # green r6 driver row, the suite re-oracles it at sf0.001 every
-    # run (tests/test_queries.py::test_query_matches_oracle), and the
-    # driver-style sf0.01 comparison was re-run green after the
-    # rewrite. The 50 slots all go to queries with NO row yet — the
-    # r5 overflow showed an over-full front silently drops entries.
-    # 2. renamed this round (r7): the uncapped banding demoted from the
-    #    primary name (was green as `embedding_neardup` through r6; the
-    #    capped plan was green as `embedding_neardup_capped` in r6) —
-    #    new NAME, so it needs a driver row under that name
+    # --- r8 front: {new this round} ∪ {changed since their last green
+    # driver row} — 48 entries, under the 50-row cap (the r5 overflow
+    # precedent: an over-full front silently drops entries).
+    # 1. r8 new queries (llm_ops22)
+    "events_last_touch_attribution",
+    "events_linear_attribution",
+    "docs_heaps_exponent_by_source",
+    # 2. changed: banded_neardup_pairs gained the len(v)=dim pre-filter
+    #    (r8 advice — oracle mirrors), and semantic_dedup additionally
+    #    re-fronts for the r7 kernel rewrite it missed (r7 verdict #1)
+    "embedding_neardup",
     "embedding_neardup_uncapped",
-    # changed (r7): now roll up the session-persisted dedup backbones
-    # (plans/_backbones.py) instead of re-deriving detectors inline
-    "dedup_agreement_matrix",
-    "dedup_cluster_sizes",
-    "docs_dedup_survivor_quality",
-    "docs_effective_tokens",
-    # 3. new round-7 queries (appended as they land)
-    "docs_heaps_curve",
-    "docs_heaps_exponent",
-    "docs_oov_rate_curve",
-    "docs_term_burstiness_topk",
-    "docs_readability_proxy",
-    "docs_source_concentration_by_lang",
-    "docs_length_band_quality",
-    "docs_split_balance_audit",
-    "docs_cluster_source_purity",
-    "docs_hapax_quality_lift",
-    "docs_char_bigram_entropy_by_lang",
+    "semantic_dedup",
+    # 3. changed: the trained k-means cell backbone persists per
+    #    session (plans/_backbones.py — r7 verdict #2); oracles
+    #    unchanged, plans now read the shared materialization
+    "semantic_dedup_kmeans",
+    "semdedup_cell_stats",  # + dup_rate conversion (wave 2)
+    "embedding_knn_graph",
+    "embedding_hubness",
+    "ann_ivf_trained",
+    "ann_recall_audit",  # + recall conversion (wave 2)
+    "ann_probe_recall_curve",  # + candidate_recall conversion
+    "ivf_cell_balance",  # + share/balance conversion
+    # 4. changed: round-quotient → truncating-integer-division
+    #    conversions, wave 2 (r7 verdict #1; every entry's plan AND
+    #    oracle changed together and re-verified at sf0.001 + sf0.01)
+    "lineitem_discount_band_profile",  # + row-level qty quantization
+    "docs_oov_rate_curve",  # oracle-side fix (kept round() in r7)
     "docs_simhash_bit_balance",
-    "events_cusum_drift",
-    "events_hill_tail_index",
-    "events_user_type_entropy_hist",
-    "events_wau_growth",
+    "docs_cluster_source_purity",
     "events_type_user_gini_binned",
-    "events_dow_hour_heatmap",
-    "events_daily_anomaly_days",
-    "events_winsorized_stats",
-    "events_props_value_stats",
-    "events_first_touch_attribution",
-    "events_concurrent_sessions_peak",
-    "events_retention_halflife",
-    "customer_balance_band_behavior",
-    "lineitem_discount_band_profile",
-    "part_price_band_revenue",
-    "nation_customer_supplier_balance",
-    "supplier_revenue_consistency",
     "customer_segment_nation_chi2",
-    "orders_interpurchase_gaps",
-    "lineitem_returned_share_trend",
     "embedding_label_cohesion",
-    "embedding_dim_corr_topk",
-    "embedding_norm_anova",
-    "embedding_sparsity_profile",
-    "orders_basket_size_profile",
-    "nation_revenue_share_trend",
-    "events_hour_type_value_interaction",
-    "events_error_burst_lengths",
-    "lineitem_tax_band_profile",
-    "part_name_token_price",
-    "docs_quality_by_split",
-    "docs_dup_length_bias",
+    "docs_template_shingles",
+    "events_ab_conversion",
+    "events_ab_value_ttest",
+    "shingle_df_histogram",
+    "docs_ppl_percentiles_by_source",
+    "events_survival_curve",
+    "customer_revenue_gini",
+    "supplier_single_source_parts",
+    "docs_hapax_by_source",
+    "docs_compression_proxy",
+    "docs_prefix_dup_rate",
+    "docs_casefold_dup_lift",
+    "events_value_benford",
+    "customer_revenue_gini_binned",
+    "part_brand_price_dispersion",
+    "customer_mktsegment_value_gap",
+    "orders_weekday_seasonality",
+    "embedding_intrinsic_dim",
+    "docs_ngram_novelty_curve",
+    "events_type_cooccurrence_lift",
+    "customer_order_value_trend",
+    "docs_first_word_concentration",
+    "orders_reconciliation_audit",
+    "promo_revenue_share",
+    "docs_dedup_survivor_quality",
+    "events_dau_mau",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]

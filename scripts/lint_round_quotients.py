@@ -99,9 +99,10 @@ _SQL_ROUND = re.compile(r"round\s*\(", re.IGNORECASE)
 def _sql_round_quotients(sql: str, *, unmarked_only: bool = False) -> int:
     """Count round( calls whose FIRST argument contains a top-level /
     (paren-depth scan; close enough for an inventory). With
-    ``unmarked_only``, a site whose opening line (or one of the 3
-    lines above) carries an ``ok-round:`` triage comment is
-    suppressed."""
+    ``unmarked_only``, a site whose opening line (or the line
+    directly above) carries an ``ok-round:`` triage comment is
+    suppressed — one line only, so adjacent sites cannot be
+    suppressed by a neighbor's marker."""
     count = 0
     for m in _SQL_ROUND.finditer(sql):
         depth, i = 1, m.end()
@@ -117,14 +118,10 @@ def _sql_round_quotients(sql: str, *, unmarked_only: bool = False) -> int:
             i += 1
         if saw_div:
             if unmarked_only:
-                start = m.start()
-                for _ in range(4):
-                    start = sql.rfind("\n", 0, max(start, 0))
-                    if start <= 0:
-                        start = 0
-                        break
+                line_start = sql.rfind("\n", 0, m.start())
+                prev_start = sql.rfind("\n", 0, max(line_start, 0))
                 line_end = sql.find("\n", m.start())
-                ctx = sql[start : line_end if line_end >= 0 else len(sql)]
+                ctx = sql[max(prev_start, 0) : line_end if line_end >= 0 else len(sql)]
                 if _MARK in ctx:
                     continue
             count += 1

@@ -55,14 +55,10 @@ def locate(path: Path) -> None:
                 i += 1
             if not saw_div:
                 continue
-            start = m.start()
-            for _ in range(4):
-                start = s.rfind("\n", 0, max(start, 0))
-                if start <= 0:
-                    start = 0
-                    break
+            line_start = s.rfind("\n", 0, m.start())
+            prev_start = s.rfind("\n", 0, max(line_start, 0))
             line_end = s.find("\n", m.start())
-            ctx = s[start : line_end if line_end >= 0 else len(s)]
+            ctx = s[max(prev_start, 0) : line_end if line_end >= 0 else len(s)]
             if _MARK in ctx:
                 continue
             in_str_line = s.count("\n", 0, m.start())

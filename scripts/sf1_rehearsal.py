@@ -102,6 +102,37 @@ QUERIES_UNDER_TEST = [
     # 34.7 s → 2.1 s at sf1).
     "embedding_label_cohesion",
     "docs_simhash_bit_balance",
+    # round-8 backfill (r7 verdict #4): EVERY headline query ≥1 s at
+    # sf0.1 now has a rehearsal row — the 27 below complete the stock
+    # (mostly the pre-r6 LM-scoring and retrieval families, plus the
+    # two IVF audits that now read the session-trained centroids).
+    "bpe_train_merges",
+    "ann_probe_recall_curve",
+    "ivf_cell_balance",
+    "docs_kn_perplexity",
+    "neardup_khop_reach",
+    "docs_interp_perplexity_bucketed",
+    "docs_interp_perplexity",
+    "curation_funnel",
+    "bm25_retrieval_topk",
+    "events_markov_stationary",
+    "bigram_pmi_topk",
+    "corpus_cross_entropy",
+    "session_expected_length",
+    "docs_bigram_perplexity",
+    "tfidf_retrieval_topk",
+    "embedding_label_drift",
+    "simhash_threshold_sweep",
+    "docs_clean_pack",
+    "docs_ppl_percentiles_by_source",
+    "minhash_containment",
+    "decontaminate_bloom",
+    "docs_kl_by_source",
+    "contrastive_pairs",
+    "dedup_exact_substring",
+    "dsir_resample_topk",
+    "tfidf_top_terms",
+    "q5_local_supplier_volume",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")

@@ -821,3 +821,42 @@ def test_banded_neardup_drops_malformed_rows(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_wideband_neardup_recall_pinned(spark):
+    """r8 (verdict #5): the WIDE-band variant (rows_per_band doubled —
+    16-bit band keys at production shape; here 8 bits on the dim-16
+    fixture) must keep flood recall: identical vectors share every
+    band whatever the width (recall 1.0 on true duplicates), and
+    slightly-perturbed near-dups must still reach the flood through
+    ≥1 band. Wide keys shrink BUCKETS (fewer random collisions →
+    less verify work), not true-duplicate recall."""
+    base = _vec(7)
+    rows = [(i, base) for i in range(10)]
+    rows += [
+        (50 + j, [v + (0.001 * (j + 1)) for v in base]) for j in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def touched(pairs):
+        t = set()
+        for r in pairs:
+            t.add(r["id_a"])
+            t.add(r["id_b"])
+        return t
+
+    narrow = S.banded_neardup_pairs(
+        emb, threshold=0.99, bands=4, rows_per_band=4, dim=16, bucket_cap=3
+    ).collect()
+    wide = S.banded_neardup_pairs(
+        emb, threshold=0.99, bands=4, rows_per_band=8, dim=16, bucket_cap=3
+    ).collect()
+    # every flood/near-dup member keeps at least one edge into the
+    # flood under the wide keys — same touched set as the narrow twin
+    assert touched(wide) == touched(narrow) == set(range(10)) | {50 + j for j in range(5)}
+    # identical-vector pairs under the cap are EXACTLY the narrow
+    # capped set (identical vectors collide in every band at any
+    # width, so the rank-window cap picks the same representatives)
+    flood_w = {(a, b) for a, b in ((r["id_a"], r["id_b"]) for r in wide) if b < 10}
+    flood_n = {(a, b) for a, b in ((r["id_a"], r["id_b"]) for r in narrow) if b < 10}
+    assert flood_w == flood_n

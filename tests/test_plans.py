@@ -215,6 +215,14 @@ def test_no_cartesian_or_loop_join_anywhere(spark):
         # corpus sum-vector total, Gram row count
         "docs_split_balance_audit",
         "events_first_touch_attribution",
+        # r8: the last/linear attribution twins share first-touch's
+        # 1-row grand-total share broadcast
+        "events_last_touch_attribution",
+        "events_linear_attribution",
+        # r8: per-source Heaps — the |sources|·10-row checkpoint table
+        # rides BuildRight broadcasts into the two ≤-joins (the
+        # docs_heaps_curve shape, keyed by source)
+        "docs_heaps_exponent_by_source",
         "events_retention_halflife",
         "lineitem_discount_band_profile",
         "embedding_label_cohesion",
