@@ -106,22 +106,26 @@ def test_registry_front_loads_unchecked_queries():
     names = list(R.QUERIES)
     assert names[: len(R._FRONT)] == R._FRONT
     assert len(R._FRONT) <= 50, len(R._FRONT)
-    # round 7 policy (unchanged from r6): _FRONT = {no driver row yet}
-    # ∪ {plan/oracle changed since last green row}, nothing else.
+    # round 8 policy (unchanged since r6): _FRONT = {no driver row
+    # yet} ∪ {plan/oracle changed since last green row}, nothing else.
     must_front = {
-        # changed this round (r7): capped banding became the default
+        # new this round (r8): no driver row yet
+        "events_last_touch_attribution",
+        "events_linear_attribution",
+        "docs_heaps_exponent_by_source",
+        # changed (r8): banded_neardup_pairs gained the len(v)=dim
+        # pre-filter; semantic_dedup additionally repays the r7
+        # kernel-rewrite re-front debt
         "embedding_neardup",
-        # renamed this round (r7): needs a row under the new name
         "embedding_neardup_uncapped",
-        # semantic_dedup also shares the r7 banded_neardup_pairs
-        # kernel rewrite but is NOT fronted: bit-identical by
-        # construction, green r6 row, re-oracled at sf0.001 by this
-        # very suite — the 50 slots go to zero-row entries (see the
-        # registry comment)
-        # changed (r7): now roll up the session-persisted backbones
-        "dedup_agreement_matrix",
-        "dedup_cluster_sizes",
-        "docs_dedup_survivor_quality",
-        "docs_effective_tokens",
+        "semantic_dedup",
+        # changed (r8): the trained k-means cell backbone persists
+        "semantic_dedup_kmeans",
+        "embedding_knn_graph",
+        "ann_ivf_trained",
+        # representative wave-2 conversions (plan AND oracle changed)
+        "docs_oov_rate_curve",
+        "customer_revenue_gini",
+        "promo_revenue_share",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
