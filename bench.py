@@ -291,6 +291,11 @@ def main() -> None:
         "part_name_token_price",
         "docs_quality_by_split",
         "docs_dup_length_bias",
+        # round-8 additions (the attribution batch queries and the
+        # per-source Heaps screen)
+        "events_last_touch_attribution",
+        "events_linear_attribution",
+        "docs_heaps_exponent_by_source",
     ]
     headline = [q for q in headline if q in QUERIES]
 
