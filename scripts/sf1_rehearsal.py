@@ -133,6 +133,11 @@ QUERIES_UNDER_TEST = [
     "dsir_resample_topk",
     "tfidf_top_terms",
     "q5_local_supplier_volume",
+    # round-8 new queries (dev_check gate: docs_heaps_exponent_by_source
+    # crossed 1 s at sf0.1; the attribution twins ride along)
+    "events_last_touch_attribution",
+    "events_linear_attribution",
+    "docs_heaps_exponent_by_source",
 ]
 
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
