@@ -277,6 +277,10 @@ AUDITED = [
     "docs_quality_by_split",
     "docs_dup_length_bias",
     "orders_reconciliation_audit",
+    # round-8 additions
+    "events_last_touch_attribution",
+    "events_linear_attribution",
+    "docs_heaps_exponent_by_source",
 ]
 
 JOIN_KINDS = (
