@@ -165,9 +165,10 @@ def customer_repeat_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         "n_name",
         F.col("n_customers").cast("long").alias("n_customers"),
         F.col("n_repeat").cast("long").alias("n_repeat"),
-        F.round(F.col("n_repeat").cast("double") / F.col("n_customers"), 6).alias(
-            "repeat_rate"
-        ),
+        # r8 conversion: exact truncating integer-division rate
+        (
+            F.expr("(n_repeat * 1000000) div n_customers").cast("double") / 1e6
+        ).alias("repeat_rate"),
     )
 
 
@@ -178,8 +179,8 @@ WITH per AS (
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
-       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS repeat_rate
+       CAST((sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS DOUBLE) / 1000000.0 AS repeat_rate
 FROM per
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -362,11 +363,14 @@ def orders_status_year_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
     tot = F.sum("n_orders").over(Window.partitionBy("year"))
-    return grid.select(
+    # r8 conversion: exact truncating integer-division share
+    return grid.withColumn("t", tot).select(
         "year",
         "status",
         "n_orders",
-        F.round(F.col("n_orders").cast("double") / tot, 6).alias("share"),
+        (F.expr("(n_orders * 1000000) div t").cast("double") / 1e6).alias(
+            "share"
+        ),
     )
 
 
@@ -378,8 +382,8 @@ WITH grid AS (
 )
 SELECT year, status,
        CAST(n_orders AS BIGINT) AS n_orders,
-       round(CAST(n_orders AS DOUBLE)
-             / sum(n_orders) OVER (PARTITION BY year), 6) AS share
+       CAST((n_orders * 1000000) // sum(n_orders) OVER (PARTITION BY year)
+            AS DOUBLE) / 1000000.0 AS share
 FROM grid
 """
 

@@ -148,6 +148,8 @@ _FRONT = [
     "promo_revenue_share",
     "docs_dedup_survivor_quality",
     "events_dau_mau",
+    "customer_repeat_rate_by_nation",
+    "orders_status_year_mix",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]
