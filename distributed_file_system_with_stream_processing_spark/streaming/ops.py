@@ -1883,3 +1883,89 @@ class LinearAttributionOp:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+
+
+@dataclass
+class VocabGrowthOp:
+    """Streaming VOCABULARY-GROWTH monitor — the ingest-side face of
+    the r7/r8 Heaps-law family (``docs_heaps_curve`` /
+    ``docs_heaps_exponent_by_source``): keyed by (source, token),
+    per-key state is one seen flag; each micro-batch emits one
+    (source, token, token_delta, new_type_delta) row per touched key,
+    where ``new_type_delta`` is 1 exactly when the key was first seen
+    in THIS batch. Summing deltas per source therefore reproduces the
+    batch census (Σ token_delta = total token occurrences,
+    Σ new_type_delta = |vocabulary|) at every trigger boundary — the
+    running (N, V) pair a Heaps fit or an OOV budget reads live while
+    a corpus is being ingested.
+
+    State is VOCAB-bounded (one tombstone per distinct (source,
+    token)), not corpus-bounded — the same table any batch engine
+    keeps to answer "how many types so far", kept incrementally. At
+    100 TB the key space is the per-source vocabulary: high
+    cardinality (good shuffle spread), slowly-growing state.
+
+    Batch twin (``__call__``): per source, exact
+    (n_tokens, n_types) via one explode + two-level aggregation —
+    order-free integers, so stream ≡ batch exactly.
+    """
+
+    name: str
+    source_col: str = "source"
+    text_col: str = "text"
+
+    _OUT = "source string, token string, token_delta long, new_type_delta long"
+
+    def _toks(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        return (
+            df.select(
+                F.col(self.source_col).alias("source"),
+                F.explode_outer(T.words(F.col(self.text_col))).alias("w"),
+            )
+            .filter(F.col("w").isNotNull())
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        per = self._toks(df).groupBy("source", "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per.groupBy("source").agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            n = 0
+            for p in pdfs:
+                n += len(p)
+            if n == 0:
+                yield pd.DataFrame(
+                    [], columns=["source", "token", "token_delta", "new_type_delta"]
+                )
+                return
+            first = 0 if state.exists else 1
+            state.update((True,))
+            src, tok = key
+            yield pd.DataFrame(
+                [(src, tok, n, first)],
+                columns=["source", "token", "token_delta", "new_type_delta"],
+            )
+
+        keyed = self._toks(df)
+        return keyed.groupBy("source", "w").applyInPandasWithState(
+            update,
+            self._OUT,
+            "seen boolean",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

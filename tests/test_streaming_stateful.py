@@ -1571,3 +1571,52 @@ def test_linear_attribution_conserves_and_matches_batch(spark, dirs):
     # state pruned in the stream twin) both fall back to direct
     assert batch["direct"] == 2 * 1_000_000
     assert "purchase" not in batch
+
+
+def test_vocab_growth_stream_equals_batch(spark, dirs):
+    """VocabGrowthOp: summed (token_delta, new_type_delta) per source
+    across trigger boundaries equals the batch (n_tokens, n_types)
+    census — a token first seen in batch 1 must NOT re-count as a new
+    type when it reappears in batch 2."""
+    schema = "doc_id long, source string, text string"
+    rows1 = [
+        (1, "web", "alpha beta alpha"),
+        (2, "web", "beta gamma"),
+        (3, "pdf", "alpha"),
+    ]
+    rows2 = [
+        (4, "web", "alpha delta"),        # alpha is OLD, delta is NEW
+        (5, "pdf", "alpha beta beta"),    # alpha old for pdf? no — pdf saw alpha
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.VocabGrowthOp("vocabmon")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("vocabmon_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got = spark.sql(
+            "select source, sum(token_delta) as n_tokens,"
+            " sum(new_type_delta) as n_types"
+            " from vocabmon_stream group by source"
+        ).collect()
+    finally:
+        q.stop()
+    stream_tot = {r["source"]: (r["n_tokens"], r["n_types"]) for r in got}
+    batch = {
+        r["source"]: (r["n_tokens"], r["n_types"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # web: 7 tokens over {alpha, beta, gamma, delta}; pdf: 4 over
+    # {alpha, beta} — and alpha must not double-count as a new type
+    # when it reappears in the second trigger
+    assert stream_tot == batch == {"web": (7, 4), "pdf": (4, 2)}
