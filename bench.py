@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 
@@ -331,11 +332,18 @@ def main() -> None:
         }
     )
     print(payload)
-    # Also persist to a file: the driver captures the stdout TAIL and
-    # truncated the per-query map in BENCH_r03.json (parsed: null) —
-    # the file is the lossless record.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        f.write(payload + "\n")
+    # Persist the lossless record ONLY under --record (r8 verdict #6:
+    # the grading driver's own bench.py invocation was rewriting the
+    # committed BENCH_LOCAL.json, leaving the tree dirty at round
+    # close three rounds running). The builder runs
+    # `python bench.py --record` when committing a round's numbers;
+    # a plain driver run leaves the tree clean — its stdout is
+    # captured into BENCH_r{N}.json by the driver itself, and the
+    # committed BENCH_LOCAL.json (written at --record time) remains
+    # the lossless builder-side record.
+    if "--record" in sys.argv:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+            f.write(payload + "\n")
     spark.stop()
 
 

@@ -215,15 +215,17 @@ def _neardup_sig_np(
       is NULL, IF(NULL ≥ 0) → 0) but keeps its REAL nrm (sq_norm pads
       nothing — v against itself); a NULL vector or NULL element
       poisons everything it touches (keys 0, nrm NaN — the HOF's
-      NULL; NULL/NaN sim never passes the verify threshold);
-    - a NaN ELEMENT is masked the same way (keys 0, nrm NaN) — the
-      one DOCUMENTED divergence from the HOF (r8 advice): Spark
-      evaluates ``NaN >= 0D`` as true (NaN-largest) where numpy's
-      ``dots >= 0`` is False, so rather than claim bit-parity on a
-      value the two engines order differently, NaN rows are routed
-      deterministically to the key-0 bucket. Harmless to the PAIR
-      result either way: a NaN row's nrm is NaN, its cosine is NaN,
-      and a NaN similarity never passes the verify threshold.
+      NULL; a NULL sim never passes the verify threshold — NULL ≥ t
+      is NULL in both engines);
+    - a NaN ELEMENT is masked the same way (keys 0, nrm NaN) as
+      defense-in-depth, but since r9 NaN rows never reach this
+      kernel on the ``banded_neardup_pairs`` path: both Spark and
+      DuckDB evaluate ``NaN >= t`` as TRUE (r8 advice — verified in
+      both engines), so a NaN cosine WOULD pass the verify, and the
+      kernel's key-0 routing diverged from the oracle's all-ones
+      band keys. The caller filters NaN-bearing vectors up front
+      (``~F.exists(v, F.isnan)``; oracle mirrors), so the mask only
+      matters for direct kernel callers.
 
     The kernel widens float32 → float64 itself (exact), replacing the
     per-element ``as_double`` transform."""
@@ -395,12 +397,22 @@ def banded_neardup_pairs(
     # plane dot NULL-pads, so they'd all collide in the key-0 bucket
     # — quadratic junk-candidate generation in a dirty corpus) and
     # the codegen'd verify dot is only defined at exactly `dim`
-    # terms. The size() filter is a JVM predicate ahead of the Arrow
-    # stage, pushed into the scan; size(NULL) is never == dim, so
-    # NULL vectors drop here too. The oracle mirrors with
-    # len(embedding) = dim.
+    # terms. NaN-bearing vectors are excluded too (r9, per the r8
+    # advice): both Spark AND DuckDB evaluate ``NaN >= threshold`` as
+    # TRUE, so a NaN cosine would sail through the verify and emit
+    # spurious pairs against every bucket-mate — and the kernel's
+    # key-0 routing diverged from the oracle's all-ones band keys
+    # (dot >= 0 is true for NaN dots in SQL). Dropping them up front
+    # makes both engines emit the identical pair set on dirty
+    # corpora. isnan(NULL) is false in both engines, so NULL-element
+    # rows survive THIS filter — harmless: their verify dot is NULL
+    # (element_at NULL poisons the sum) and NULL >= t filters out.
+    # Both filters are JVM predicates ahead of the Arrow stage;
+    # size(NULL) is never == dim, so NULL vectors drop here too. The
+    # oracle mirrors with len(embedding) = dim AND NOT
+    # list_contains(list_transform(embedding, x -> isnan(x)), true).
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
-        F.size(F.col("v")) == dim
+        (F.size(F.col("v")) == dim) & ~F.exists("v", F.isnan)
     )
 
     # Signature shapes tried, in order of abandonment (r7/r8 HOF

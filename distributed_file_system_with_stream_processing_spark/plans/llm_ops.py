@@ -703,7 +703,12 @@ def _banded_neardup_body(bucket_cap: int | None = None) -> str:
     share) — per-bucket fan-out ≤ cap·|bucket|, connectivity to the
     representatives preserved. The ``len(embedding) = 64`` predicate
     mirrors the operator's r8 size(v) = dim pre-filter (malformed
-    rows never enter the signature stream in either engine)."""
+    rows never enter the signature stream in either engine); the
+    NOT-isnan predicate mirrors the operator's r9 NaN pre-filter
+    (NaN >= t is TRUE in both engines, so a NaN cosine would pass
+    the verify — and the two engines banded NaN rows differently).
+    isnan(NULL) is false/NULL in both, so NULL-element rows survive
+    the filter identically and die at the NULL verify dot."""
     if bucket_cap is None:
         cand = """cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -725,7 +730,9 @@ cand AS (
 )"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE len(embedding) = 64),
+           WHERE len(embedding) = 64
+             AND NOT list_contains(
+                     list_transform(embedding, x -> isnan(x)), true)),
 planes(pid, pv) AS (VALUES
 {_planes_values_sql(64, 64)}
 ),

@@ -267,10 +267,16 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n_points").cast("long").alias("n_points"),
         # r8 conversion: n/(s/10⁶) = n·10⁶/s exactly — truncating
-        # integer division at 6 dp
+        # integer division at 6 dp. decimal(38,0) promotion (r9, r8
+        # advice): n·10¹² wraps BIGINT past n≈9.2e6 points where the
+        # oracle promotes to HUGEINT — the same headroom idiom as the
+        # other conversions.
         F.when(
             F.col("s") > 0,
-            F.expr("(n_points * 1000000 * 1000000) div s").cast("double")
+            F.expr(
+                "(cast(n_points as decimal(38,0)) * 1000000 * 1000000)"
+                " div s"
+            ).cast("double")
             / 1e6,
         )
         .otherwise(F.lit(0.0))

@@ -800,7 +800,12 @@ def test_neardup_sig_kernel_edge_rows(spark):
 def test_banded_neardup_drops_malformed_rows(spark):
     """r8: len(v) != dim rows are filtered BEFORE the signature stage
     (JVM predicate) — they must neither pair with each other via the
-    key-0 bucket nor crash the kernel; NULL vectors drop too."""
+    key-0 bucket nor crash the kernel; NULL vectors drop too. r9
+    (r8 advice): NaN-bearing vectors drop in the SAME up-front filter
+    — NaN >= threshold is TRUE in both Spark and DuckDB, so a NaN
+    cosine would otherwise pass the verify and emit spurious pairs
+    against every bucket-mate. NULL-ELEMENT rows survive the filter
+    (isnan(NULL) is false) but die at the NULL verify dot."""
     from distributed_file_system_with_stream_processing_spark.operators import similarity as S
 
     dim = 4
@@ -812,6 +817,9 @@ def test_banded_neardup_drops_malformed_rows(spark):
         (4, good + [6.0]),            # oversize — dropped (no 3-4 pair)
         (5, good[:2]),                # short — dropped
         (6, None),                    # NULL vector — dropped
+        (7, [float("nan"), 2.0, 3.0, 4.0]),  # NaN element — dropped (r9)
+        (8, [float("nan"), 2.0, 3.0, 4.0]),  # NaN twin — no 7-8 pair
+        (9, [1.0, None, 3.0, 4.0]),   # NULL element — kept, never pairs
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {
