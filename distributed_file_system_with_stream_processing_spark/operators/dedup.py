@@ -156,13 +156,24 @@ def ngram_jaccard_all_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    # r9 conversion (wave 3): the PROJECTED jaccard is exact
+    # truncating integer division at 6 dp (round() of the double
+    # quotient disagreed between engines on representation
+    # boundaries); `_j` stays the raw quotient for ordering — one
+    # correctly-rounded IEEE division is bit-identical in both
+    # engines, so order-by-_j is already cross-engine deterministic.
     return (
         shared.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(jac, 6).alias("jaccard"),
+            (
+                F.expr(
+                    "(n_shared * 1000000) div (n_a + n_b - n_shared)"
+                ).cast("double")
+                / 1e6
+            ).alias("jaccard"),
             jac.alias("_j"),
         )
     )
@@ -262,10 +273,18 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
+    # r9 conversion (wave 3): agree/num_hashes at 6 dp as exact
+    # truncating integer division — both engines round the same exact
+    # rational (round() disagreed on representation boundaries).
+    # agree·12 still round-trips from the 6-dp estimate: the
+    # truncation error is < 1e-6·num_hashes, far under the 0.5 gate.
     return cand.select(
+        "doc_id_a", "doc_id_b", agree.cast("long").alias("_agree")
+    ).selectExpr(
         "doc_id_a",
         "doc_id_b",
-        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        f"cast((_agree * 1000000) div {num_hashes} as double) / 1000000.0"
+        " as est_jaccard",
     )
 
 

@@ -128,26 +128,47 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            # r9 conversion (wave 3): volume quantizes to exact 1e-4
+            # dollars per row (price/discount carry ≤2 decimals each),
+            # so both sums are exact integers and the share is one
+            # truncating integer division at 6 dp — the
+            # promo_revenue_share discipline (the old form summed raw
+            # doubles and rounded a double quotient on both sides)
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            )
+            .cast("long")
+            .alias("vol4"),
             "supp_nation",
         )
     )
-    return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
-            6,
-        ).alias("mkt_share")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol4")).otherwise(0)
+            ).alias("nv"),
+            F.sum("vol4").alias("tv"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr("(cast(nv as decimal(38,0)) * 1000000) div tv")
+                .cast("double") / 1e6
+            ).alias("mkt_share"),
+        )
     )
 
 
 Q8_SQL = """
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol4 ELSE 0 END)
+                  AS HUGEINT) * 1000000) // sum(vol4) AS DOUBLE) / 1000000.0
+           AS mkt_share
 FROM (
     SELECT year(o_orderdate) AS o_year,
-           l_extendedprice * (1 - l_discount) AS volume,
+           CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               AS vol4,
            n1.n_name AS supp_nation
     FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
     WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -241,7 +262,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias(
+            F.coalesce(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("_cents")
+        )
+        # r9 conversion (wave 3): Σ/7 at 2 dp is the exact rational
+        # (Σcents div 7)/100 — cents quantize exactly (2-decimal
+        # prices), the division truncates identically in both engines
+        .select(
+            (F.expr("_cents div 7").cast("double") / 100.0).alias(
                 "avg_yearly"
             )
         )
@@ -249,7 +279,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_SQL = """
-SELECT round(coalesce(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+            // 7 AS DOUBLE) / 100.0 AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)

@@ -147,11 +147,12 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = d.select("doc_id", "lang", T.lang_predict(ws).alias("lang_pred"))
     cell = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
     tot = F.sum("n").over(Window.partitionBy("lang"))
-    return cell.select(
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    return cell.withColumn("_t", tot).select(
         "lang",
         "lang_pred",
         "n",
-        F.round(F.col("n") / tot, 6).alias("share"),
+        (F.expr("(n * 1000000) div _t").cast("double") / 1e6).alias("share"),
     )
 
 
@@ -176,7 +177,8 @@ p AS (
 ),
 cell AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred)
 SELECT lang, lang_pred, n,
-       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS share
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+           / 1000000.0 AS share
 FROM cell
 """
 
@@ -470,7 +472,8 @@ shared AS (
 ),
 sizes AS (SELECT doc_id, len(sh) AS n FROM shf)
 SELECT da AS doc_id_a, db AS doc_id_b,
-       round(CAST(ns AS DOUBLE) / (na.n + nb.n - ns), 6) AS jaccard
+       CAST((ns * 1000000) // (na.n + nb.n - ns) AS DOUBLE) / 1000000.0
+           AS jaccard
 FROM shared
 JOIN sizes na ON da = na.doc_id
 JOIN sizes nb ON db = nb.doc_id
@@ -492,7 +495,8 @@ shared AS (
 ),
 sizes AS (SELECT doc_id, len(sh) AS n FROM shf)
 SELECT da AS doc_id_a, db AS doc_id_b,
-       round(CAST(ns AS DOUBLE) / (na.n + nb.n - ns), 6) AS jaccard
+       CAST((ns * 1000000) // (na.n + nb.n - ns) AS DOUBLE) / 1000000.0
+           AS jaccard
 FROM shared
 JOIN sizes na ON da = na.doc_id
 JOIN sizes nb ON db = nb.doc_id
@@ -537,9 +541,9 @@ cand AS (
     FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT da AS doc_id_a, db AS doc_id_b,
-       round(CAST(list_sum(list_transform(range(1, 13),
-             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-             / CAST(12 AS DOUBLE), 6) AS est_jaccard
+       CAST((list_sum(list_transform(range(1, 13),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 1000000)
+            // 12 AS DOUBLE) / 1000000.0 AS est_jaccard
 FROM cand
 """
 
@@ -929,13 +933,15 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_total",
         "n_distinct",
-        F.round(
-            F.when(
-                F.col("n_total") > 0,
-                1.0 - F.col("n_distinct") / F.col("n_total"),
-            ).otherwise(0.0),
-            6,
-        ).alias("rep_ratio"),
+        # r9 conversion (wave 3): 1 − d/t = (t − d)/t — truncating
+        # integer division at 6 dp
+        F.when(
+            F.col("n_total") > 0,
+            F.expr("((n_total - n_distinct) * 1000000) div n_total")
+            .cast("double") / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
     )
 
 
@@ -951,9 +957,10 @@ c AS (
     FROM t
 )
 SELECT doc_id, n_total, n_distinct,
-       round(CASE WHEN n_total > 0
-                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_total
-                  ELSE 0.0 END, 6) AS rep_ratio
+       CASE WHEN n_total > 0
+            THEN CAST(((n_total - n_distinct) * 1000000) // n_total
+                      AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS rep_ratio
 FROM c
 """
 
@@ -1191,9 +1198,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("dim").cast("long").alias("dim"),
             "n_vectors",
-            F.round(
-                F.col("_s").cast("double") / F.lit(1000000.0) / F.col("n_vectors"), 6
-            ).alias("centroid"),
+            # r9 conversion (wave 3): Σq/(10⁶·n) at 6 dp is the exact
+            # rational (Σq div n)/10⁶ — signed truncating integer
+            # division (both engines truncate toward zero)
+            (F.expr("_s div n_vectors").cast("double") / 1e6).alias(
+                "centroid"
+            ),
         )
     )
 
@@ -1207,8 +1217,8 @@ WITH ex AS (
     FROM embeddings
 )
 SELECT label, CAST(ord AS BIGINT) AS dim, count(*) AS n_vectors,
-       round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
-             / 1000000.0 / count(*), 6) AS centroid
+       CAST(sum(CAST(round(x * 1000000) AS BIGINT)) // count(*) AS DOUBLE)
+           / 1000000.0 AS centroid
 FROM ex
 GROUP BY label, ord
 """

@@ -307,14 +307,18 @@ def docs_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))),
         "source_b",
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("va") + F.col("vb") - F.col("n_inter")
-    )
+    # r9 conversion (wave 3): Jaccard of exact integer set sizes —
+    # truncating integer division at 6 dp (the lint missed the Spark
+    # side because the quotient was a named variable; the SQL side
+    # flagged it)
     return joined.select(
         "source_a",
         "source_b",
         F.col("n_inter").cast("long").alias("n_shared_terms"),
-        F.round(jac, 6).alias("vocab_jaccard"),
+        (
+            F.expr("(n_inter * 1000000) div (va + vb - n_inter)")
+            .cast("double") / 1e6
+        ).alias("vocab_jaccard"),
     )
 
 
@@ -331,8 +335,8 @@ inter AS (
 )
 SELECT source_a, source_b,
        CAST(n_inter AS BIGINT) AS n_shared_terms,
-       round(CAST(n_inter AS DOUBLE) / (sa.v + sb.v - n_inter), 6)
-           AS vocab_jaccard
+       CAST((n_inter * 1000000) // (sa.v + sb.v - n_inter) AS DOUBLE)
+           / 1000000.0 AS vocab_jaccard
 FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b

@@ -61,8 +61,11 @@ def events_error_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("n_error_follow").cast("long").alias("n_error_follow"),
-        F.round(
-            F.col("n_error_follow").cast("double") / F.col("n_events"), 6
+        # r9 conversion (wave 3): exact truncating integer division at
+        # 6 dp — both engines round the same exact rational
+        (
+            F.expr("(n_error_follow * 1000000) div n_events").cast("double")
+            / 1e6
         ).alias("error_follow_rate"),
     )
 
@@ -86,7 +89,8 @@ nxt AS (
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(hit) AS BIGINT) AS n_error_follow,
-       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS error_follow_rate
+       CAST((sum(hit) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+           AS error_follow_rate
 FROM nxt GROUP BY event_type
 """
 
@@ -210,12 +214,20 @@ def part_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("x") * dec("x")).alias("sxx"),
     )
     n = dec("n")
-    num = (n * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    num = n * F.col("sxy") - dec("sx") * dec("sy")
     den = (n * F.col("sxx") - dec("sx") * dec("sx"))
+    # r9 conversion (wave 3): slope = num/(100·den) at 4 dp is the
+    # exact rational (num·100) div den / 10⁴ — truncating integer
+    # division in decimal(38,0) ↔ HUGEINT (signed: both engines
+    # truncate toward zero on integer/decimal `div`; the oracle must
+    # use HUGEINT for //, since DuckDB's DECIMAL // floors
+    # fractionally)
+    staged = per.withColumn("_num", num).withColumn("_den", den)
     slope = F.when(
-        den > 0, F.round(num / den.cast("double") / 100.0, 4)
+        F.col("_den") > 0,
+        F.expr("(_num * 100) div _den").cast("double") / 1e4,
     ).otherwise(F.lit(0.0))
-    return per.select(
+    return staged.select(
         "p_type",
         F.col("n").cast("long").alias("n_parts"),
         slope.alias("price_per_size_unit"),
@@ -235,9 +247,9 @@ WITH per AS (
 SELECT p_type,
        CAST(n AS BIGINT) AS n_parts,
        CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
-            THEN round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                       / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                       / 100.0, 4)
+            THEN CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 100)
+                      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                      AS DOUBLE) / 10000.0
             ELSE CAST(0.0 AS DOUBLE) END AS price_per_size_unit
 FROM per
 """
@@ -411,7 +423,10 @@ def orders_value_cv_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "o_orderpriority",
         F.col("n").cast("long").alias("n_orders"),
-        F.round(F.col("sc") / 100.0 / F.col("n"), 2).alias("avg_value"),
+        # r9 conversion (wave 3): mean cents = sc/(100n) at 2 dp is
+        # the exact rational (sc div n)/100 — truncating integer
+        # division on the cent sums
+        (F.expr("sc div n").cast("double") / 100.0).alias("avg_value"),
         F.when(F.col("sc") > 0, F.round(F.sqrt(F.greatest(cv2, F.lit(0.0))), 6))
         .otherwise(F.lit(0.0))
         .alias("value_cv"),
@@ -428,7 +443,7 @@ WITH per AS (
 )
 SELECT o_orderpriority,
        CAST(n AS BIGINT) AS n_orders,
-       round(sc / 100.0 / n, 2) AS avg_value,
+       CAST(sc // n AS DOUBLE) / 100.0 AS avg_value,
        CASE WHEN sc > 0
             THEN -- ok-round: irrational (sqrt family)
        round(sqrt(greatest(

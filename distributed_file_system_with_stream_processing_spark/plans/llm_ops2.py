@@ -178,13 +178,17 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cast(length(_lt) AS BIGINT) AS n_chars_total",
         "cast(size(_dc) AS BIGINT) AS n_distinct_chars",
-        f"""round(CASE WHEN length(_lt) > 0 THEN
+        f"""-- ok-round: irrational (p*ln p entropy term)
+           round(CASE WHEN length(_lt) > 0 THEN
               aggregate(_pc, cast(0.0 AS DOUBLE),
                         (acc, p) -> acc - (p / {n}) * log2(p / {n}))
               ELSE cast(0.0 AS DOUBLE) END, 4) AS char_entropy""",
-        f"""round(CASE WHEN length(_lt) > 0 THEN
-              cast(length(_lt) - length(regexp_replace(_lt, '[0-9]', '')) AS DOUBLE) / {n}
-              ELSE cast(0.0 AS DOUBLE) END, 4) AS digit_ratio""",
+        # r9 conversion (wave 3): digit count / char count — exact
+        # truncating integer division at 4 dp
+        """CASE WHEN length(_lt) > 0 THEN
+              cast(((length(_lt) - length(regexp_replace(_lt, '[0-9]', '')))
+                    * 10000) div length(_lt) AS DOUBLE) / 10000.0
+              ELSE cast(0.0 AS DOUBLE) END AS digit_ratio""",
     )
 
 
@@ -204,14 +208,15 @@ pc AS (
 SELECT doc_id,
        CAST(length(lt) AS BIGINT) AS n_chars_total,
        CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+       -- ok-round: irrational (p*ln p entropy term)
        round(CASE WHEN length(lt) > 0 THEN
              - list_sum(list_transform(pc,
                  p -> (p / CAST(length(lt) AS DOUBLE)) * log2(p / CAST(length(lt) AS DOUBLE))))
              ELSE CAST(0.0 AS DOUBLE) END, 4) AS char_entropy,
-       round(CASE WHEN length(lt) > 0 THEN
-             CAST(length(lt) - length(regexp_replace(lt, '[0-9]', '', 'g')) AS DOUBLE)
-             / CAST(length(lt) AS DOUBLE)
-             ELSE CAST(0.0 AS DOUBLE) END, 4) AS digit_ratio
+       CASE WHEN length(lt) > 0 THEN
+             CAST(((length(lt) - length(regexp_replace(lt, '[0-9]', '', 'g')))
+                   * 10000) // length(lt) AS DOUBLE) / 10000.0
+             ELSE CAST(0.0 AS DOUBLE) END AS digit_ratio
 FROM pc
 """
 
@@ -309,18 +314,21 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha"))
     pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    exact = inter.cast("double") / (
-        F.size("sha") + F.size("shb") - inter
-    ).cast("double")
     enriched = pa.join(pairs, "doc_id_a")
     return (
         (broadcast(enriched) if hinted else enriched)
         .join(pb, "doc_id_b")
+        .withColumn("_i", inter.cast("long"))
+        .withColumn("_u", (F.size("sha") + F.size("shb")).cast("long") - F.col("_i"))
         .select(
             "doc_id_a",
             "doc_id_b",
             "est_jaccard",
-            F.round(exact, 6).alias("exact_jaccard"),
+            # r9 conversion (wave 3): exact integer Jaccard —
+            # truncating integer division at 6 dp
+            (F.expr("(_i * 1000000) div _u").cast("double") / 1e6).alias(
+                "exact_jaccard"
+            ),
         )
     )
 
@@ -329,13 +337,13 @@ MINHASH_JACCARD_EST_SQL = (
     _MINHASH_PAIRS_BODY
     + """
 SELECT da AS doc_id_a, db AS doc_id_b,
-       round(CAST(list_sum(list_transform(range(1, 13),
-             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-             / CAST(12 AS DOUBLE), 6) AS est_jaccard,
-       round(CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-             / CAST(len(x.sh) + len(y.sh)
-                    - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE),
-             6) AS exact_jaccard
+       CAST((list_sum(list_transform(range(1, 13),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 1000000)
+            // 12 AS DOUBLE) / 1000000.0 AS est_jaccard,
+       CAST((len(list_filter(x.sh, s -> list_contains(y.sh, s))) * 1000000)
+            // (len(x.sh) + len(y.sh)
+                - len(list_filter(x.sh, s -> list_contains(y.sh, s))))
+            AS DOUBLE) / 1000000.0 AS exact_jaccard
 FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id
 """
 )
@@ -412,6 +420,7 @@ scored AS (
     FROM ev JOIN stats s USING (event_type)
 )
 SELECT event_id, event_type, v_mu AS value_milli,
+       -- ok-round: irrational (sqrt in the denominator)
        round((CAST(v_mu AS DOUBLE) / {float(_MILLI)} - mean) / std, 4) AS z
 FROM scored
 WHERE std > 0 AND abs((CAST(v_mu AS DOUBLE) / {float(_MILLI)} - mean) / std) > 2.5
@@ -681,12 +690,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("label").cast("long").alias("label"),
             "n_vecs",
-            F.round(
-                F.col("_s").cast("double")
-                / F.lit(float(_NORM_MILLI * _NORM_MILLI))
-                / F.col("n_vecs"),
-                6,
-            ).alias("mean_sq_norm"),
+            # r9 conversion (wave 3): Σsq/(10⁶·n) at 6 dp is the
+            # exact rational (Σsq div n)/10⁶ — truncating integer
+            # division on the milli²-quantized sums
+            (F.expr("_s div n_vecs").cast("double") / 1e6).alias(
+                "mean_sq_norm"
+            ),
             "n_near_zero",
         )
     )
@@ -702,8 +711,7 @@ WITH pv AS (
 )
 SELECT CAST(label AS BIGINT) AS label,
        count(*) AS n_vecs,
-       round(CAST(sum(sq) AS DOUBLE) / {float(_NORM_MILLI * _NORM_MILLI)} / count(*), 6)
-           AS mean_sq_norm,
+       CAST(sum(sq) // count(*) AS DOUBLE) / 1000000.0 AS mean_sq_norm,
        CAST(sum(CASE WHEN sq < {_NORM_MILLI * _NORM_MILLI // 100} THEN 1 ELSE 0 END)
            AS BIGINT) AS n_near_zero
 FROM pv GROUP BY label
@@ -833,8 +841,15 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(mwl, 4).alias("mean_word_len"),
-            F.round(alpha, 4).alias("alpha_word_ratio"),
+            # r9 conversion (wave 3): exact truncating integer
+            # division at 4 dp (the boolean gate below keeps the raw
+            # single IEEE division — a comparison of one
+            # correctly-rounded quotient is bit-stable across
+            # engines; only round(quotient) was exposure)
+            (F.expr("(_len_sum * 10000) div n_words").cast("double") / 1e4)
+            .alias("mean_word_len"),
+            (F.expr("(_n_alpha * 10000) div n_words").cast("double") / 1e4)
+            .alias("alpha_word_ratio"),
             "n_stopwords",
             (
                 F.col("n_words").between(15, 100000)
@@ -859,8 +874,8 @@ c AS (
     FROM t WHERE len(ws) > 0
 )
 SELECT doc_id, n_words,
-       round(CAST(len_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
-       round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_word_ratio,
+       CAST((len_sum * 10000) // n_words AS DOUBLE) / 10000.0 AS mean_word_len,
+       CAST((n_alpha * 10000) // n_words AS DOUBLE) / 10000.0 AS alpha_word_ratio,
        n_stopwords,
        (n_words BETWEEN 15 AND 100000
         AND CAST(len_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
@@ -893,9 +908,9 @@ def docs_gopher_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_pass",
-            F.round(
-                F.col("n_pass").cast("double") / F.col("n_docs"), 4
-            ).alias("pass_share"),
+            # r9 conversion (wave 3): truncating integer division
+            (F.expr("(n_pass * 10000) div n_docs").cast("double") / 1e4)
+            .alias("pass_share"),
         )
     )
 
@@ -909,8 +924,8 @@ j AS (SELECT g.doc_id, g.passes, d.source
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
-           AS pass_share
+       CAST((sum(CASE WHEN passes THEN 1 ELSE 0 END) * 10000) // count(*)
+            AS DOUBLE) / 10000.0 AS pass_share
 FROM j GROUP BY source
 """
 
@@ -951,9 +966,9 @@ def docs_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_dup",
-            F.round(F.col("n_dup").cast("double") / F.col("n_docs"), 4).alias(
-                "dup_share"
-            ),
+            # r9 conversion (wave 3): truncating integer division
+            (F.expr("(n_dup * 10000) div n_docs").cast("double") / 1e4)
+            .alias("dup_share"),
         )
     )
 
@@ -967,7 +982,7 @@ j AS (
     SELECT d.source, CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS dup
     FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
 SELECT source, count(*) AS n_docs, CAST(sum(dup) AS BIGINT) AS n_dup,
-       round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_share
+       CAST((sum(dup) * 10000) // count(*) AS DOUBLE) / 10000.0 AS dup_share
 FROM j GROUP BY source
 """
 )

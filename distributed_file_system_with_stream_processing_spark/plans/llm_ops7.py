@@ -314,8 +314,8 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: revenue sums exact integer cents
     (round(o_totalprice·100) as BIGINT, the q1/rfm discipline); the
-    growth ratio is ONE integer-ratio division
-    ``(cur - prev) / prev`` rounded at 6 dp; month keys are integers
+    growth ratio is exact truncating integer division
+    ``((cur - prev)·10⁶) div prev`` at 6 dp; month keys are integers
     ``year·100 + month`` extracted under an explicitly pinned UTC
     session (midnight-UTC timestamps must not shift across a month
     boundary when the driver session carries another zone).
@@ -336,12 +336,18 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("month")
     prev = F.lag("cents").over(w)
-    growth = F.when(
-        prev.isNull(), F.lit(0.0)
-    ).otherwise(
-        F.round((F.col("cents") - prev).cast("double") / prev, 6)
+    # r9 conversion (wave 3): growth = (cur − prev)/prev on exact cent
+    # sums — truncating integer division at 6 dp in decimal(38,0) ↔
+    # HUGEINT (the cent-sum × 10⁶ product outgrows BIGINT at corpus
+    # scale; signed deltas truncate toward zero in both engines)
+    staged = monthly.withColumn("_prev", prev)
+    growth = F.when(F.col("_prev").isNull(), F.lit(0.0)).otherwise(
+        F.expr(
+            "(cast(cents - _prev as decimal(38,0)) * 1000000) div _prev"
+        ).cast("double")
+        / 1e6
     )
-    return monthly.select(
+    return staged.select(
         "month",
         # ok-round: exact cents grid (2 dp)
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
@@ -360,8 +366,10 @@ WITH m AS (
 SELECT month,
        round(cents / 100.0, 2) AS revenue, n_orders,  -- ok-round: exact cents grid
        CASE WHEN lag(cents) OVER (ORDER BY month) IS NULL THEN 0.0
-            ELSE round(CAST(cents - lag(cents) OVER (ORDER BY month) AS DOUBLE)
-                       / lag(cents) OVER (ORDER BY month), 6) END AS mom_growth
+            ELSE CAST((CAST(cents - lag(cents) OVER (ORDER BY month) AS HUGEINT)
+                       * 1000000)
+                      // lag(cents) OVER (ORDER BY month) AS DOUBLE)
+                 / 1000000.0 END AS mom_growth
 FROM m
 """
 

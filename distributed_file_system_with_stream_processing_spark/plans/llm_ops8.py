@@ -876,7 +876,9 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pair_curve, "min_agree", "left")
         .select(
             F.col("min_agree").cast("long").alias("min_agree"),
-            # ok-round: power-of-two denominator — k/16 exact at 6 dp
+            # ok-round: boundary-free rational — k/12·10⁶ mod 1 is
+            # never 0.5 (8k mod 12 ∈ {0,4,8}), so both engines round
+            # the same side for every k
             F.round(
                 F.col("min_agree") / F.lit(float(_MH_SWEEP_HASHES)), 6
             ).alias("est_jaccard_threshold"),
@@ -914,7 +916,7 @@ pc AS (
     GROUP BY t.m
 )
 SELECT CAST(g.m AS BIGINT) AS min_agree,
-       -- ok-round: power-of-two denominator — k/16 exact at 6 dp
+       -- ok-round: boundary-free rational (k/12 never half-grid at 6 dp)
        round(g.m / CAST({hi} AS DOUBLE), 6) AS est_jaccard_threshold,
        CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
        CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs
