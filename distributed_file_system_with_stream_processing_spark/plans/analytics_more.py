@@ -531,15 +531,21 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_c").cast("decimal(19,0)") * F.col("rev_c").cast("decimal(19,0)")
         ).alias("_sq"),
     )
-    hhi = F.col("_sq").cast("double") / (
-        F.col("_tot").cast("double") * F.col("_tot").cast("double")
-    )
     return agg.select(
         F.col("n_name").alias("nation"),
         "n_suppliers",
         # ok-round: exact cents grid (2 dp)
         F.round(F.col("_tot").cast("double") / 100, 2).alias("revenue"),
-        F.round(hhi, 6).alias("hhi"),
+        # r9 conversion (wave 3): HHI = Σs²/S² at 6 dp — truncating
+        # integer division in decimal(38,0) ↔ HUGEINT (Σs²·10⁶ ≈ 1e33
+        # at 100 TB, inside 38 digits)
+        (
+            F.expr(
+                "(cast(_sq as decimal(38,0)) * 1000000)"
+                " div (cast(_tot as decimal(38,0)) * _tot)"
+            ).cast("double")
+            / 1e6
+        ).alias("hhi"),
     )
 
 
@@ -564,7 +570,8 @@ agg AS (
 SELECT nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
        -- ok-round: exact cents grid (2 dp)
        round(CAST(tot AS DOUBLE) / 100, 2) AS revenue,
-       round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+       CAST((sq * 1000000) // (CAST(tot AS HUGEINT) * tot) AS DOUBLE)
+           / 1000000.0 AS hhi
 FROM agg
 """
 
@@ -591,13 +598,12 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").cast("long").alias("hour")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("event_type")
-    return agg.select(
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    return agg.withColumn("_t", F.sum("n").over(w)).select(
         "event_type",
         "hour",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
-        ).alias("share"),
+        (F.expr("(n * 1000000) div _t").cast("double") / 1e6).alias("share"),
     )
 
 
@@ -608,8 +614,8 @@ WITH agg AS (
     FROM events GROUP BY event_type, date_part('hour', ts)
 )
 SELECT event_type, hour, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE)
-             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+           / 1000000.0 AS share
 FROM agg
 """
 
@@ -659,8 +665,11 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(p).cast("long").alias("top_pct"),
             F.col("rank").cast("long").alias("n_top_users"),
-            F.round(
-                F.col("cum_mu").cast("double") / F.col("t_mu").cast("double"), 6
+            # r9 conversion (wave 3): truncating integer division at
+            # 6 dp in decimal(38,0) ↔ HUGEINT (micro-sum headroom)
+            (
+                F.expr("(cast(cum_mu as decimal(38,0)) * 1000000) div t_mu")
+                .cast("double") / 1e6
             ).alias("value_share"),
         )
         out = piece if out is None else out.unionByName(piece)
@@ -686,7 +695,8 @@ curve AS (
     WHERE rank <= floor(n_users * {max(_PARETO_PCTS)} / 100)
 )
 SELECT p.p AS top_pct, CAST(c.rank AS BIGINT) AS n_top_users,
-       round(CAST(c.cum_mu AS DOUBLE) / CAST(t.t_mu AS DOUBLE), 6) AS value_share
+       CAST((CAST(c.cum_mu AS HUGEINT) * 1000000) // t.t_mu AS DOUBLE)
+           / 1000000.0 AS value_share
 FROM (SELECT unnest(ARRAY{list(_PARETO_PCTS)}::BIGINT[]) AS p) p
 JOIN tt t ON TRUE
 JOIN curve c ON c.rank = floor(t.n_users * p.p / 100)
@@ -737,14 +747,16 @@ def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     either = F.col("na") + F.col("nb") - F.col("n_both")
+    # r9 conversion (wave 3): truncating integer division at 6 dp
     return out.select(
         "ta",
         "tb",
         "n_both",
         either.alias("n_either"),
-        F.round(F.col("n_both").cast("double") / either.cast("double"), 6).alias(
-            "jaccard"
-        ),
+        (
+            F.expr("(n_both * 1000000) div (na + nb - n_both)").cast("double")
+            / 1e6
+        ).alias("jaccard"),
     )
 
 
@@ -758,7 +770,8 @@ both_t AS (
 tt AS (SELECT event_type, count(*) AS n FROM mem GROUP BY event_type)
 SELECT b.ta, b.tb, CAST(b.n_both AS BIGINT) AS n_both,
        CAST(x.n + y.n - b.n_both AS BIGINT) AS n_either,
-       round(CAST(b.n_both AS DOUBLE) / CAST(x.n + y.n - b.n_both AS DOUBLE), 6)
+       CAST((b.n_both * 1000000) // (x.n + y.n - b.n_both) AS DOUBLE)
+           / 1000000.0
            AS jaccard
 FROM both_t b
 JOIN tt x ON b.ta = x.event_type
@@ -802,12 +815,14 @@ def supplier_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "n_lines",
-            F.round(F.col("_s").cast("double") / F.col("n_lines"), 4).alias(
+            # r9 conversion (wave 3): truncating integer division —
+            # mean at 4 dp, rate at 6 dp
+            (F.expr("(_s * 10000) div n_lines").cast("double") / 1e4).alias(
                 "mean_lag_days"
             ),
             "n_slow",
-            F.round(
-                F.col("n_slow").cast("double") / F.col("n_lines"), 6
+            (
+                F.expr("(n_slow * 1000000) div n_lines").cast("double") / 1e6
             ).alias("slow_rate"),
             "max_lag_days",
         )
@@ -821,10 +836,11 @@ WITH lag AS (
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 )
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-       round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) AS mean_lag_days,
+       CAST((sum(lag_days) * 10000) // count(*) AS DOUBLE) / 10000.0
+           AS mean_lag_days,
        CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
-       round(CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS slow_rate,
+       CAST((sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS DOUBLE) / 1000000.0 AS slow_rate,
        CAST(max(lag_days) AS BIGINT) AS max_lag_days
 FROM lag GROUP BY o_orderpriority
 """

@@ -599,8 +599,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(F.lit(1))  # all 4 funnel rows, one frame
     total = F.max(F.when(F.col("stage_ord") == 1, F.col("n_docs"))).over(w)
-    pct = F.round(F.col("n_docs").cast("double") / total, 4)
-    return rows.select("stage_ord", "stage", "n_docs", "n_tokens", pct.alias("pct_docs"))
+    # r9 conversion (wave 3): truncating integer division at 4 dp
+    return rows.withColumn("_t", total).select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (F.expr("(n_docs * 10000) div _t").cast("double") / 1e4).alias(
+            "pct_docs"
+        ),
+    )
 
 
 def _curation_funnel_sql() -> str:
@@ -624,8 +632,8 @@ funnel AS (
     UNION ALL SELECT 4, 'decontaminated', n, coalesce(t, 0) FROM s4
 )
 SELECT stage_ord, stage, CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS n_tokens,
-       round(CAST(n AS DOUBLE)
-             / max(CASE WHEN stage_ord = 1 THEN n END) OVER (), 4) AS pct_docs
+       CAST((n * 10000) // max(CASE WHEN stage_ord = 1 THEN n END) OVER ()
+            AS DOUBLE) / 10000.0 AS pct_docs
 FROM funnel
 """
     )
@@ -662,18 +670,24 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha"))
     pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    c_ab = inter.cast("double") / F.size("sha").cast("double")
-    c_ba = inter.cast("double") / F.size("shb").cast("double")
     enriched = pa.join(pairs, "doc_id_a")
+    # r9 conversion (wave 3): containment = |A∩B|/|A| on exact set
+    # sizes — truncating integer division at 6 dp; max_containment
+    # compares the TRUNCATED values (both engines identically)
+    c_ab = F.expr("(_i * 1000000) div _la").cast("double") / 1e6
+    c_ba = F.expr("(_i * 1000000) div _lb").cast("double") / 1e6
     return (
         (broadcast(enriched) if hinted else enriched)
         .join(pb, "doc_id_b")
+        .withColumn("_i", inter.cast("long"))
+        .withColumn("_la", F.size("sha").cast("long"))
+        .withColumn("_lb", F.size("shb").cast("long"))
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(c_ab, 6).alias("cont_a_in_b"),
-            F.round(c_ba, 6).alias("cont_b_in_a"),
-            F.round(F.greatest(c_ab, c_ba), 6).alias("max_containment"),
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+            F.greatest(c_ab, c_ba).alias("max_containment"),
         )
     )
 
@@ -683,14 +697,16 @@ MINHASH_CONTAINMENT_SQL = (
     + """
 , ex AS (
     SELECT cand.da, cand.db,
-           CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) AS inter,
-           CAST(len(x.sh) AS DOUBLE) AS la, CAST(len(y.sh) AS DOUBLE) AS lb
+           len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
+           len(x.sh) AS la, len(y.sh) AS lb
     FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id
 )
 SELECT da AS doc_id_a, db AS doc_id_b,
-       round(inter / la, 6) AS cont_a_in_b,
-       round(inter / lb, 6) AS cont_b_in_a,
-       round(greatest(inter / la, inter / lb), 6) AS max_containment
+       CAST((inter * 1000000) // la AS DOUBLE) / 1000000.0 AS cont_a_in_b,
+       CAST((inter * 1000000) // lb AS DOUBLE) / 1000000.0 AS cont_b_in_a,
+       greatest(CAST((inter * 1000000) // la AS DOUBLE) / 1000000.0,
+                CAST((inter * 1000000) // lb AS DOUBLE) / 1000000.0)
+           AS max_containment
 FROM ex
 """
 )
@@ -1457,9 +1473,10 @@ def docs_pretokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pieces") - F.col("n_alpha") - F.col("n_num"))
         .cast("long")
         .alias("n_punct"),
+        # r9 conversion (wave 3): truncating integer division at 4 dp
         F.when(
             F.col("n_pieces") > 0,
-            F.round(F.col("n_chars").cast("double") / F.col("n_pieces"), 4),
+            F.expr("(n_chars * 10000) div n_pieces").cast("double") / 1e4,
         )
         .otherwise(F.lit(-1.0))
         .alias("fertility"),
@@ -1482,7 +1499,7 @@ SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
        CAST(n_alpha AS BIGINT) AS n_alpha, CAST(n_num AS BIGINT) AS n_num,
        CAST(n_pieces - n_alpha - n_num AS BIGINT) AS n_punct,
        CASE WHEN n_pieces > 0
-            THEN round(CAST(n_chars AS DOUBLE) / n_pieces, 4)
+            THEN CAST((n_chars * 10000) // n_pieces AS DOUBLE) / 10000.0
             ELSE -1.0 END AS fertility
 FROM staged
 """
