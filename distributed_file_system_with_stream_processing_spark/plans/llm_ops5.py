@@ -297,7 +297,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n").cast("double") / F.col("n_prev"), 6).alias("p"),
+            # r9 conversion (wave 3): truncating integer division
+            (F.expr("(n * 1000000) div n_prev").cast("double") / 1e6)
+            .alias("p"),
         )
         .filter(F.col("n") >= _TM_MIN_N)
     )
@@ -315,8 +317,8 @@ cnt AS (
     WHERE next_type IS NOT NULL GROUP BY prev_type, next_type
 )
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+           / 1000000.0 AS p
 FROM cnt
 """
 
@@ -354,12 +356,14 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_s_mu"),
     )
     wtot = Window.partitionBy()
-    return scaled.select(
+    # r9 conversion (wave 3): truncating integer division at 6 dp on
+    # the micro-quantized temperature weights
+    return scaled.withColumn("_t", F.sum("_s_mu").over(wtot)).select(
         "source",
         "n_tokens",
-        F.round(
-            F.col("_s_mu").cast("double") / F.sum("_s_mu").over(wtot), 6
-        ).alias("weight"),
+        (F.expr("(_s_mu * 1000000) div _t").cast("double") / 1e6).alias(
+            "weight"
+        ),
     )
 
 
@@ -374,7 +378,8 @@ scaled AS (
     FROM per_src
 )
 SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(s_mu AS DOUBLE) / sum(s_mu) OVER (), 6) AS weight
+       CAST((s_mu * 1000000) // sum(s_mu) OVER () AS DOUBLE)
+           / 1000000.0 AS weight
 FROM scaled
 """
 
@@ -664,17 +669,30 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
-    nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
-    mu = F.lit(float(_ZF_MICRO))
-    return m.select(
+    # r9 conversion (wave 3): slope = num/den of exact decimal(38,0)
+    # moments — truncating integer division at 6 dp; the intercept
+    # then reuses the TRUNCATED slope k (an exact 1e-6-grid decimal):
+    # (sy/mu − (k/10⁶)(sx/mu))/n = (sy·10⁶ − k·sx)/(10⁶·mu·n), one
+    # more exact integer division. Signed: both engines truncate
+    # toward zero (oracle uses HUGEINT — DuckDB DECIMAL // floors
+    # fractionally, so it must never be used there).
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    staged = (
+        m.withColumn("_num", dec("n") * F.col("sxy") - dec("sx") * dec("sy"))
+        .withColumn("_den", dec("n") * F.col("sxx") - dec("sx") * dec("sx"))
+        .withColumn("_k", F.expr("(_num * 1000000) div _den"))
+    )
+    return staged.select(
         F.col("n").cast("long").alias("n_terms"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(((sy / mu) - slope * (sx / mu)) / nd, 6).alias("ln_intercept"),
+        (F.col("_k").cast("double") / 1e6).alias("zipf_slope"),
+        (
+            F.expr(
+                "(cast(sy as decimal(38,0)) * 1000000"
+                " - cast(_k as decimal(38,0)) * sx)"
+                f" div (cast({_ZF_MICRO} as decimal(38,0)) * n)"
+            ).cast("double")
+            / 1e6
+        ).alias("ln_intercept"),
     )
 
 
@@ -699,20 +717,21 @@ m AS (
            sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
            sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
     FROM pts
+),
+k AS (
+    SELECT n, sx, sy,
+           ((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) * 1000000)
+           // (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS k
+    FROM m
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
-       round(((CAST(sy AS DOUBLE) / {float(_ZF_MICRO)!r})
-              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                * (CAST(sx AS DOUBLE) / {float(_ZF_MICRO)!r}))
-             / CAST(n AS DOUBLE), 6) AS ln_intercept
-FROM m
+       CAST(k AS DOUBLE) / 1000000.0 AS zipf_slope,
+       CAST((CAST(sy AS HUGEINT) * 1000000 - k * CAST(sx AS HUGEINT))
+            // (CAST({_ZF_MICRO} AS HUGEINT) * n) AS DOUBLE) / 1000000.0
+           AS ln_intercept
+FROM k
 """
 
 
@@ -880,6 +899,7 @@ consts AS (
 ),
 model AS (
     SELECT g.gram,
+           -- ok-round: irrational (ln family — Kneser-Ney discounted gain)
            CAST(round(ln(
                greatest(g.c - (CASE WHEN (k.n1 + 2 * k.n2) > 0 THEN CAST(k.n1 AS DOUBLE) / (k.n1 + 2 * k.n2) ELSE 0.0 END), 0.0)
                    / u.cu
@@ -1104,6 +1124,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         contrib = edges.join(p, edges.src == p.node).select(
             F.col("dst"),
+            # ok-round: algorithmic round-to-nearest (quantizer)
             F.round(F.col("p") / F.col("deg") * _PR_NANO).cast("long").alias("c"),
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -1135,6 +1156,7 @@ def _pagerank_oracle() -> str:
     for k in range(1, _PR_ITERS + 1):
         it.append(f""",
 c{k} AS (
+    -- ok-round: algorithmic round-to-nearest (quantizer)
     SELECT e.dst, CAST(round(p.p / p.deg * {_PR_NANO}) AS BIGINT) AS c
     FROM edges e JOIN {prev} p ON e.src = p.node
 ),
@@ -1325,11 +1347,15 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k_glob") * F.col("n")).alias("t_glob"),
         )
     )
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    # (rows-only query — the pytest twin mirrors the same floor)
     return agg.select(
         "lang",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round(F.col("t_own") / F.col("n_words"), 6).alias("tpw_own_vocab"),
-        F.round(F.col("t_glob") / F.col("n_words"), 6).alias("tpw_global_vocab"),
+        (F.expr("(t_own * 1000000) div n_words").cast("double") / 1e6)
+        .alias("tpw_own_vocab"),
+        (F.expr("(t_glob * 1000000) div n_words").cast("double") / 1e6)
+        .alias("tpw_global_vocab"),
     )
 
 
@@ -1384,10 +1410,15 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),
             "n_ab",
-            F.round(
-                (F.col("n_ab").cast("double") * F.col("n_orders"))
-                / (F.col("n_a").cast("double") * F.col("n_b")),
-                6,
+            # r9 conversion (wave 3): lift = n_ab·N/(n_a·n_b) on
+            # exact counts — truncating integer division at 6 dp in
+            # decimal(38,0) ↔ HUGEINT
+            (
+                F.expr(
+                    "(cast(n_ab as decimal(38,0)) * n_orders * 1000000)"
+                    " div (cast(n_a as decimal(38,0)) * n_b)"
+                ).cast("double")
+                / 1e6
             ).alias("lift"),
         )
     )
@@ -1408,8 +1439,9 @@ pairs AS (
     HAVING count(*) >= {_PL_MIN_SUPPORT}
 )
 SELECT p.pa AS part_a, p.pb AS part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
-       round((CAST(p.n_ab AS DOUBLE) * o.n)
-             / (CAST(sa.n_part AS DOUBLE) * sb.n_part), 6) AS lift
+       CAST((CAST(p.n_ab AS HUGEINT) * o.n * 1000000)
+            // (CAST(sa.n_part AS HUGEINT) * sb.n_part) AS DOUBLE)
+           / 1000000.0 AS lift
 FROM pairs p
 JOIN supp sa ON p.pa = sa.l_partkey
 JOIN supp sb ON p.pb = sb.l_partkey
@@ -1507,7 +1539,10 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
         F.round(F.expr("percentile(gap_s, 0.95)"), 2).alias("p95_s"),
-        F.round(F.sum("gap_s") / F.count(F.lit(1)), 2).alias("mean_s"),
+        # r9 conversion (wave 3): truncating integer division at 2 dp
+        (
+            F.expr("(sum(gap_s) * 100) div count(1)").cast("double") / 100.0
+        ).alias("mean_s"),
     )
 
 
@@ -1523,7 +1558,7 @@ WITH gaps AS (
 SELECT event_type, count(*) AS n_gaps,
        round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
        round(quantile_cont(gap_s, 0.95), 2) AS p95_s,
-       round(CAST(sum(gap_s) AS DOUBLE) / count(*), 2) AS mean_s
+       CAST((sum(gap_s) * 100) // count(*) AS DOUBLE) / 100.0 AS mean_s
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY event_type
 """
@@ -1563,18 +1598,28 @@ def discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
-    nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
-    c = F.lit(float(_DQ_CENTI))
-    return m.select(
+    # r9 conversion (wave 3): the corpus_zipf_fit discipline — slope
+    # as truncating integer division of exact decimal moments at 6 dp,
+    # intercept from the TRUNCATED slope k:
+    # (sy/c − (k/10⁶)(sx/c))/n = (sy·10⁶ − k·sx)/(10⁶·c·n)
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    staged = (
+        m.withColumn("_num", dec("n") * F.col("sxy") - dec("sx") * dec("sy"))
+        .withColumn("_den", dec("n") * F.col("sxx") - dec("sx") * dec("sx"))
+        .withColumn("_k", F.expr("(_num * 1000000) div _den"))
+    )
+    return staged.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
-        F.round(slope, 6).alias("qty_per_discount_unit"),
-        F.round(((sy / c) - slope * (sx / c)) / nd, 6).alias("intercept_qty"),
+        (F.col("_k").cast("double") / 1e6).alias("qty_per_discount_unit"),
+        (
+            F.expr(
+                "(cast(sy as decimal(38,0)) * 1000000"
+                " - cast(_k as decimal(38,0)) * sx)"
+                f" div (cast({_DQ_CENTI} as decimal(38,0)) * n)"
+            ).cast("double")
+            / 1e6
+        ).alias("intercept_qty"),
     )
 
 
@@ -1590,21 +1635,21 @@ m AS (
            sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
            sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
     FROM pts GROUP BY l_returnflag
+),
+k AS (
+    SELECT l_returnflag, n, sx, sy,
+           ((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) * 1000000)
+           // (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS k
+    FROM m
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-           AS qty_per_discount_unit,
-       round(((CAST(sy AS DOUBLE) / {float(_DQ_CENTI)!r})
-              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                * (CAST(sx AS DOUBLE) / {float(_DQ_CENTI)!r}))
-             / CAST(n AS DOUBLE), 6) AS intercept_qty
-FROM m
+       CAST(k AS DOUBLE) / 1000000.0 AS qty_per_discount_unit,
+       CAST((CAST(sy AS HUGEINT) * 1000000 - k * CAST(sx AS HUGEINT))
+            // (CAST({_DQ_CENTI} AS HUGEINT) * n) AS DOUBLE) / 1000000.0
+           AS intercept_qty
+FROM k
 """
 
 
@@ -1750,11 +1795,12 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
     wtot = Window.partitionBy("prev_type")
-    return cnt.select(
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    return cnt.withColumn("_t", F.sum("n").over(wtot)).select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 6).alias("p"),
+        (F.expr("(n * 1000000) div _t").cast("double") / 1e6).alias("p"),
     )
 
 
@@ -1785,8 +1831,8 @@ cnt AS (
     GROUP BY prev_type, next_type
 )
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+           / 1000000.0 AS p
 FROM cnt
 """
 
@@ -1835,16 +1881,18 @@ def zipf_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
-    nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
-    return m.select(
+    # r9 conversion (wave 3): the corpus_zipf_fit slope discipline —
+    # truncating integer division of exact decimal moments at 6 dp
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    staged = m.withColumn(
+        "_num", dec("n") * F.col("sxy") - dec("sx") * dec("sy")
+    ).withColumn("_den", dec("n") * F.col("sxx") - dec("sx") * dec("sx"))
+    return staged.select(
         "source",
         F.col("n").cast("long").alias("n_terms"),
-        F.round(slope, 6).alias("zipf_slope"),
+        (
+            F.expr("(_num * 1000000) div _den").cast("double") / 1e6
+        ).alias("zipf_slope"),
     )
 
 
@@ -1873,10 +1921,11 @@ m AS (
     FROM pts GROUP BY source
 )
 SELECT source, CAST(n AS BIGINT) AS n_terms,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+       CAST(((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) * 1000000)
+            // (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS DOUBLE)
+           / 1000000.0 AS zipf_slope
 FROM m
 """
 

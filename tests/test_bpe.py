@@ -335,6 +335,6 @@ def test_bpe_fertility_by_lang_exact(spark):
         t_glob = sum(len(glob_syms[w]) * n for w, n in wc.items())
         assert got[lang] == (
             n_words,
-            round(t_own / n_words, 6),
-            round(t_glob / n_words, 6),
+            (t_own * 1000000) // n_words / 1e6,
+            (t_glob * 1000000) // n_words / 1e6,
         ), lang
