@@ -409,21 +409,28 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lbl.crossJoin(broadcast(n_total)).filter(
         (F.col("n_vecs") > 1) & (F.col("n_vecs") < F.col("n_all"))
     )
-    intra = (
-        (F.col("s2") - F.col("q_tot")).cast("double")
-        / F.lit(_EM_MICRO2)
-        / (F.col("n_vecs") * (F.col("n_vecs") - 1))
-    )
-    inter = (
-        F.col("x2").cast("double")
-        / F.lit(_EM_MICRO2)
-        / (F.col("n_vecs") * (F.col("n_all") - F.col("n_vecs")))
-    )
+    # r9 conversion (wave 3): both means are exact integer rationals —
+    # truncating integer division at 6 dp in decimal(38,0) ↔ HUGEINT
+    # (signed micro² dot sums truncate toward zero in both engines)
     return out.select(
         "label",
         "n_vecs",
-        F.round(intra, 6).alias("mean_intra_dot"),
-        F.round(inter, 6).alias("mean_inter_dot"),
+        (
+            F.expr(
+                "(cast(s2 - q_tot as decimal(38,0)) * 1000000)"
+                f" div (cast({_EM_MICRO2} as decimal(38,0))"
+                " * n_vecs * (n_vecs - 1))"
+            ).cast("double")
+            / 1e6
+        ).alias("mean_intra_dot"),
+        (
+            F.expr(
+                "(cast(x2 as decimal(38,0)) * 1000000)"
+                f" div (cast({_EM_MICRO2} as decimal(38,0))"
+                " * n_vecs * (n_all - n_vecs))"
+            ).cast("double")
+            / 1e6
+        ).alias("mean_inter_dot"),
     )
 
 
@@ -453,10 +460,12 @@ lbl AS (
 ),
 na AS (SELECT count(*) AS n_all FROM e)
 SELECT l.label, p.n_vecs,
-       round(CAST(l.s2 - p.q_tot AS DOUBLE) / {_EM_MICRO2}
-             / (p.n_vecs * (p.n_vecs - 1)), 6) AS mean_intra_dot,
-       round(CAST(l.x2 AS DOUBLE) / {_EM_MICRO2}
-             / (p.n_vecs * (n.n_all - p.n_vecs)), 6) AS mean_inter_dot
+       CAST((CAST(l.s2 - p.q_tot AS HUGEINT) * 1000000)
+            // (CAST({_EM_MICRO2} AS HUGEINT) * p.n_vecs * (p.n_vecs - 1))
+            AS DOUBLE) / 1000000.0 AS mean_intra_dot,
+       CAST((CAST(l.x2 AS HUGEINT) * 1000000)
+            // (CAST({_EM_MICRO2} AS HUGEINT) * p.n_vecs * (n.n_all - p.n_vecs))
+            AS DOUBLE) / 1000000.0 AS mean_inter_dot
 FROM lbl l JOIN pl p USING (label) CROSS JOIN na n
 WHERE p.n_vecs > 1 AND p.n_vecs < n.n_all
 """
@@ -507,12 +516,13 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = ranked.withColumn("cum_cnt", F.sum("cnt").over(cum)).filter(
         F.col("rank").isin(*_COV_KS)
     )
+    # r9 conversion (wave 3): truncating integer division at 6 dp
     return curve.crossJoin(broadcast(total)).select(
         F.col("rank").cast("long").alias("k"),
         "cum_cnt",
-        F.round(F.col("cum_cnt").cast("double") / F.col("n_tokens"), 6).alias(
-            "token_share"
-        ),
+        (
+            F.expr("(cum_cnt * 1000000) div n_tokens").cast("double") / 1e6
+        ).alias("token_share"),
     )
 
 
@@ -535,7 +545,8 @@ curve AS (
     FROM ranked WHERE rank <= {max(_COV_KS)}
 )
 SELECT CAST(rank AS BIGINT) AS k, CAST(cum_cnt AS BIGINT) AS cum_cnt,
-       round(CAST(cum_cnt AS DOUBLE) / t.n_tokens, 6) AS token_share
+       CAST((cum_cnt * 1000000) // t.n_tokens AS DOUBLE) / 1000000.0
+           AS token_share
 FROM curve CROSS JOIN tt t
 WHERE rank IN {_COV_KS}
 """
@@ -682,11 +693,11 @@ def triangle_census(e: DataFrame) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     out = tri.crossJoin(broadcast(stats))
+    # r9 conversion (wave 3): truncating integer division at 6 dp
     cc = F.when(
         F.col("n_wedges") > 0,
-        F.round(
-            3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
-        ),
+        F.expr("(3 * n_triangles * 1000000) div n_wedges").cast("double")
+        / 1e6,
     ).otherwise(F.lit(0.0))
     return out.select(
         "n_edges", "n_wedges", "n_triangles", cc.alias("global_clustering")
@@ -710,7 +721,8 @@ st AS (
 )
 SELECT s.n_edges, s.n_wedges, CAST(t.n_triangles AS BIGINT) AS n_triangles,
        CASE WHEN s.n_wedges > 0
-            THEN round(3.0 * t.n_triangles / s.n_wedges, 6)
+            THEN CAST((3 * t.n_triangles * 1000000) // s.n_wedges AS DOUBLE)
+                 / 1000000.0
             ELSE 0.0 END AS global_clustering
 FROM tri t CROSS JOIN st s
 """
@@ -894,6 +906,9 @@ def effective_tokens_from_cc(d: DataFrame, cc: DataFrame) -> DataFrame:
     weighted = toks.join(member_sizes, "doc_id", "left").select(
         "source",
         "n_tok",
+        # ok-round: algorithmic round-to-nearest (quantizer) — the
+        # effective-token micro unit is DEFINED as the nearest-int
+        # quantization of n_tok/csize; oracle mirrors
         F.round(
             F.col("n_tok") * F.lit(_EFF_MICRO) / F.coalesce(F.col("csize"), F.lit(1))
         )
@@ -928,6 +943,7 @@ toks AS (
 ),
 weighted AS (
     SELECT t.source, t.n_tok,
+           -- ok-round: algorithmic round-to-nearest (quantizer)
            CAST(round(t.n_tok * {_EFF_MICRO} / coalesce(m.csize, 1)) AS BIGINT)
                AS eff_mu
     FROM toks t LEFT JOIN ms m USING (doc_id)
@@ -984,19 +1000,24 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sq"),
         )
     )
-    mean = F.col("s").cast("double") / _EM_MICRO / F.col("n")
-    var = (
-        F.col("sq").cast("double") / _EM_MICRO2 / F.col("n")
-        - (F.col("s").cast("double") / _EM_MICRO / F.col("n"))
-        * (F.col("s").cast("double") / _EM_MICRO / F.col("n"))
-    )
+    # r9 conversion (wave 3): mean = s/(10⁶·n) at 6 dp is (s div n)/10⁶
+    # exactly; variance = (sq·n − s²)/(10¹²·n²) truncating-divides in
+    # decimal(38,0) ↔ HUGEINT. The rank window orders by the truncated
+    # variance (identical in both engines), dim ASC tie-break.
     w = Window.orderBy(F.desc("variance"), F.asc("dim"))
     return (
         dims.select(
             F.col("pos").cast("long").alias("dim"),
             "n",
-            F.round(mean, 6).alias("mean"),
-            F.round(var, 6).alias("variance"),
+            (F.expr("s div n").cast("double") / 1e6).alias("mean"),
+            (
+                F.expr(
+                    "((cast(sq as decimal(38,0)) * n"
+                    " - cast(s as decimal(38,0)) * s) * 1000000)"
+                    " div (cast(1000000000000 as decimal(38,0)) * n * n)"
+                ).cast("double")
+                / 1e6
+            ).alias("variance"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _DV_TOPK)
@@ -1017,10 +1038,10 @@ dims AS (
 ),
 stats AS (
     SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
-           round(CAST(s AS DOUBLE) / {_EM_MICRO} / n, 6) AS mean,
-           round(CAST(sq AS DOUBLE) / {_EM_MICRO2} / n
-                 - (CAST(s AS DOUBLE) / {_EM_MICRO} / n)
-                 * (CAST(s AS DOUBLE) / {_EM_MICRO} / n), 6) AS variance
+           CAST(s // n AS DOUBLE) / 1000000.0 AS mean,
+           CAST(((CAST(sq AS HUGEINT) * n - CAST(s AS HUGEINT) * s) * 1000000)
+                // (CAST(1000000000000 AS HUGEINT) * n * n) AS DOUBLE)
+               / 1000000.0 AS variance
     FROM dims
 )
 SELECT dim, n, mean, variance, rank FROM (
@@ -1150,9 +1171,10 @@ def docs_ttr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_types",
             "n_tokens",
-            F.round(
-                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
-                6,
+            # r9 conversion (wave 3): truncating integer division
+            (
+                F.expr("(n_types * 1000000) div n_tokens").cast("double")
+                / 1e6
             ).alias("ttr"),
         )
     )
@@ -1167,7 +1189,7 @@ terms AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
+       CAST((count(*) * 1000000) // sum(tf) AS DOUBLE) / 1000000.0 AS ttr
 FROM terms GROUP BY doc_id
 """
 
@@ -1214,7 +1236,19 @@ def lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n",
-        F.round(e, 4).alias("expected"),
+        # r9 conversion (wave 3): expected = row·col/n is the genuine
+        # .xxxx5 exposure class — exact truncating integer division at
+        # 4 dp in decimal(38,0) (the customer_segment_nation_chi2
+        # discipline)
+        (
+            F.expr(
+                "(cast(r_tot as decimal(38,0)) * c_tot * 10000) div n_all"
+            ).cast("double")
+            / 1e4
+        ).alias("expected"),
+        # ok-round: algorithmic round-to-nearest (quantizer) of the
+        # double chi2 composite — exact integer form overflows at
+        # target scale (the chi2 triage KEEP)
         F.round(contrib * _CHI_MICRO).cast("long").alias("contrib_mu"),
     )
 
@@ -1227,7 +1261,9 @@ rm AS (SELECT lang, sum(n) AS r_tot FROM cells GROUP BY lang),
 cm AS (SELECT source, sum(n) AS c_tot FROM cells GROUP BY source),
 tt AS (SELECT sum(n) AS n_all FROM cells)
 SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
-       round(CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all, 4) AS expected,
+       CAST((CAST(r.r_tot AS HUGEINT) * m.c_tot * 10000) // t.n_all
+            AS DOUBLE) / 10000.0 AS expected,
+       -- ok-round: algorithmic round-to-nearest (quantizer; see twin)
        CAST(round((c.n - CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
                   * (c.n - CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
                   / (CAST(r.r_tot AS DOUBLE) * m.c_tot / t.n_all)
