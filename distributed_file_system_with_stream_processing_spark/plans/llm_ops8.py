@@ -73,8 +73,10 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("caught").cast("long").alias("n_caught"),
-        F.round(
-            F.sum("caught").cast("double") / F.count(F.lit(1)), 6
+        # r9 conversion (wave 3): truncating integer division at 6 dp
+        (
+            F.expr("(sum(caught) * 1000000) div count(1)").cast("double")
+            / 1e6
         ).alias("recall"),
     )
 
@@ -133,7 +135,8 @@ binned AS (
 )
 SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(caught) AS BIGINT) AS n_caught,
-       round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall
+       CAST((sum(caught) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+           AS recall
 FROM binned GROUP BY bin
 """
 
@@ -533,11 +536,24 @@ def docs_quality_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_t = F.sum("n_docs").over(Window.partitionBy("quality_pass"))
     col_t = F.sum("n_docs").over(Window.partitionBy("is_dup"))
     tot = F.sum("n_docs").over(Window.partitionBy())
-    lift = (
-        F.col("n_docs").cast("double") * tot / (row_t.cast("double") * col_t)
-    )
-    return cells.select(
-        "quality_pass", "is_dup", "n_docs", F.round(lift, 6).alias("lift")
+    # r9 conversion (wave 3): lift = n·N/(row·col) on exact counts —
+    # truncating integer division at 6 dp in decimal(38,0) ↔ HUGEINT
+    return (
+        cells.withColumn("_rt", row_t)
+        .withColumn("_ct", col_t)
+        .withColumn("_tot", tot)
+        .select(
+            "quality_pass",
+            "is_dup",
+            "n_docs",
+            (
+                F.expr(
+                    "(cast(n_docs as decimal(38,0)) * _tot * 1000000)"
+                    " div (cast(_rt as decimal(38,0)) * _ct)"
+                ).cast("double")
+                / 1e6
+            ).alias("lift"),
+        )
     )
 
 
@@ -566,9 +582,10 @@ cells AS (
     GROUP BY 1, 2
 )
 SELECT quality_pass, is_dup, CAST(n_docs AS BIGINT) AS n_docs,
-       round(CAST(n_docs AS DOUBLE) * sum(n_docs) OVER ()
-             / (CAST(sum(n_docs) OVER (PARTITION BY quality_pass) AS DOUBLE)
-                * sum(n_docs) OVER (PARTITION BY is_dup)), 6) AS lift
+       CAST((CAST(n_docs AS HUGEINT) * sum(n_docs) OVER () * 1000000)
+            // (CAST(sum(n_docs) OVER (PARTITION BY quality_pass) AS HUGEINT)
+                * sum(n_docs) OVER (PARTITION BY is_dup)) AS DOUBLE)
+           / 1000000.0 AS lift
 FROM cells
 """
 
@@ -833,8 +850,9 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode(sequence(lo, hi)) trick): each dropped doc contributes a
     row for every threshold ≤ its MAXIMUM pair agreement; same for
     pairs. Agreement recovers exactly from the registered pair
-    table's 6-dp estimate (round(est·12) — est is round(a/12, 6), and
-    the 6-dp grid is fine enough that a/12 round-trips for a ≤ 12).
+    table's 6-dp estimate (round(est·12) — est is the truncating
+    (a·10⁶ div 12)/10⁶ since r9, whose error is < 1.2e-5, far under
+    the 0.5 recovery gate for a ≤ 12).
 
     100 TB shape: the banded (band, key) equi-join (never all-pairs)
     + two pair-scale aggregations + a 7-row output.
@@ -981,9 +999,11 @@ def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
         .select(
             "doc_id",
-            F.round(
-                -(F.col("_s").cast("double") / F.col("n_tokens"))
-            ).cast("long").alias("x"),
+            # r9 conversion (wave 3): x = −Σtl/Σtf is an exact signed
+            # integer rational — truncating integer division (both
+            # engines truncate toward zero), replacing the
+            # round-to-nearest that could split on an exact .5
+            F.expr("(-_s) div n_tokens").cast("long").alias("x"),
         )
     )
     ws = T.words(F.col("text"))
@@ -1035,14 +1055,17 @@ ct AS (SELECT term, sum(tf) AS ctot FROM tf GROUP BY term),
 nc AS (SELECT sum(ctot) AS n_corpus FROM ct),
 xs AS (
     SELECT tf.doc_id,
-           CAST(round(-(CAST(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
-                                                    * {_QPC_MICRO}) AS BIGINT)) AS DOUBLE)
-                        / sum(tf.tf))) AS BIGINT) AS x
+           -- outer: r9 truncating conversion; inner ln quantizer is
+           -- ok-round: irrational (ln) quantization
+           CAST((-(sum(tf.tf * CAST(round(ln(CAST(ct.ctot AS DOUBLE) / nc.n_corpus)
+                                          * {_QPC_MICRO}) AS BIGINT)))
+                 // sum(tf.tf)) AS BIGINT) AS x
     FROM tf JOIN ct USING (term) CROSS JOIN nc
     GROUP BY tf.doc_id
 ),
 ys AS (
     SELECT doc_id,
+           -- ok-round: float-coefficient quality composite
            CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
                 CAST(0.25 AS DOUBLE)
                 + CAST(0.002 AS DOUBLE) * CAST(len(ws) AS BIGINT)
@@ -1128,7 +1151,13 @@ def part_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "n_items",
             "n_returned",
-            F.round("_r", 6).alias("return_rate"),
+            # r9 conversion (wave 3): truncating integer division at
+            # 6 dp (ordering stays on the raw-quotient _r — identical
+            # double bits in both engines)
+            (
+                F.expr("(n_returned * 1000000) div n_items").cast("double")
+                / 1e6
+            ).alias("return_rate"),
         )
     )
 
@@ -1143,7 +1172,8 @@ WITH agg AS (
 )
 SELECT p_brand, CAST(n_items AS BIGINT) AS n_items,
        CAST(n_returned AS BIGINT) AS n_returned,
-       round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate
+       CAST((n_returned * 1000000) // n_items AS DOUBLE) / 1000000.0
+           AS return_rate
 FROM agg
 ORDER BY CAST(n_returned AS DOUBLE) / n_items DESC, p_brand ASC
 LIMIT {_RR_TOPK}
@@ -1191,7 +1221,10 @@ def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nw").alias("w"),
         F.sum("np").alias("p"),
     )
-    share = lambda c: F.round(F.col(c).cast("double") / F.col("n_chars"), 6)  # noqa: E731
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    share = lambda c: (  # noqa: E731
+        F.expr(f"({c} * 1000000) div n_chars").cast("double") / 1e6
+    )
     return agg.select(
         "lang",
         "n_chars",
@@ -1199,11 +1232,9 @@ def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("d").alias("digit_share"),
         share("w").alias("space_share"),
         share("p").alias("punct_share"),
-        F.round(
-            (F.col("n_chars") - F.col("a") - F.col("d") - F.col("w") - F.col("p"))
-            .cast("double")
-            / F.col("n_chars"),
-            6,
+        (
+            F.expr("((n_chars - a - d - w - p) * 1000000) div n_chars")
+            .cast("double") / 1e6
         ).alias("other_share"),
     )
 
@@ -1223,11 +1254,12 @@ agg AS (
     FROM per GROUP BY lang
 )
 SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
-       round(CAST(a AS DOUBLE) / n_chars, 6) AS alpha_share,
-       round(CAST(d AS DOUBLE) / n_chars, 6) AS digit_share,
-       round(CAST(w AS DOUBLE) / n_chars, 6) AS space_share,
-       round(CAST(p AS DOUBLE) / n_chars, 6) AS punct_share,
-       round(CAST(n_chars - a - d - w - p AS DOUBLE) / n_chars, 6) AS other_share
+       CAST((a * 1000000) // n_chars AS DOUBLE) / 1000000.0 AS alpha_share,
+       CAST((d * 1000000) // n_chars AS DOUBLE) / 1000000.0 AS digit_share,
+       CAST((w * 1000000) // n_chars AS DOUBLE) / 1000000.0 AS space_share,
+       CAST((p * 1000000) // n_chars AS DOUBLE) / 1000000.0 AS punct_share,
+       CAST(((n_chars - a - d - w - p) * 1000000) // n_chars AS DOUBLE)
+           / 1000000.0 AS other_share
 FROM agg
 """
 
@@ -1560,13 +1592,15 @@ def customer_order_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
-    share = F.col("n_customers").cast("double") / F.sum("n_customers").over(
-        Window.partitionBy()
-    )
-    return hist.select(
+    # r9 conversion (wave 3): truncating integer division at 6 dp
+    return hist.withColumn(
+        "_t", F.sum("n_customers").over(Window.partitionBy())
+    ).select(
         F.col("n_orders").cast("long").alias("n_orders"),
         "n_customers",
-        F.round(share, 6).alias("share"),
+        (
+            F.expr("(n_customers * 1000000) div _t").cast("double") / 1e6
+        ).alias("share"),
     )
 
 
@@ -1575,7 +1609,8 @@ WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custke
 h AS (SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY n_orders)
 SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(n_customers AS BIGINT) AS n_customers,
-       round(CAST(n_customers AS DOUBLE) / sum(n_customers) OVER (), 6) AS share
+       CAST((n_customers * 1000000) // sum(n_customers) OVER () AS DOUBLE)
+           / 1000000.0 AS share
 FROM h
 """
 
