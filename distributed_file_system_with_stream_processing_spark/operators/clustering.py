@@ -477,6 +477,7 @@ def pq_topk(
     k: int = 5,
     rerank_factor: int = 12,
     dim: int = 64,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ANN via PRODUCT QUANTIZATION (Jégou et al. 2011) + exact
     re-rank — the highest-compression member of the ANN family
@@ -514,7 +515,13 @@ def pq_topk(
     """
     sub = dim // m
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    return _pq_search(e, m, sub, codes, iters, query_ids_below, k, rerank_factor)
+    # ``books`` (r9): session-persisted pre-trained codebooks
+    # (_backbones.pq_codebooks) skip the Lloyd passes entirely —
+    # training is deterministic, so the literals are bit-identical to
+    # an inline retrain and the search result is unchanged.
+    return _pq_search(
+        e, m, sub, codes, iters, query_ids_below, k, rerank_factor, books=books
+    )
 
 
 def _pq_search(
@@ -736,6 +743,7 @@ def opq_topk(
     rerank_factor: int = 12,
     dim: int = 64,
     opt_iters: int = 0,
+    model: tuple[list[list[float]], list[list[list[float]]] | None] | None = None,
 ) -> DataFrame:
     """ANN via OPTIMIZED product quantization: PCA-rotate every vector
     into an eigenvalue-balanced basis, then run the identical PQ
@@ -759,7 +767,13 @@ def opq_topk(
     documented PQ census (zero-shuffle encode, broadcast LUT coarse
     pass, candidate-broadcast re-rank)."""
     e = emb.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    if opt_iters > 0:
+    # ``model`` (r9): a session-persisted (rotation, codebooks) pair
+    # (_backbones.opq_model) skips the alternation training entirely —
+    # the trainer is deterministic, so the literals are bit-identical
+    # to an inline retrain and the search result is unchanged.
+    if model is not None:
+        rot, books = model
+    elif opt_iters > 0:
         rot, books, _trace = opq_train(
             _spread(e), dim, m, codes, iters, opt_iters=opt_iters
         )

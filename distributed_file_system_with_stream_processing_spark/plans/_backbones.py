@@ -235,6 +235,75 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "knn_graph", lambda: L7._knn_graph_plan(spark, sf_dir))
 
 
+def pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """PQ codebooks (Jégou et al. 2011) trained ONCE per (session,
+    sf_dir, params) — the r9 extension of the kmeans_centroids stance
+    to the last inline-training family (r8 verdict #2): through r8
+    ``ann_pq_topk`` re-ran the fused Lloyd codebook passes on every
+    invocation (8.2 s at sf1, training-dominated). The trainer is
+    deterministic (lowest-id seeds, exact micro-integer component
+    sums, driver-side division), so the memoized literals are
+    bit-identical to an inline retrain. Trains on the SAME frame
+    pq_topk trains on inline: the FULL (id, v) table, queries
+    included."""
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    def build() -> list[list[list[float]]]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+        )
+        return C._pq_fit_codebooks(spread(e), m, dim // m, codes, iters)
+
+    return _model(spark, sf_dir, f"pq_books:{m}:{codes}:{iters}:{dim}", build)
+
+
+def opq_model(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 2,
+    opt_iters: int = 1,
+    dim: int = 64,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ (rotation, codebooks) pair (Ge et al. 2014) trained ONCE
+    per (session, sf_dir, params) — ``ann_opq_topk``'s alternation was
+    the slowest sf1 rehearsal row (52 s, training-dominated; r8
+    verdict #2). opq_train is deterministic for a fixed build (PCA
+    eigh + Procrustes SVD on exact distributed Gram sums, numpy
+    matmul rotate passes), and every consumer is rows-only /
+    recall-pinned — nothing hashes these floats against an oracle."""
+    from distributed_file_system_with_stream_processing_spark.functions import vector as V
+    from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.operators._util import spread
+
+    def build() -> tuple[list[list[float]], list[list[list[float]]]]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            F.col("vec_id").alias("id"), V.as_double(F.col("embedding")).alias("v")
+        )
+        rot, books, _trace = C.opq_train(
+            spread(e), dim, m, codes, iters, opt_iters=opt_iters
+        )
+        return rot, books
+
+    return _model(
+        spark, sf_dir, f"opq:{m}:{codes}:{iters}:{opt_iters}:{dim}", build
+    )
+
+
 def exact_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_ids in exact-duplicate groups (normalized-text md5, group
     size >1) — the member expansion of the ``dedup_exact`` census."""

@@ -649,6 +649,25 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE-band near-dup: the capped banding with 16-bit band keys
+    (rows_per_band=16, 128 planes) — the documented replica-dense-
+    scale default (r8 verdict #3 / NEARDUP_WIDEBAND_PROBE.json:
+    9.2 s vs 95.4 s cold-default at sf1, 92k of 137k pairs kept,
+    TRUE-duplicate recall 1.0 pinned in tests/test_ann.py —
+    identical vectors share every band at any width, so floods stay
+    connected; the narrower buckets shed only the low-cosine random
+    collisions that dominate the default's 195× mirror-pair verify
+    volume). A petabyte corpus floods 8-bit buckets by pigeonhole
+    (only 256 keys per band); 16-bit keys give 65,536 — the knob the
+    banded_neardup_pairs docstring reserves for exactly this scale.
+    Oracle mirrors the 128-plane banding (portable plane literals)."""
+    return S.banded_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35, bands=8, rows_per_band=16, dim=64, bucket_cap=50,
+    )
+
+
 def embedding_neardup_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banding WITHOUT the bucket cap: band-collide ∩ cosine≥t,
     every colliding pair materialized. Complete pair lists for
@@ -696,9 +715,11 @@ def _planes_values_sql(dim: int, planes: int) -> str:
     )
 
 
-# band_key bit r of band b comes from plane b·8+r — pid//8 groups,
-# 1<<(pid%8) weights, matching banded_neardup_pairs exactly
-def _banded_neardup_body(bucket_cap: int | None = None) -> str:
+# band_key bit r of band b comes from plane b·rows+r — pid//rows
+# groups, 1<<(pid%rows) weights, matching banded_neardup_pairs exactly
+def _banded_neardup_body(
+    bucket_cap: int | None = None, rows_per_band: int = 8
+) -> str:
     """CTE chain ``e → planes → bit → sig → cand → s`` — the oracle
     twin of ``similarity.banded_neardup_pairs``. ``bucket_cap``
     mirrors the operator's (band_id, band_key) bucket cap: a pair is
@@ -738,17 +759,17 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
              AND NOT list_contains(
                      list_transform(embedding, x -> isnan(x)), true)),
 planes(pid, pv) AS (VALUES
-{_planes_values_sql(64, 64)}
+{_planes_values_sql(64, 8 * rows_per_band)}
 ),
 bit AS (
     SELECT e.vec_id, p.pid,
            CASE WHEN {_DOT.format(a='p.pv', b='e.v')} >= 0
-                THEN CAST(1 << (p.pid % 8) AS BIGINT) ELSE 0 END AS contrib
+                THEN CAST(1 << (p.pid % {rows_per_band}) AS BIGINT) ELSE 0 END AS contrib
     FROM e CROSS JOIN planes p
 ),
 sig AS (
-    SELECT vec_id, pid // 8 AS band_id, SUM(contrib) AS band_key
-    FROM bit GROUP BY vec_id, pid // 8
+    SELECT vec_id, pid // {rows_per_band} AS band_id, SUM(contrib) AS band_key
+    FROM bit GROUP BY vec_id, pid // {rows_per_band}
 ),
 {cand},
 s AS (
@@ -769,6 +790,14 @@ FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
 
 EMBEDDING_NEARDUP_UNCAPPED_SQL = (
     _banded_neardup_body()
+    + """
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
+"""
+)
+
+EMBEDDING_NEARDUP_WIDE_SQL = (
+    _banded_neardup_body(bucket_cap=50, rows_per_band=16)
     + """
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= CAST(0.35 AS DOUBLE)
@@ -1252,6 +1281,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_uncapped": embedding_neardup_uncapped,
+    "embedding_neardup_wide": embedding_neardup_wide,
     "embedding_neardup_exact": embedding_neardup_exact,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_bucketed": ann_ivf_bucketed,
@@ -1286,6 +1316,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "embedding_neardup_uncapped": EMBEDDING_NEARDUP_UNCAPPED_SQL,
+    "embedding_neardup_wide": EMBEDDING_NEARDUP_WIDE_SQL,
     "embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
 }

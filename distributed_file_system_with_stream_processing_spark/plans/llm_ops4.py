@@ -1423,11 +1423,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, exact cosine re-rank. See operators/clustering.pq_topk for
     the scale analysis (zero shuffles outside Lloyd's metadata sums).
     Rows-only (recall 0.86 @ defaults pinned ≥0.8 in tests/test_ann.py
-    — the compressed paths' standard lot)."""
+    — the compressed paths' standard lot). r9: the codebooks read the
+    session-persisted training (_backbones.pq_codebooks — the
+    kmeans_centroids stance; bit-identical literals, training cost
+    paid once per session instead of per invocation)."""
     from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
     return C.pq_topk(
-        load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids_below=10,
+        k=5,
+        books=B.pq_codebooks(spark, sf_dir),
     )
 
 

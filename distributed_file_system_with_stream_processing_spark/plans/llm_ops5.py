@@ -402,12 +402,17 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone-objective guarantee stays pinned in tests/test_ann.py).
     Rows-only (recall pinned ≥ the plain-PQ floor and vs brute force
     in tests/test_ann.py; the rotation itself is unit-tested for
-    orthonormality and distance preservation)."""
+    orthonormality and distance preservation). r9: the (rotation,
+    codebooks) pair reads the session-persisted training
+    (_backbones.opq_model — the kmeans_centroids stance; the 52 s sf1
+    alternation cost is paid once per session, the search plan is
+    unchanged)."""
     from distributed_file_system_with_stream_processing_spark.operators import clustering as C
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
     return C.opq_topk(
         load_table(spark, sf_dir, "embeddings"), query_ids_below=10, k=5,
-        opt_iters=1,
+        opt_iters=1, model=B.opq_model(spark, sf_dir, opt_iters=1),
     )
 
 

@@ -106,26 +106,23 @@ def test_registry_front_loads_unchecked_queries():
     names = list(R.QUERIES)
     assert names[: len(R._FRONT)] == R._FRONT
     assert len(R._FRONT) <= 50, len(R._FRONT)
-    # round 8 policy (unchanged since r6): _FRONT = {no driver row
-    # yet} ∪ {plan/oracle changed since last green row}, nothing else.
+    # round 9 policy (refined from r6): _FRONT = {no driver row yet}
+    # ∪ {VALUE-changed since last green row}; changed-but-output-
+    # identical queries may cede their slot when the front is full,
+    # each with a proof obligation recorded in the registry comment.
     must_front = {
-        # new this round (r8): no driver row yet
-        "events_last_touch_attribution",
-        "events_linear_attribution",
-        "docs_heaps_exponent_by_source",
-        # changed (r8): banded_neardup_pairs gained the len(v)=dim
-        # pre-filter; semantic_dedup additionally repays the r7
-        # kernel-rewrite re-front debt
+        # new this round (r9): no driver row yet
+        "embedding_neardup_wide",
+        # flagship re-fronts (banded NaN pre-filter)
         "embedding_neardup",
-        "embedding_neardup_uncapped",
         "semantic_dedup",
-        # changed (r8): the trained k-means cell backbone persists
-        "semantic_dedup_kmeans",
-        "embedding_knn_graph",
-        "ann_ivf_trained",
-        # representative wave-2 conversions (plan AND oracle changed)
-        "docs_oov_rate_curve",
-        "customer_revenue_gini",
-        "promo_revenue_share",
+        # representative wave-3 conversions (plan AND oracle changed)
+        "docs_gopher_rules",
+        "dedup_minhash_lsh",
+        "corpus_zipf_fit",
+        "q8_market_share",
+        "nation_revenue_hhi",
+        "docs_char_class_profile",
+        "embedding_dim_variance",
     }
     assert must_front <= set(R._FRONT), must_front - set(R._FRONT)
