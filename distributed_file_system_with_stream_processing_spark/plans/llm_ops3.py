@@ -323,7 +323,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             # ok-round: exact micro grid (6 dp)
-        F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
+            F.round(F.col("_s").cast("double") / _BM25_MICRO, 6).alias("bm25"),
             "rank",
         )
     )
@@ -428,7 +428,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "item_id",
             # ok-round: exact micro grid (6 dp)
-        F.round(F.col("_s_mu").cast("double") / 1000000.0, 6).alias("rrf"),
+            F.round(F.col("_s_mu").cast("double") / 1000000.0, 6).alias("rrf"),
             "in_bm25",
             "in_ann",
             "rank",
