@@ -297,6 +297,8 @@ def main() -> None:
         "events_last_touch_attribution",
         "events_linear_attribution",
         "docs_heaps_exponent_by_source",
+        # round-9 addition (the promoted wide-band neardup)
+        "embedding_neardup_wide",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -281,6 +281,8 @@ AUDITED = [
     "events_last_touch_attribution",
     "events_linear_attribution",
     "docs_heaps_exponent_by_source",
+    # round-9 addition
+    "embedding_neardup_wide",
 ]
 
 JOIN_KINDS = (
@@ -405,6 +407,17 @@ def main() -> None:
         out.append("")
         out.extend(audit(plan))
         out.append("")
+    # preserve hand-written trailing notes (the gen_shuffles "## sf1"
+    # convention): everything from "# Hand-written notes" onward is
+    # re-appended verbatim across regenerations.
+    try:
+        with open("PLANS.md") as f:
+            old = f.read()
+        idx = old.find("\n# Hand-written notes")
+        if idx >= 0:
+            out.append(old[idx + 1 :])
+    except FileNotFoundError:
+        pass
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md with {len(AUDITED)} queries")

@@ -147,6 +147,10 @@ QUERIES_UNDER_TEST = [
 SF01 = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SF1_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"))
 RUNS = int(os.environ.get("SF1_RUNS", "2"))
+# SF1_ONLY=a,b,c: refresh just those rows and MERGE into the existing
+# SF1_REHEARSAL.json (replace matching rows in place, append new ones)
+# — the per-round refresh path for queries whose plan changed.
+ONLY = [s for s in os.environ.get("SF1_ONLY", "").split(",") if s]
 
 
 def executed_plan(df) -> str:
@@ -184,7 +188,7 @@ def main() -> None:
     from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
 
     out = []
-    for q in QUERIES_UNDER_TEST:
+    for q in (ONLY or QUERIES_UNDER_TEST):
         fn = QUERIES[q]
         try:
             t01, _ = run_one(q, fn, spark, SF01)
@@ -218,6 +222,12 @@ def main() -> None:
                 f"| {r['q']} | {r['sf0.1_s']} | {r['sf1_s']} | {r['scale_factor']} "
                 f"| {r['cartesian']} | {r['bnlj_non_buildright']} |"
             )
+    if ONLY and os.path.exists("SF1_REHEARSAL.json"):
+        with open("SF1_REHEARSAL.json") as fh:
+            prior = json.load(fh)
+        fresh = {r["q"]: r for r in out}
+        merged = [fresh.pop(r["q"], r) for r in prior] + list(fresh.values())
+        out = merged
     with open("SF1_REHEARSAL.json", "w") as fh:
         json.dump(out, fh, indent=1)
 
