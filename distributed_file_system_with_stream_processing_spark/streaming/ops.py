@@ -1969,3 +1969,107 @@ class VocabGrowthOp:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+
+
+@dataclass
+class DecontamGateOp:
+    """Streaming DECONTAMINATION monitor — the ingest-side face of the
+    registered ``decontaminate_ngram`` hygiene pass (plans/llm_ops.py):
+    every arriving document is flagged contaminated iff ≥1 of its
+    distinct word ``n``-gram shingles appears in the benchmark
+    ``blocklist``; keyed by source, per-key state is the running
+    (docs, contaminated) pair, and each micro-batch emits ONE row per
+    touched source carrying both the batch DELTAS and the RUNNING
+    totals. Σ deltas per source equals the batch census at every
+    trigger boundary, and the final totals ARE the batch twin's row —
+    the live dashboard a data-mixing owner watches while a crawl is
+    being ingested (a source whose contamination rate spikes is
+    scraping the benchmark).
+
+    The blocklist is benchmark-scale metadata (the eval set's distinct
+    shingles — MBs at worst), carried as parsed array literals exactly
+    like the centroid/plane literal stance; the per-doc flag is a pure
+    map (arrays_overlap against the literal — no shuffle, no state
+    proportional to the corpus). State is |sources|-bounded: two longs
+    per source. The corpus-side batch recipe (broadcast semi-join of
+    exploded shingles, doc-level hit counts) remains
+    ``decontaminate_ngram``; this op answers the per-source RATE
+    question incrementally.
+
+    Batch twin (``__call__``): per-source exact
+    (n_docs, n_contaminated) census over the same per-doc flag —
+    order-free integer sums, so stream ≡ batch exactly.
+    """
+
+    name: str
+    blocklist: tuple[str, ...] = ()
+    n: int = 3
+    source_col: str = "source"
+    text_col: str = "text"
+
+    _OUT = (
+        "source string, docs_delta long, contaminated_delta long, "
+        "docs_total long, contaminated_total long"
+    )
+
+    def _flags(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        if self.blocklist:
+            block = F.array(*[F.lit(s) for s in self.blocklist])
+            bad = F.arrays_overlap(
+                T.shingles(F.col(self.text_col), self.n), block
+            )
+        else:
+            bad = F.lit(False)
+        return df.select(
+            F.col(self.source_col).alias("source"),
+            F.coalesce(bad, F.lit(False)).cast("long").alias("bad"),
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        return self._flags(df).groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bad").cast("long").alias("n_contaminated"),
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = [
+            "source",
+            "docs_delta",
+            "contaminated_delta",
+            "docs_total",
+            "contaminated_total",
+        ]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            docs = 0
+            bad = 0
+            for p in pdfs:
+                docs += len(p)
+                bad += int(p["bad"].sum())
+            if docs == 0:
+                yield pd.DataFrame([], columns=cols)
+                return
+            t_docs, t_bad = state.get if state.exists else (0, 0)
+            t_docs += docs
+            t_bad += bad
+            state.update((t_docs, t_bad))
+            yield pd.DataFrame(
+                [(key[0], docs, bad, t_docs, t_bad)], columns=cols
+            )
+
+        return self._flags(df).groupBy("source").applyInPandasWithState(
+            update,
+            self._OUT,
+            "docs long, bad long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

@@ -1620,3 +1620,69 @@ def test_vocab_growth_stream_equals_batch(spark, dirs):
     # {alpha, beta} — and alpha must not double-count as a new type
     # when it reappears in the second trigger
     assert stream_tot == batch == {"web": (7, 4), "pdf": (4, 2)}
+
+
+def test_decontam_gate_stream_equals_batch(spark, dirs):
+    """DecontamGateOp: summed (docs_delta, contaminated_delta) per
+    source across triggers equals the batch census, and the LAST
+    trigger's running totals ARE the batch twin's row. Contamination
+    = any distinct 3-gram shingle in the blocklist; a clean doc from
+    a source that was contaminated earlier must not re-flag."""
+    schema = "doc_id long, source string, text string"
+    block = ("alpha beta gamma",)  # one benchmark 3-gram
+    rows1 = [
+        (1, "web", "alpha beta gamma delta"),   # contaminated
+        (2, "web", "delta epsilon zeta eta"),   # clean
+        (3, "pdf", "no overlap here at all"),   # clean
+    ]
+    rows2 = [
+        (4, "web", "zz alpha beta gamma"),      # contaminated again
+        (5, "pdf", "still clean text run"),     # clean
+        (6, "pdf", "alpha beta gamma"),         # contaminated (exact)
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+
+    op = O.DecontamGateOp("decontam", blocklist=block, n=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        deltas = spark.sql(
+            "select source, sum(docs_delta) as d, sum(contaminated_delta) as c"
+            " from decontam_stream group by source"
+        ).collect()
+        finals = spark.sql(
+            "select source, max_by(docs_total, docs_total) as d,"
+            " max_by(contaminated_total, docs_total) as c"
+            " from decontam_stream group by source"
+        ).collect()
+    finally:
+        q.stop()
+    stream_sum = {r["source"]: (r["d"], r["c"]) for r in deltas}
+    stream_fin = {r["source"]: (r["d"], r["c"]) for r in finals}
+    batch = {
+        r["source"]: (r["n_docs"], r["n_contaminated"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert stream_sum == stream_fin == batch == {"web": (3, 2), "pdf": (3, 1)}
+
+
+def test_decontam_gate_empty_blocklist_flags_nothing(spark):
+    """Empty blocklist = nothing contaminated (the op must not crash
+    building a zero-element literal array)."""
+    df = spark.createDataFrame(
+        [(1, "web", "alpha beta gamma")], "doc_id long, source string, text string"
+    )
+    got = O.DecontamGateOp("d0")(df).collect()
+    assert [(r["source"], r["n_docs"], r["n_contaminated"]) for r in got] == [
+        ("web", 1, 0)
+    ]
