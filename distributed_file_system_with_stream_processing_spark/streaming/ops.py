@@ -2073,3 +2073,1015 @@ class DecontamGateOp:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Python-side twin of
+    Spark SQL's ``div`` on BIGINT (Python's ``//`` floors, which
+    diverges on negative operands)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+@dataclass
+class InterarrivalStatsOp:
+    """Streaming INTER-ARRIVAL monitor — the ingest-side face of the
+    registered ``events_interarrival_stats`` cadence table
+    (plans/llm_ops5): keyed by (user_id, event_type), per-key state is
+    (last-seen (sec, event_id), running gap count/sum/min/max); each
+    trigger emits the running per-key gap census, so the LATEST
+    emission per key equals the batch lag-window aggregate at every
+    trigger boundary — including the gap that SPANS a trigger
+    boundary, the case a per-batch (stateless) lag would drop.
+
+    Gaps are EXACT integer seconds (floor-per-side epoch truncation,
+    the events_asof_forward convention), and count/sum/min/max are
+    order-free integer folds, so stream ≡ batch bit-for-bit under the
+    same in-order contract as CusumMonitorOp (per-key event-time order
+    across triggers; within a micro-batch the op sorts).
+
+    State is |active (user, type)|-bounded: six longs per key — the
+    high-cardinality / tiny-state shape that spreads across a 1000-
+    executor state store. Downstream per-type cadence (mean/percentile)
+    is a |keys|-scale rollup of the emitted census.
+
+    Batch twin (``__call__``): the same census via one lag window on
+    the (user_id, event_type) key — the sessionize backbone's shuffle.
+    """
+
+    name: str
+
+    _OUT = (
+        "user_id long, event_type string, n_gaps long, gap_sum_s long, "
+        "gap_min_s long, gap_max_s long"
+    )
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+            "event_id",
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+        gaps = self._base(df).select(
+            "user_id",
+            "event_type",
+            (F.col("sec") - F.lag("sec").over(w)).alias("gap_s"),
+        )
+        return gaps.groupBy("user_id", "event_type").agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias("gap_sum_s"),
+            F.min("gap_s").cast("long").alias("gap_min_s"),
+            F.max("gap_s").cast("long").alias("gap_max_s"),
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = [
+            "user_id",
+            "event_type",
+            "n_gaps",
+            "gap_sum_s",
+            "gap_min_s",
+            "gap_max_s",
+        ]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            if state.exists:
+                last, n, s, mn, mx = state.get
+            else:
+                last, n, s, mn, mx = -1, 0, 0, -1, -1
+            for sec in pdf["sec"]:
+                sec = int(sec)
+                if last >= 0:
+                    g = sec - last
+                    n += 1
+                    s += g
+                    mn = g if mn < 0 or g < mn else mn
+                    mx = g if g > mx else mx
+                last = sec
+            state.update((last, n, s, mn, mx))
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        key[1],
+                        n,
+                        s,
+                        mn if n else None,
+                        mx if n else None,
+                    )
+                ],
+                columns=cols,
+            )
+
+        return (
+            self._base(df)
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                update,
+                self._OUT,
+                "last long, n long, s long, mn long, mx long",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+
+@dataclass
+class EwmaMonitorOp:
+    """Streaming per-type EWMA of event value — the sequential
+    smoother next to CusumMonitorOp's drift detector: per event-type
+    state is one (ewma_micro, n) pair; each arrival folds
+    ``ewma' = (num·x + (den−num)·ewma) div den`` in micro-units
+    (value·10⁶, round-half-up once at ingest — the attribution
+    family's micro-quantize-once discipline), seeded by the first
+    value. ``div`` truncates toward zero in Spark SQL; the Python
+    state fold uses the matching trunc-div, so stream ≡ batch
+    bit-for-bit under the standard in-order contract (per-type
+    event-time order across triggers; within a batch the op sorts).
+
+    α is carried as the exact rational num/den — no float in the
+    recurrence, so the result is independent of partitioning AND of
+    where trigger boundaries fall. State is |types|-bounded: two
+    longs per key.
+
+    Batch twin (``__call__``): the identical integer fold expressed as
+    a SQL ``aggregate(...)`` over the per-type (sec, event_id)-sorted
+    value list — a collect_list per type, which is fine for the
+    |types|-cardinality parity reference (a 100 TB deployment reads
+    the op's emitted snapshots, not the batch twin).
+    """
+
+    name: str
+    alpha_num: int = 2
+    alpha_den: int = 10
+    value_col: str = "value"
+
+    _OUT = "event_type string, n_events long, ewma_micro long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        micro = F.round(F.col(self.value_col) * 1_000_000).cast("long")
+        return df.select(
+            "event_type",
+            micro.alias("micro"),
+            F.unix_timestamp("ts").alias("sec"),
+            "event_id",
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        num, den = self.alpha_num, self.alpha_den
+        fold = F.expr(
+            f"""
+            aggregate(
+              transform(array_sort(collect_list(struct(sec, event_id, micro))),
+                        v -> v.micro),
+              named_struct('e', cast(0 as bigint), 'n', cast(0 as bigint)),
+              (acc, x) -> named_struct(
+                'e', case when acc.n = 0 then x
+                     else ({num} * x + {den - num} * acc.e) div {den} end,
+                'n', acc.n + 1))
+            """
+        )
+        return (
+            self._base(df)
+            .groupBy("event_type")
+            .agg(fold.alias("st"))
+            .select(
+                "event_type",
+                F.col("st.n").alias("n_events"),
+                F.col("st.e").alias("ewma_micro"),
+            )
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        num, den = self.alpha_num, self.alpha_den
+        cols = ["event_type", "n_events", "ewma_micro"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            e, n = state.get if state.exists else (0, 0)
+            for x in pdf["micro"]:
+                x = int(x)
+                e = x if n == 0 else _trunc_div(num * x + (den - num) * e, den)
+                n += 1
+            state.update((e, n))
+            yield pd.DataFrame([(key[0], n, e)], columns=cols)
+
+        return self._base(df).groupBy("event_type").applyInPandasWithState(
+            update,
+            self._OUT,
+            "e long, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class BottomKSampleOp:
+    """Streaming DETERMINISTIC uniform sample — a bottom-k sketch per
+    source: keep the k documents whose portable hash32(doc_id) is
+    smallest. Because "smallest k of a fixed hash" is a pure set fold
+    (order-free, duplicate-stable), the maintained sample is
+    IDENTICAL no matter how the stream is split into triggers or
+    partitions — the property a random reservoir cannot give you —
+    and equals the batch rank-by-hash sample over everything seen.
+    This is the live train-data eyeball panel: a fixed-size,
+    provably-uniform peek per source while a crawl is ingesting.
+
+    Per-key state is the k (hash, doc_id) pairs plus a row count;
+    each trigger emits the CURRENT sample as an array column next to
+    the running n_seen, so the latest emission per source is the
+    sample of record. At 100 TB state is k·|sources| longs.
+
+    Batch twin (``__call__``): row_number over (h, doc_id) per source,
+    keep ≤ k, reassembled in the same (h, doc_id) order.
+    """
+
+    name: str
+    k: int = 8
+    id_col: str = "doc_id"
+    key_col: str = "source"
+
+    _OUT = "source string, n_seen long, sample_ids array<long>"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        return df.select(
+            F.col(self.key_col).alias("source"),
+            F.col(self.id_col).alias("id"),
+            T.hash32(F.col(self.id_col).cast("string")).alias("h"),
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        base = self._base(df)
+        counts = base.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen")
+        )
+        w = Window.partitionBy("source").orderBy("h", "id")
+        samp = (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .groupBy("source")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "id"))),
+                    lambda p: p["id"],
+                ).alias("sample_ids")
+            )
+        )
+        return counts.join(samp, "source").select(
+            "source", "n_seen", "sample_ids"
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k = self.k
+        cols = ["source", "n_seen", "sample_ids"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                hs, ids, n = state.get
+                pairs = list(zip(hs, ids))
+            else:
+                pairs, n = [], 0
+            pairs.extend(zip((int(h) for h in pdf["h"]), (int(i) for i in pdf["id"])))
+            pairs.sort()
+            pairs = pairs[:k]
+            n += len(pdf)
+            state.update(([h for h, _ in pairs], [i for _, i in pairs], n))
+            yield pd.DataFrame(
+                [(key[0], n, [i for _, i in pairs])], columns=cols
+            )
+
+        return self._base(df).groupBy("source").applyInPandasWithState(
+            update,
+            self._OUT,
+            "hs array<long>, ids array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class MinHashSketchOp:
+    """Streaming per-source MINHASH signature maintainer — the live
+    face of the corpus-overlap estimators (``minhash_jaccard_estimate``
+    / ``source_neardup_matrix``): per source, the k affine-family
+    minima over every document shingle seen so far. Elementwise min
+    is an order-free, mergeable fold, so the maintained signature is
+    bit-identical however triggers split the stream, and two sources'
+    signatures estimate their shingle-set Jaccard live
+    (matching positions / k) while a crawl ingests — the dashboard
+    that catches "source B is re-crawling source A" without a pair
+    join.
+
+    Reuses the EXACT portable family of the batch queries
+    (functions/text.py: hash32 + mh_params affine transforms mod the
+    shared prime), so sketches made here are comparable with every
+    committed batch signature. State is k longs per source.
+
+    Batch twin (``__call__``): k per-element ``min`` aggregates over
+    the same per-doc signatures — one |sources|-cardinality shuffle.
+    Docs with fewer than ``n`` words (empty shingle set) contribute
+    nothing in either path.
+    """
+
+    name: str
+    k: int = 16
+    n: int = 3
+    source_col: str = "source"
+    text_col: str = "text"
+
+    _OUT = "source string, n_docs long, sig array<long>"
+
+    def _sigs(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        sh = T.shingles(F.col(self.text_col), self.n)
+        return (
+            df.select(
+                F.col(self.source_col).alias("source"),
+                sh.alias("sh"),
+            )
+            .filter(F.size("sh") >= 1)
+            .select("source", T.minhash_signature(F.col("sh"), self.k).alias("sig"))
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        return (
+            self._sigs(df)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.array(
+                    *[F.min(F.col("sig")[i]) for i in range(self.k)]
+                ).alias("sig"),
+            )
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k = self.k
+        cols = ["source", "n_docs", "sig"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            sig, n = (
+                ([int(x) for x in state.get[0]], state.get[1])
+                if state.exists
+                else (None, 0)
+            )
+            for row in pdf["sig"]:
+                row = [int(x) for x in row]
+                sig = row if sig is None else [min(a, b) for a, b in zip(sig, row)]
+            n += len(pdf)
+            state.update((sig, n))
+            yield pd.DataFrame([(key[0], n, sig)], columns=cols)
+
+        return self._sigs(df).groupBy("source").applyInPandasWithState(
+            update,
+            self._OUT,
+            "sig array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+def _mg_fold(counters: dict, terms, k: int) -> None:
+    """Misra–Gries k-counter fold, shared verbatim by MisraGriesOp's
+    batch and stream paths (same code + same token order = exact
+    stream/batch parity for an otherwise order-sensitive sketch)."""
+    for t in terms:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+
+
+@dataclass
+class MisraGriesOp:
+    """Streaming FREQUENT-ITEMS sketch (Misra & Gries 1982) — the
+    fixed-memory heavy-hitter monitor that completes the sketch
+    family (CMS = frequencies, HLL/GK = distinct/quantiles, this =
+    top items): per source, k counters over the token stream; any
+    term with true count > n/(k+1) is GUARANTEED present, and every
+    kept count underestimates by at most n/(k+1) — the classical
+    bounds a mixing dashboard needs to trust "these are the dominant
+    boilerplate tokens" at 100 TB without a per-term shuffle.
+
+    The MG fold is order-sensitive, so both paths consume tokens in
+    the same canonical (doc_id, position) order and share the fold
+    code itself (``_mg_fold``): within a micro-batch the op sorts, and
+    across triggers the standard in-order contract applies (doc_id
+    monotone — an append-only corpus). State is ≤ k (term, count)
+    pairs + one long per source.
+
+    Batch twin (``__call__``): the identical fold per source via
+    Arrow ``applyInPandas`` over (doc_id, pos)-sorted tokens — the
+    parity reference and the one-shot batch sketch.
+    """
+
+    name: str
+    k: int = 8
+    source_col: str = "source"
+    text_col: str = "text"
+
+    _OUT = "source string, n_tokens long, terms array<string>, counts array<long>"
+
+    def _toks(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        return df.select(
+            F.col(self.source_col).alias("source"),
+            F.col("doc_id"),
+            F.posexplode_outer(T.words(F.col(self.text_col))).alias("pos", "w"),
+        ).filter(F.col("w").isNotNull()).select(
+            "source", "doc_id", "pos", F.lower(F.col("w")).alias("term")
+        )
+
+    @staticmethod
+    def _emit(counters: dict, n: int):
+        ranked = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        return n, [t for t, _ in ranked], [c for _, c in ranked]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        import pandas as pd
+
+        k = self.k
+        emit = self._emit
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["doc_id", "pos"])
+            counters: dict = {}
+            _mg_fold(counters, pdf["term"], k)
+            n, terms, counts = emit(counters, len(pdf))
+            return pd.DataFrame(
+                [(pdf["source"].iloc[0], n, terms, counts)],
+                columns=["source", "n_tokens", "terms", "counts"],
+            )
+
+        return self._toks(df).groupBy("source").applyInPandas(fold, self._OUT)
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k = self.k
+        emit = self._emit
+        cols = ["source", "n_tokens", "terms", "counts"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["doc_id", "pos"])
+            if state.exists:
+                ts, cs, n = state.get
+                counters = dict(zip(ts, (int(c) for c in cs)))
+            else:
+                counters, n = {}, 0
+            _mg_fold(counters, pdf["term"], k)
+            n += len(pdf)
+            tot, terms, counts = emit(counters, n)
+            state.update((terms, counts, n))
+            yield pd.DataFrame([(key[0], tot, terms, counts)], columns=cols)
+
+        return self._toks(df).groupBy("source").applyInPandasWithState(
+            update,
+            self._OUT,
+            "ts array<string>, cs array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class KmvDistinctOp:
+    """Streaming K-MINIMUM-VALUES distinct sketch (Bar-Yossef et al.
+    2002) — the DETERMINISTIC mergeable distinct counter next to the
+    HLL query (``events_approx_distinct``, rows-only because HLL
+    internals aren't portable): keep the k smallest distinct
+    hash32 values of the tracked dimension per key; with fewer than k
+    the count is exact, past k the estimator (k−1)·2³² div h_k is a
+    pure integer function of the sketch — so the estimate is
+    bit-reproducible across engines, trigger splits, partitionings,
+    AND the batch twin (a property HLL cannot give), while state
+    stays k longs per key.
+
+    Batch twin (``__call__``): distinct-hash rank per key — the same
+    k minima and the same integer estimator in one shuffle.
+    """
+
+    name: str
+    k: int = 64
+    id_col: str = "user_id"
+    key_col: str = "event_type"
+
+    _SPACE = 1 << 32
+    _OUT = "key string, n_seen long, sketch_size long, est_distinct long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        return df.select(
+            F.col(self.key_col).alias("key"),
+            T.hash32(F.col(self.id_col).cast("string")).alias("h"),
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        base = self._base(df)
+        counts = base.groupBy("key").agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen")
+        )
+        w = Window.partitionBy("key").orderBy("h")
+        mins = (
+            base.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("sketch_size"),
+                F.max("h").alias("hk"),
+            )
+        )
+        est = F.when(
+            F.col("sketch_size") < F.lit(self.k), F.col("sketch_size")
+        ).otherwise(
+            F.expr(f"(cast({self.k - 1} as bigint) * {self._SPACE}) div hk")
+        )
+        return counts.join(mins, "key").select(
+            "key", "n_seen", "sketch_size", est.cast("long").alias("est_distinct")
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k, space = self.k, self._SPACE
+        cols = ["key", "n_seen", "sketch_size", "est_distinct"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                hs, n = state.get
+                mins = set(int(h) for h in hs)
+            else:
+                mins, n = set(), 0
+            mins.update(int(h) for h in pdf["h"])
+            hs = sorted(mins)[:k]
+            n += len(pdf)
+            state.update((hs, n))
+            d = len(hs)
+            est = d if d < k else (k - 1) * space // hs[-1]
+            yield pd.DataFrame([(key[0], n, d, est)], columns=cols)
+
+        return self._base(df).groupBy("key").applyInPandasWithState(
+            update,
+            self._OUT,
+            "hs array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class LogHistQuantileOp:
+    """Streaming power-of-two LOG-HISTOGRAM quantile sketch — the
+    mergeable, bit-reproducible quantile monitor next to the GK/HLL
+    rows-only queries (DDSketch's idea, Masson et al. 2019, with the
+    γ=2 integer special case so NO floating point touches the
+    bucketing): per key, counts on buckets b = bit_length(cents)
+    (value micro-quantized to cents once at ingest; bucket b covers
+    [2^(b−1), 2^b)), zero/negative clamped to bucket 0. Counts are
+    order-free integer folds, and the quantile read-out — walk the
+    cumulative histogram to rank ⌈q·n⌉, report the bucket midpoint
+    3·2^(b−2) (integer div) — is a pure integer function of the
+    histogram, so estimates match bit-for-bit across trigger splits,
+    partitionings and the batch twin, with guaranteed relative error
+    < 2 (one octave). State is ≤ 64 (bucket, count) pairs per key.
+
+    Batch twin (``__call__``): the same buckets via the JVM-exact
+    ``length(bin(cents))`` bit-length, one groupBy, and the same
+    integer walk folded in SQL.
+    """
+
+    name: str
+    qs: tuple[int, ...] = (50, 95)  # percentiles, integer points
+    value_col: str = "value"
+
+    _OUT = "event_type string, n long, q int, est_cents long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        cents = F.round(F.col(self.value_col) * 100).cast("long")
+        b = F.when(cents <= 0, F.lit(0)).otherwise(
+            F.length(F.bin(cents)).cast("int")
+        )
+        return df.select("event_type", b.alias("b"))
+
+    @staticmethod
+    def _mid(b: int) -> int:
+        # midpoint of [2^(b-1), 2^b) as integer cents; bucket 0 = 0
+        return 0 if b <= 0 else (3 * (1 << b)) // 4 if b >= 2 else 1
+
+    def _readout(self, hist: dict, n: int):
+        # integer rank walk, shared by both paths via the batch twin's
+        # SQL mirror below
+        out = []
+        buckets = sorted(hist)
+        for q in self.qs:
+            rank = (q * n + 99) // 100  # ceil(q·n/100), 1-based
+            acc = 0
+            est = 0
+            for b in buckets:
+                acc += hist[b]
+                if acc >= rank:
+                    est = self._mid(b)
+                    break
+            out.append((q, est))
+        return out
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        import pandas as pd
+
+        readout = self._readout
+        # shrink to the ≤64-bucket histogram JVM-side FIRST (map-side
+        # combine); only histogram rows cross Arrow — corpus-scale safe
+        hist_df = self._base(df).groupBy("event_type", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            hist = dict(zip((int(b) for b in pdf["b"]), (int(c) for c in pdf["c"])))
+            n = sum(hist.values())
+            rows = [
+                (pdf["event_type"].iloc[0], n, q, est)
+                for q, est in readout(hist, n)
+            ]
+            return pd.DataFrame(rows, columns=["event_type", "n", "q", "est_cents"])
+
+        return hist_df.groupBy("event_type").applyInPandas(fold, self._OUT)
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        readout = self._readout
+        cols = ["event_type", "n", "q", "est_cents"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                bs, cs, n = state.get
+                hist = dict(zip((int(b) for b in bs), (int(c) for c in cs)))
+            else:
+                hist, n = {}, 0
+            for b in pdf["b"]:
+                hist[int(b)] = hist.get(int(b), 0) + 1
+            n += len(pdf)
+            state.update((sorted(hist), [hist[b] for b in sorted(hist)], n))
+            rows = [(key[0], n, q, est) for q, est in readout(hist, n)]
+            yield pd.DataFrame(rows, columns=cols)
+
+        return self._base(df).groupBy("event_type").applyInPandasWithState(
+            update,
+            self._OUT,
+            "bs array<int>, cs array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class SchemaDriftOp:
+    """Streaming SCHEMA-DRIFT gate over semi-structured payloads — the
+    ingest guard the events `props` JSON column needs at 100 TB: each
+    document's sorted key-set signature (``json_object_keys`` joined
+    with ',') is a schema fingerprint; keyed by (source, signature),
+    per-key state is a (first-seen flag, count) pair, and every
+    micro-batch emits (source, signature, delta, is_new) rows — a
+    signature's first appearance anywhere in the stream carries
+    ``is_new = 1``, the page an ingest owner gets when an upstream
+    producer silently adds/renames a field. Σ deltas per (source,
+    signature) reproduces the exact batch census at every trigger
+    boundary (VocabGrowthOp's seen-flag discipline on a different
+    key space); state is |distinct schemas|-bounded — tiny.
+
+    Batch twin (``__call__``): the per-(source, signature) count via
+    one groupBy over the same JVM-side signature expression.
+    """
+
+    name: str
+    source_col: str = "source"
+    json_col: str = "props"
+
+    _OUT = "source string, signature string, delta long, is_new long"
+
+    def _sig(self, df: DataFrame) -> DataFrame:
+        sig = F.coalesce(
+            F.array_join(
+                F.array_sort(F.json_object_keys(F.col(self.json_col))), ","
+            ),
+            F.lit("(invalid)"),
+        )
+        return df.select(
+            F.col(self.source_col).alias("source"), sig.alias("signature")
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        return self._sig(df).groupBy("source", "signature").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = ["source", "signature", "delta", "is_new"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            n = 0
+            for p in pdfs:
+                n += len(p)
+            if n == 0:
+                yield pd.DataFrame([], columns=cols)
+                return
+            first = 0 if state.exists else 1
+            tot = (state.get[0] if state.exists else 0) + n
+            state.update((tot,))
+            yield pd.DataFrame(
+                [(key[0], key[1], n, first)], columns=cols
+            )
+
+        return self._sig(df).groupBy("source", "signature").applyInPandasWithState(
+            update,
+            self._OUT,
+            "tot long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class DedupGateOp:
+    """Streaming EXACT-DEDUP gate — the ingest face of the registered
+    batch dedups (``dedup_exact`` / ``dedup_keep_first``): keyed by
+    the content fingerprint (hash32 of normalized text — the
+    doc_fingerprint discipline), per-key state is the keeper's doc_id;
+    every arriving document is emitted with an ``is_dup`` verdict and
+    the id it duplicates, so the sink keeps exactly the keep-first
+    survivor set no matter how the stream is split into triggers —
+    the dedup you want DURING a 100 TB crawl rather than as an
+    after-the-fact batch pass.
+
+    Keep-first semantics are doc_id-ordered: within a micro-batch the
+    op sorts by doc_id, and across triggers the standard in-order
+    contract applies (doc_id monotone — an append-only corpus). State
+    is |distinct fingerprints|-bounded: one long per distinct content.
+
+    Batch twin (``__call__``): the same verdicts via one row_number
+    window over the fingerprint key.
+    """
+
+    name: str
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+    _OUT = "doc_id long, fp long, is_dup long, kept_doc_id long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        return df.select(
+            F.col(self.id_col).alias("doc_id"),
+            T.hash32(T.norm_text(F.col(self.text_col))).alias("fp"),
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        first = F.first("doc_id").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return self._base(df).select(
+            "doc_id",
+            "fp",
+            (F.row_number().over(w) > 1).cast("long").alias("is_dup"),
+            first.alias("kept_doc_id"),
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = ["doc_id", "fp", "is_dup", "kept_doc_id"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values("doc_id")
+            keeper = state.get[0] if state.exists else None
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if keeper is None:
+                    keeper = d
+                    out.append((d, key[0], 0, d))
+                else:
+                    out.append((d, key[0], 1, keeper))
+            state.update((keeper,))
+            yield pd.DataFrame(out, columns=cols)
+
+        return self._base(df).groupBy("fp").applyInPandasWithState(
+            update,
+            self._OUT,
+            "keeper long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+
+@dataclass
+class AsofEnrichOp:
+    """Streaming AS-OF enrichment — the live face of the batch
+    ``events_asof_join`` (union + last-ignorenulls window,
+    plans/analytics_ext.py): a single keyed stream carries BOTH
+    dimension updates (``tag = 0``: the user's latest click) and fact
+    rows (``tag = 1``: purchases); per-user state is the most recent
+    dimension (ts, id) pair, and each fact row is emitted enriched
+    with the dimension value in effect at-or-before its timestamp —
+    ties at equal ts resolve dimension-first, matching the batch
+    window's (ts, tag) sort. This is the CDC-style "enrich facts with
+    the latest profile" join with O(1) state per user instead of a
+    range-join explosion.
+
+    In-order contract: per-user (ts, tag) order across triggers
+    (within a micro-batch the op sorts); the batch twin replays the
+    identical order, so stream ≡ batch exactly.
+
+    Batch twin (``__call__``): the registered union+window as-of on a
+    bounded df — one shuffle on user_id.
+    """
+
+    name: str
+
+    _IN = "user_id, ts, tag, event_id, dim_id"
+    _OUT = "event_id long, user_id long, sec long, dim_id long, dim_sec long"
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "tag",
+            "event_id",
+            "dim_id",
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("sec", "tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dim_sec = F.when(F.col("tag") == 0, F.col("sec"))
+        dim_id = F.when(F.col("tag") == 0, F.col("dim_id"))
+        return (
+            self._base(df)
+            .select(
+                "user_id",
+                "sec",
+                "tag",
+                "event_id",
+                F.last(dim_id, ignorenulls=True).over(w).alias("dim_id_eff"),
+                F.last(dim_sec, ignorenulls=True).over(w).alias("dim_sec_eff"),
+            )
+            .filter(F.col("tag") == 1)
+            .select(
+                "event_id",
+                "user_id",
+                "sec",
+                F.coalesce(F.col("dim_id_eff"), F.lit(-1)).alias("dim_id"),
+                F.coalesce(F.col("dim_sec_eff"), F.lit(-1)).alias("dim_sec"),
+            )
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        cols = ["event_id", "user_id", "sec", "dim_id", "dim_sec"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts).sort_values(["sec", "tag"])
+            d_id, d_sec = state.get if state.exists else (-1, -1)
+            out = []
+            for sec, tag, eid, did in zip(
+                pdf["sec"], pdf["tag"], pdf["event_id"], pdf["dim_id"]
+            ):
+                if int(tag) == 0:
+                    d_id, d_sec = int(did), int(sec)
+                else:
+                    out.append((int(eid), key[0], int(sec), d_id, d_sec))
+            state.update((d_id, d_sec))
+            yield pd.DataFrame(out, columns=cols)
+
+        return self._base(df).groupBy("user_id").applyInPandasWithState(
+            update,
+            self._OUT,
+            "d_id long, d_sec long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

@@ -1686,3 +1686,575 @@ def test_decontam_gate_empty_blocklist_flags_nothing(spark):
     assert [(r["source"], r["n_docs"], r["n_contaminated"]) for r in got] == [
         ("web", 1, 0)
     ]
+
+
+def _h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_interarrival_stream_equals_batch(spark, dirs):
+    """InterarrivalStatsOp: the latest per-(user, type) emission equals
+    the batch lag-window census — including the gap that SPANS the
+    trigger boundary (last event of trigger 1 → first of trigger 2),
+    which a stateless per-batch lag would drop."""
+    from datetime import datetime
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows1 = [
+        (1, 1, "click", t(0)),
+        (2, 1, "click", t(10)),
+        (3, 2, "view", t(5)),   # single event: n_gaps must stay 0
+    ]
+    rows2 = [
+        (4, 1, "click", t(25)),  # 15 s gap ACROSS the trigger boundary
+        (5, 1, "click", t(27)),  # 2 s gap inside trigger 2
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.InterarrivalStatsOp("gaps")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("gaps_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = spark.sql(
+            "select user_id, event_type,"
+            " max_by(n_gaps, n_gaps) as n, max_by(gap_sum_s, n_gaps) as s,"
+            " max_by(gap_min_s, n_gaps) as mn, max_by(gap_max_s, n_gaps) as mx"
+            " from gaps_stream group by user_id, event_type"
+        ).collect()
+    finally:
+        q.stop()
+    stream_fin = {
+        (r["user_id"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in fin
+    }
+    batch = {
+        (r["user_id"], r["event_type"]): (
+            r["n_gaps"],
+            r["gap_sum_s"],
+            r["gap_min_s"],
+            r["gap_max_s"],
+        )
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert stream_fin == batch == {
+        (1, "click"): (3, 27, 2, 15),
+        (2, "view"): (0, 0, None, None),
+    }
+
+
+def test_ewma_stream_equals_batch(spark, dirs):
+    """EwmaMonitorOp: the integer EWMA recurrence folded across two
+    triggers equals the batch SQL aggregate fold AND the hand-computed
+    trunc-div recurrence."""
+    from datetime import datetime
+
+    schema = "event_id long, event_type string, ts timestamp, value double"
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows1 = [(1, "click", t(0), 10.0), (2, "click", t(1), 20.0)]
+    rows2 = [(3, "click", t(2), 5.5), (4, "view", t(3), 7.0)]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.EwmaMonitorOp("ewma", alpha_num=2, alpha_den=10)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = spark.sql(
+            "select event_type, max_by(ewma_micro, n_events) as e,"
+            " max(n_events) as n from ewma_stream group by event_type"
+        ).collect()
+    finally:
+        q.stop()
+    stream_fin = {r["event_type"]: (r["n"], r["e"]) for r in fin}
+    batch = {
+        r["event_type"]: (r["n_events"], r["ewma_micro"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # hand fold: e = 10e6; e = (2*20e6 + 8*10e6) div 10 = 12e6;
+    # e = (2*5.5e6 + 8*12e6) div 10 = 10_700_000
+    assert stream_fin == batch == {
+        "click": (3, 10_700_000),
+        "view": (1, 7_000_000),
+    }
+
+
+def test_bottomk_sample_stream_equals_batch(spark, dirs):
+    """BottomKSampleOp: the k smallest-hash doc ids per source are
+    trigger-split invariant — a later doc with a smaller hash must
+    EVICT a trigger-1 member, and the final sample equals the batch
+    rank-by-hash sample."""
+    schema = "doc_id long, source string"
+    ids1, ids2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    rows1 = [(i, "web") for i in ids1]
+    rows2 = [(i, "web") for i in ids2]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.BottomKSampleOp("panel", k=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("panel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "select sample_ids from panel_stream where n_seen = 4"
+        ).collect()[0]["sample_ids"]
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        final = spark.sql(
+            "select sample_ids from panel_stream where n_seen = 8"
+        ).collect()[0]["sample_ids"]
+    finally:
+        q.stop()
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    assert len(batch) == 1 and batch[0]["n_seen"] == 8
+    # expected: the 3 ids with smallest (hash32(str(id)), id) over ALL 8
+    exp_all = [i for _, i in sorted((_h32(str(i)), i) for i in ids1 + ids2)][:3]
+    exp_t1 = [i for _, i in sorted((_h32(str(i)), i) for i in ids1)][:3]
+    assert list(batch[0]["sample_ids"]) == exp_all == list(final)
+    assert list(first) == exp_t1
+    # the fixture must actually exercise eviction across the boundary
+    assert exp_all != exp_t1
+
+
+def test_minhash_sketch_stream_equals_batch(spark, dirs):
+    """MinHashSketchOp: elementwise-min signatures maintained across
+    triggers equal the batch per-source minima, and two sources with
+    identical shingle sets produce IDENTICAL signatures (live
+    Jaccard = 1)."""
+    schema = "doc_id long, source string, text string"
+    rows1 = [
+        (1, "web", "alpha beta gamma delta epsilon"),
+        (2, "pdf", "alpha beta gamma delta epsilon"),
+        (3, "web", "one two"),  # < 3 words: no shingles, must not count
+    ]
+    rows2 = [
+        (4, "web", "zeta eta theta iota kappa"),
+        (5, "pdf", "completely different text entirely here"),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.MinHashSketchOp("mh", k=8, n=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["source"]: (r["n_docs"], list(r["sig"]))
+            for r in spark.sql(
+                "select source, max_by(n_docs, n_docs) as n_docs,"
+                " max_by(sig, n_docs) as sig from mh_stream group by source"
+            ).collect()
+        }
+        # identical single-doc shingle sets -> identical signatures
+        assert first["web"] == first["pdf"]
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            r["source"]: (r["n_docs"], list(r["sig"]))
+            for r in spark.sql(
+                "select source, max_by(n_docs, n_docs) as n_docs,"
+                " max_by(sig, n_docs) as sig from mh_stream group by source"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["source"]: (r["n_docs"], list(r["sig"]))
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert fin == batch
+    assert batch["web"][0] == 2 and batch["pdf"][0] == 2
+    # trigger-2 docs must have lowered at least one element per source
+    assert fin["web"][1] != first["web"][1] or fin["pdf"][1] != first["pdf"][1]
+    # elementwise: final <= first (mins only go down)
+    assert all(a <= b for a, b in zip(fin["web"][1], first["web"][1]))
+
+
+def test_misra_gries_stream_equals_batch(spark, dirs):
+    """MisraGriesOp: the k-counter sketch folded across two triggers
+    (doc_id-monotone arrival) equals the batch fold over the full
+    (doc_id, pos)-ordered token stream, and the classical guarantees
+    hold vs exact counts: every term with true count > n/(k+1) is
+    present, and no kept count underestimates by more than n/(k+1)."""
+    schema = "doc_id long, source string, text string"
+    rows1 = [
+        (1, "web", "the cat sat on the mat the end"),
+        (2, "web", "the dog the cat a dog"),
+        (3, "pdf", "x y x z x"),
+    ]
+    rows2 = [
+        (4, "web", "the the the rare1 rare2 rare3"),
+        (5, "pdf", "x q r s"),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.MisraGriesOp("mg", k=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            r["source"]: (r["n"], list(r["terms"]), list(r["counts"]))
+            for r in spark.sql(
+                "select source, max(n_tokens) as n,"
+                " max_by(terms, n_tokens) as terms,"
+                " max_by(counts, n_tokens) as counts"
+                " from mg_stream group by source"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    full = spark.read.schema(schema).parquet(dirs["src"])
+    batch = {
+        r["source"]: (r["n_tokens"], list(r["terms"]), list(r["counts"]))
+        for r in op(full).collect()
+    }
+    assert fin == batch
+    # guarantees vs exact counts, per source
+    from collections import Counter
+
+    docs = sorted(
+        ((r["doc_id"], r["source"], r["text"]) for r in full.collect())
+    )
+    for src in ("web", "pdf"):
+        true = Counter(
+            w.lower()
+            for _, s, text in docs
+            if s == src
+            for w in text.split()
+        )
+        n, terms, counts = batch[src]
+        assert n == sum(true.values())
+        bound = n // (op.k + 1)
+        kept = dict(zip(terms, counts))
+        for t, c in true.items():
+            if c > bound:
+                assert t in kept, (src, t, c, bound)
+        for t, c in kept.items():
+            assert 0 < c <= true[t] and true[t] - c <= bound
+    # 'the' dominates web (8 occurrences of 20 > 20//4): must be kept
+    assert "the" in batch["web"][1]
+
+
+def test_kmv_distinct_stream_equals_batch(spark, dirs):
+    """KmvDistinctOp: the k smallest distinct hashes (and therefore
+    the integer estimate) are trigger-split invariant and equal the
+    batch twin; below k the estimate is EXACT; repeated ids must not
+    inflate the sketch."""
+    schema = "event_id long, event_type string, user_id long"
+    # click: 12 distinct users arriving over two triggers, some twice
+    rows1 = [(i, "click", 100 + (i % 8)) for i in range(16)]
+    rows2 = [(100 + i, "click", 108 + i) for i in range(4)] + [
+        (200, "view", 7),
+        (201, "view", 7),
+        (202, "view", 9),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.KmvDistinctOp("kmv", k=6)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            r["key"]: (r["n"], r["sk"], r["est"])
+            for r in spark.sql(
+                "select key, max(n_seen) as n,"
+                " max_by(sketch_size, n_seen) as sk,"
+                " max_by(est_distinct, n_seen) as est"
+                " from kmv_stream group by key"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["key"]: (r["n_seen"], r["sketch_size"], r["est_distinct"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert fin == batch
+    # view: 2 distinct users < k -> exact
+    assert batch["view"] == (3, 2, 2)
+    # click: 12 distinct > k=6 -> sketch full; estimate from the 6th
+    # smallest hash, computed independently here
+    n, sk, est = batch["click"]
+    assert (n, sk) == (20, 6)
+    hs = sorted({_h32(str(100 + u)) for u in range(12)})
+    assert est == 5 * (1 << 32) // hs[5]
+    # KMV error bound is ~1/sqrt(k); with k=6 just sanity-band it
+    assert 4 <= est <= 40
+
+
+def test_loghist_quantile_stream_equals_batch(spark, dirs):
+    """LogHistQuantileOp: the power-of-two histogram and its integer
+    quantile read-out are trigger-split invariant and equal the batch
+    twin bit-for-bit; estimates stay within one octave of the true
+    percentile."""
+    from datetime import datetime
+
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    t0 = datetime(2024, 1, 1)
+    # click values: cents 100..1600 geometric-ish spread over triggers
+    vals1 = [1.0, 2.0, 3.0, 5.0, 8.0]
+    vals2 = [0.5, 13.0, 16.0, 0.0]
+    rows1 = [(i, "click", t0, v) for i, v in enumerate(vals1)]
+    rows2 = [(10 + i, "click", t0, v) for i, v in enumerate(vals2)]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.LogHistQuantileOp("lh", qs=(50, 95))
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("lh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            (r["event_type"], r["q"]): (r["nn"], r["est"])
+            for r in spark.sql(
+                "select event_type, q, max(n) as nn,"
+                " max_by(est_cents, n) as est"
+                " from lh_stream group by event_type, q"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["event_type"], r["q"]): (r["n"], r["est_cents"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert fin == batch
+    n, p50 = batch[("click", 50)]
+    _, p95 = batch[("click", 95)]
+    assert n == 9
+    # true cents sorted: 0,50,100,200,300,500,800,1300,1600
+    # p50: rank ceil(.5*9)=5 -> 300 in bucket 9 [256,512) midpoint 384
+    assert p50 == 384
+    # p95: rank ceil(.95*9)=9 -> 1600 in bucket 11 [1024,2048) mid 1536
+    assert p95 == 1536
+    # octave guarantee
+    assert 300 / 2 < p50 < 300 * 2 and 1600 / 2 < p95 < 1600 * 2
+
+
+def test_schema_drift_stream_equals_batch(spark, dirs):
+    """SchemaDriftOp: summed per-(source, signature) deltas equal the
+    batch census; a signature's FIRST appearance anywhere in the
+    stream (and only that) carries is_new = 1 — a key-set seen in
+    trigger 1 must not re-flag in trigger 2, while a novel key-set in
+    trigger 2 must."""
+    schema = "doc_id long, source string, props string"
+    rows1 = [
+        (1, "web", '{"k": 1}'),
+        (2, "web", '{"k": 2}'),
+        (3, "pdf", '{"k": 3, "v": 4}'),
+    ]
+    rows2 = [
+        (4, "web", '{"k": 9}'),            # old signature: no flag
+        (5, "web", '{"k": 1, "extra": 2}'),  # NEW signature: flag
+        (6, "pdf", "not json at all"),       # invalid: its own bucket
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.SchemaDriftOp("drift")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select source, signature, sum(delta) as n, sum(is_new) as nw"
+            " from drift_stream group by source, signature"
+        ).collect()
+    finally:
+        q.stop()
+    stream_census = {(r["source"], r["signature"]): (r["n"], r["nw"]) for r in rows}
+    batch = {
+        (r["source"], r["signature"]): r["n_docs"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert {k: v[0] for k, v in stream_census.items()} == batch
+    assert batch == {
+        ("web", "k"): 3,
+        ("web", "extra,k"): 1,
+        ("pdf", "k,v"): 1,
+        ("pdf", "(invalid)"): 1,
+    }
+    # exactly one is_new per distinct (source, signature)
+    assert all(v[1] == 1 for v in stream_census.values())
+
+
+def test_dedup_gate_stream_equals_batch(spark, dirs):
+    """DedupGateOp: per-fingerprint keep-first verdicts are identical
+    between the stream (doc_id-monotone triggers) and the batch
+    window — a duplicate arriving in trigger 2 must point at the
+    trigger-1 keeper, not start a new group."""
+    schema = "doc_id long, text string"
+    rows1 = [
+        (1, "Alpha  Beta"),
+        (2, "gamma delta"),
+        (3, "alpha beta"),     # dup of 1 after normalization
+    ]
+    rows2 = [
+        (4, "ALPHA BETA"),     # dup of 1, across the trigger boundary
+        (5, "fresh content"),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.DedupGateOp("gate")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["is_dup"], r["kept_doc_id"])
+            for r in spark.sql("select * from gate_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: (r["is_dup"], r["kept_doc_id"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch == {
+        1: (0, 1),
+        2: (0, 2),
+        3: (1, 1),
+        4: (1, 1),
+        5: (0, 5),
+    }
+
+
+def test_asof_enrich_stream_equals_batch(spark, dirs):
+    """AsofEnrichOp: facts are enriched with the dimension in effect
+    at-or-before their ts — including a fact in trigger 2 whose
+    dimension update arrived in trigger 1 (state carry), a fact
+    BEFORE any update (-1 fallback), and the equal-ts tie resolving
+    dimension-first like the batch (ts, tag) sort."""
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, tag int, event_id long, dim_id long"
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows1 = [
+        (1, t(0), 1, 100, None),   # fact before any dim -> -1
+        (1, t(5), 0, None, 50),    # dim update
+        (1, t(5), 1, 101, None),   # equal-ts fact: sees dim 50
+    ]
+    rows2 = [
+        (1, t(20), 1, 102, None),  # enriched from trigger-1 state
+        (1, t(30), 0, None, 60),
+        (1, t(40), 1, 103, None),  # sees the newer dim
+        (2, t(40), 1, 200, None),  # other user: no dim ever -> -1
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.AsofEnrichOp("asof")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (r["dim_id"], r["dim_sec"])
+            for r in spark.sql("select * from asof_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["event_id"]: (r["dim_id"], r["dim_sec"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    # dim_sec is the epoch of the dim update's ts (session-tz exact)
+    ep_row = spark.sql(
+        "select unix_timestamp(timestamp'2024-01-01 00:00:05') as a,"
+        " unix_timestamp(timestamp'2024-01-01 00:00:30') as b"
+    ).collect()[0]
+    ep5, ep30 = ep_row["a"], ep_row["b"]
+    assert got == batch == {
+        100: (-1, -1),
+        101: (50, ep5),
+        102: (50, ep5),
+        103: (60, ep30),
+        200: (-1, -1),
+    }
