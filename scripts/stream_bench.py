@@ -74,6 +74,11 @@ def main() -> None:
     record = "--record" in sys.argv
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # state-store sizing: a micro-batch of ~10k rows does not need 32
+    # shuffle/state partitions — 8 keeps per-trigger overhead honest
+    # (the knob a real deployment sizes to its trigger volume; set
+    # BEFORE queries start, the state-store count pins at query start)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     tmp = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     results: dict[str, dict] = {}
     try:
@@ -145,6 +150,7 @@ def main() -> None:
             "metric": "structured-streaming end-to-end throughput",
             "sf": 0.1,
             "micro_batches": CHUNKS,
+            "shuffle_partitions": 8,
             "pipelines": results,
             "reference_note": (
                 "reference RainStorm execs a user binary per 5-line batch "
