@@ -143,6 +143,28 @@ def main() -> None:
         )
         results["dedup_gate"] = {"rows": doc_n, "wall_s": round(wall, 2)}
 
+        # 5. amortization check: the SAME 100k rows in 2 triggers of
+        # 50k — per-trigger overhead is constant, so rows/sec must
+        # rise steeply (the claim that the 10-trigger numbers are
+        # floors, measured rather than asserted)
+        big = tmp / "events_big"
+        events.repartition(2).write.mode("overwrite").parquet(str(big))
+        big_reader = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(big))
+        )
+        wall = _drain(
+            spark,
+            O.StatefulCountOp("rc2", ["event_type"])(big_reader),
+            tmp,
+            "rc2",
+        )
+        results["stateful_running_count_50k_trigger"] = {
+            "rows": ev_n,
+            "wall_s": round(wall, 2),
+        }
+
         for v in results.values():
             v["rows_per_sec"] = int(v["rows"] / v["wall_s"]) if v["wall_s"] else 0
 

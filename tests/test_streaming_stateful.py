@@ -2258,3 +2258,45 @@ def test_asof_enrich_stream_equals_batch(spark, dirs):
         103: (60, ep30),
         200: (-1, -1),
     }
+
+
+def test_bottomk_array_state_survives_restart(spark, dirs):
+    """Array-valued state (BottomKSampleOp's hash/id pairs) must
+    round-trip the checkpoint: kill the query, add data, restart —
+    the recovered sample continues from the persisted k-minima, and
+    the final sample equals the batch twin over everything."""
+    schema = "doc_id long, source string"
+    op = O.BottomKSampleOp("panel", k=3)
+
+    def start():
+        src = spark.readStream.schema(schema).parquet(dirs["src"])
+        out = op.stream_apply(src)
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(dirs["sink"])
+
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .start()
+        )
+
+    _write(spark.createDataFrame([(i, "web") for i in range(1, 5)], schema), dirs["src"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write(spark.createDataFrame([(i, "web") for i in range(5, 9)], schema), dirs["src"])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(dirs["sink"]).collect()
+    final = max(rows, key=lambda r: r["n_seen"])
+    assert final["n_seen"] == 8  # recovered count, no loss/duplication
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()[0]
+    assert list(final["sample_ids"]) == list(batch["sample_ids"])
+    exp = [i for _, i in sorted((_h32(str(i)), i) for i in range(1, 9))][:3]
+    assert list(final["sample_ids"]) == exp
