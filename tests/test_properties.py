@@ -877,3 +877,110 @@ def test_linear_attribution_update_conserves_and_matches(seq, n_triggers, seed):
                     want[t] = want.get(t, 0) + base + (rem if j == 0 else 0)
     assert got == want
     assert sum(got.values()) == micro * n_purch
+
+
+# ---- pure-Python sketch folds (no Spark session needed) --------------
+
+PURE_SETTINGS = dict(max_examples=200, deadline=None)
+
+
+@given(
+    toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=400),
+    k=st.integers(1, 6),
+)
+@settings(**PURE_SETTINGS)
+def test_misra_gries_classical_guarantees(toks, k):
+    """For ANY stream and counter budget k: every kept count
+    undercounts by at most n/(k+1), and every term with true
+    frequency > n/(k+1) is present in the sketch."""
+    from collections import Counter
+
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        _mg_fold,
+    )
+
+    counters: dict = {}
+    _mg_fold(counters, toks, k)
+    true = Counter(toks)
+    n = len(toks)
+    bound = n // (k + 1)
+    assert len(counters) <= k
+    for t, c in counters.items():
+        assert 0 < c <= true[t]
+        assert true[t] - c <= bound
+    for t, c in true.items():
+        if c > bound:
+            assert t in counters
+
+
+@given(
+    toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=300),
+    k=st.integers(1, 6),
+    cut=st.integers(0, 300),
+)
+@settings(**PURE_SETTINGS)
+def test_misra_gries_fold_is_resumable(toks, k, cut):
+    """Folding a prefix, persisting the counters, and folding the rest
+    equals one continuous fold — the property the streaming op's
+    state checkpoint relies on."""
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        _mg_fold,
+    )
+
+    cut = min(cut, len(toks))
+    one: dict = {}
+    _mg_fold(one, toks, k)
+    split: dict = {}
+    _mg_fold(split, toks[:cut], k)
+    # round-trip through the state-store representation (two arrays)
+    split = dict(zip(list(split.keys()), list(split.values())))
+    _mg_fold(split, toks[cut:], k)
+    assert one == split
+
+
+@given(
+    a=st.integers(-(10**15), 10**15),
+    b=st.integers(-(10**6), 10**6).filter(lambda x: x != 0),
+)
+@settings(**PURE_SETTINGS)
+def test_trunc_div_matches_spark_div_semantics(a, b):
+    """_trunc_div truncates toward zero with the Euclidean identity
+    q·b + r = a, |r| < |b|, and r carries a's sign — Spark SQL's
+    BIGINT `div`."""
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        _trunc_div,
+    )
+
+    q = _trunc_div(a, b)
+    r = a - q * b
+    assert abs(r) < abs(b)
+    assert r == 0 or (r > 0) == (a > 0)
+    # truncation: |q| never overshoots a/b
+    assert abs(q * b) <= abs(a)
+
+
+@given(
+    cents=st.lists(st.integers(0, 10**9), min_size=1, max_size=200),
+    q=st.integers(1, 100),
+)
+@settings(**PURE_SETTINGS)
+def test_loghist_readout_picks_the_rank_bucket(cents, q):
+    """The integer rank walk always reports the midpoint of EXACTLY
+    the bucket containing the ⌈q·n/100⌉-th smallest value — the
+    one-octave error guarantee reduces to this."""
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        LogHistQuantileOp,
+    )
+
+    op = LogHistQuantileOp("p", qs=(q,))
+    bucket = lambda c: 0 if c <= 0 else c.bit_length()  # noqa: E731
+    hist: dict = {}
+    for c in cents:
+        hist[bucket(c)] = hist.get(bucket(c), 0) + 1
+    n = len(cents)
+    [(qq, est)] = op._readout(hist, n)
+    assert qq == q
+    rank_val = sorted(cents)[(q * n + 99) // 100 - 1]
+    assert est == op._mid(bucket(rank_val))
+    if rank_val > 0:
+        assert rank_val / 2 < est < rank_val * 2 or est == 1
