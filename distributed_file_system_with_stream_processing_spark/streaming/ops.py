@@ -2117,7 +2117,9 @@ class InterarrivalStatsOp:
     )
 
     def _base(self, df: DataFrame) -> DataFrame:
-        return df.select(
+        # NULL ts drops in BOTH paths (int(NaN) poisons the stream
+        # fold; the batch lag over NULL yields NULL gaps anyway)
+        return df.filter(F.col("ts").isNotNull()).select(
             "user_id",
             "event_type",
             F.unix_timestamp("ts").alias("sec"),
@@ -2161,18 +2163,24 @@ class InterarrivalStatsOp:
                 yield pd.DataFrame([], columns=cols)
                 return
             pdf = pd.concat(parts).sort_values(["sec", "event_id"])
+            # 'have a previous event' == state exists (a key's state is
+            # written on its first batch) — NOT a sentinel on last,
+            # which a pre-1970 negative epoch would defeat
             if state.exists:
                 last, n, s, mn, mx = state.get
+                have = True
             else:
-                last, n, s, mn, mx = -1, 0, 0, -1, -1
+                last, n, s, mn, mx = 0, 0, 0, -1, -1
+                have = False
             for sec in pdf["sec"]:
                 sec = int(sec)
-                if last >= 0:
+                if have:
                     g = sec - last
                     n += 1
                     s += g
                     mn = g if mn < 0 or g < mn else mn
                     mx = g if g > mx else mx
+                have = True
                 last = sec
             state.update((last, n, s, mn, mx))
             yield pd.DataFrame(
@@ -2236,7 +2244,11 @@ class EwmaMonitorOp:
 
     def _base(self, df: DataFrame) -> DataFrame:
         micro = F.round(F.col(self.value_col) * 1_000_000).cast("long")
-        return df.select(
+        # NULL values/timestamps drop in BOTH paths (int(NaN) would
+        # kill the stream fold; the SQL fold would fold garbage)
+        return df.filter(
+            F.col(self.value_col).isNotNull() & F.col("ts").isNotNull()
+        ).select(
             "event_type",
             micro.alias("micro"),
             F.unix_timestamp("ts").alias("sec"),
@@ -2747,7 +2759,11 @@ class LogHistQuantileOp:
         b = F.when(cents <= 0, F.lit(0)).otherwise(
             F.length(F.bin(cents)).cast("int")
         )
-        return df.select("event_type", b.alias("b"))
+        # NULL values drop here in BOTH paths (a NULL bucket would
+        # arrive in the Arrow fold as NaN and poison the query)
+        return df.filter(F.col(self.value_col).isNotNull()).select(
+            "event_type", b.alias("b")
+        )
 
     @staticmethod
     def _mid(b: int) -> int:
@@ -2904,8 +2920,10 @@ class SchemaDriftOp:
 class DedupGateOp:
     """Streaming EXACT-DEDUP gate — the ingest face of the registered
     batch dedups (``dedup_exact`` / ``dedup_keep_first``): keyed by
-    the content fingerprint (hash32 of normalized text — the
-    doc_fingerprint discipline), per-key state is the keeper's doc_id;
+    the content fingerprint (FULL md5 of normalized text — the same
+    128-bit key the registered ``dedup_exact`` groups on; a 32-bit
+    hash would birthday-collide near ~77k distinct docs and silently
+    drop unique content), per-key state is the keeper's doc_id;
     every arriving document is emitted with an ``is_dup`` verdict and
     the id it duplicates, so the sink keeps exactly the keep-first
     survivor set no matter how the stream is split into triggers —
@@ -2915,7 +2933,8 @@ class DedupGateOp:
     Keep-first semantics are doc_id-ordered: within a micro-batch the
     op sorts by doc_id, and across triggers the standard in-order
     contract applies (doc_id monotone — an append-only corpus). State
-    is |distinct fingerprints|-bounded: one long per distinct content.
+    is |distinct fingerprints|-bounded: one long per distinct content
+    (the fingerprint itself lives in the state-store KEY).
 
     Batch twin (``__call__``): the same verdicts via one row_number
     window over the fingerprint key.
@@ -2925,7 +2944,7 @@ class DedupGateOp:
     text_col: str = "text"
     id_col: str = "doc_id"
 
-    _OUT = "doc_id long, fp long, is_dup long, kept_doc_id long"
+    _OUT = "doc_id long, fp string, is_dup long, kept_doc_id long"
 
     def _base(self, df: DataFrame) -> DataFrame:
         from distributed_file_system_with_stream_processing_spark.functions import (
@@ -2934,7 +2953,7 @@ class DedupGateOp:
 
         return df.select(
             F.col(self.id_col).alias("doc_id"),
-            T.hash32(T.norm_text(F.col(self.text_col))).alias("fp"),
+            F.md5(T.norm_text(F.col(self.text_col))).alias("fp"),
         )
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -3014,12 +3033,14 @@ class AsofEnrichOp:
     _OUT = "event_id long, user_id long, sec long, dim_id long, dim_sec long"
 
     def _base(self, df: DataFrame) -> DataFrame:
-        return df.select(
+        return df.filter(F.col("ts").isNotNull()).select(
             "user_id",
             F.unix_timestamp("ts").alias("sec"),
             "tag",
             "event_id",
             "dim_id",
+            # unique within-second tiebreak: a row's own id
+            F.coalesce(F.col("event_id"), F.col("dim_id")).alias("seq"),
         )
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -3029,7 +3050,7 @@ class AsofEnrichOp:
 
         w = (
             Window.partitionBy("user_id")
-            .orderBy("sec", "tag")
+            .orderBy("sec", "tag", "seq")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         dim_sec = F.when(F.col("tag") == 0, F.col("sec"))
@@ -3065,7 +3086,7 @@ class AsofEnrichOp:
             if not parts:
                 yield pd.DataFrame([], columns=cols)
                 return
-            pdf = pd.concat(parts).sort_values(["sec", "tag"])
+            pdf = pd.concat(parts).sort_values(["sec", "tag", "seq"])
             d_id, d_sec = state.get if state.exists else (-1, -1)
             out = []
             for sec, tag, eid, did in zip(

@@ -2300,3 +2300,127 @@ def test_bottomk_array_state_survives_restart(spark, dirs):
     assert list(final["sample_ids"]) == list(batch["sample_ids"])
     exp = [i for _, i in sorted((_h32(str(i)), i) for i in range(1, 9))][:3]
     assert list(final["sample_ids"]) == exp
+
+
+def test_interarrival_pre1970_and_null_ts(spark, dirs):
+    """Review fix: negative epochs (pre-1970) must still count gaps
+    (no -1 sentinel), and NULL ts rows drop in both paths instead of
+    poisoning the stream fold."""
+    from datetime import datetime
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    rows1 = [
+        (1, 1, "click", datetime(1969, 12, 31, 23, 59, 0)),
+        (2, 1, "click", datetime(1969, 12, 31, 23, 59, 30)),
+        (3, 1, "click", None),
+    ]
+    rows2 = [(4, 1, "click", datetime(1970, 1, 1, 0, 0, 10))]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.InterarrivalStatsOp("gaps69")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("gaps69_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = spark.sql(
+            "select max_by(n_gaps, n_gaps) as n, max_by(gap_sum_s, n_gaps) as s,"
+            " max_by(gap_min_s, n_gaps) as mn, max_by(gap_max_s, n_gaps) as mx"
+            " from gaps69_stream"
+        ).collect()[0]
+    finally:
+        q.stop()
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()[0]
+    got = (fin["n"], fin["s"], fin["mn"], fin["mx"])
+    exp = (
+        batch["n_gaps"],
+        batch["gap_sum_s"],
+        batch["gap_min_s"],
+        batch["gap_max_s"],
+    )
+    # gaps: 30 s (inside 1969) and 40 s (crossing the epoch AND the
+    # trigger boundary); the NULL-ts row contributes nothing
+    assert got == exp == (2, 70, 30, 40)
+
+
+def test_ewma_loghist_null_values_drop(spark):
+    """Review fix: NULL event values drop in both ops' batch paths
+    (and by the shared _base, the stream paths) instead of crashing
+    the Arrow fold with int(NaN)."""
+    from datetime import datetime
+
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "click", t0, 10.0), (2, "click", t0, None), (3, "click", None, 4.0)],
+        schema,
+    )
+    e = O.EwmaMonitorOp("e")(df).collect()
+    assert [(r["n_events"], r["ewma_micro"]) for r in e] == [(1, 10_000_000)]
+    lh = O.LogHistQuantileOp("l", qs=(50,))(df).collect()
+    # 2 usable values (NULL value drops; NULL ts is fine for LogHist)
+    assert [(r["n"], r["q"]) for r in lh] == [(2, 50)]
+
+
+def test_asof_enrich_same_second_dim_ties(spark, dirs):
+    """Review fix: two dim updates inside the SAME epoch second must
+    resolve identically in stream and batch (unique (sec, tag, seq)
+    order) — the higher dim_id wins as the later same-second row."""
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, tag int, event_id long, dim_id long"
+    t5 = datetime(2024, 1, 1, 0, 0, 5)
+    rows = [
+        (1, t5, 0, None, 50),
+        (1, t5, 0, None, 60),   # same second: seq tiebreak -> 60 wins
+        (1, datetime(2024, 1, 1, 0, 0, 9), 1, 100, None),
+    ]
+    _write(spark.createDataFrame(rows, schema), dirs["src"])
+    op = O.AsofEnrichOp("asof_tie")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("asof_tie_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["dim_id"]
+            for r in spark.sql("select * from asof_tie_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["event_id"]: r["dim_id"]
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert got == batch == {100: 60}
+
+
+def test_dedup_gate_fullwidth_fingerprint(spark):
+    """Review fix: the gate keys on the FULL md5 (the dedup_exact
+    grouping key), not a 32-bit prefix — distinct texts get distinct
+    fingerprints and string fps survive the batch window."""
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "AAA ")], "doc_id long, text string"
+    )
+    rows = O.DedupGateOp("g")(df).collect()
+    fps = {r["doc_id"]: r["fp"] for r in rows}
+    assert fps[1] == fps[3] != fps[2]
+    assert all(len(f) == 32 for f in fps.values())
+    assert {r["doc_id"]: (r["is_dup"], r["kept_doc_id"]) for r in rows} == {
+        1: (0, 1),
+        2: (0, 2),
+        3: (1, 1),
+    }
