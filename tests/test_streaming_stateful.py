@@ -2424,3 +2424,76 @@ def test_dedup_gate_fullwidth_fingerprint(spark):
         2: (0, 2),
         3: (1, 1),
     }
+
+
+def test_order_sensitive_ops_sort_within_trigger(spark, dirs):
+    """The in-order contract is per-key EVENT-TIME order across
+    triggers — WITHIN a trigger the ops must sort for themselves.
+    Feed one trigger with rows scrambled in file order and check
+    EwmaMonitorOp and InterarrivalStatsOp still equal their batch
+    twins (which sort by construction)."""
+    from datetime import datetime
+
+    schema = "event_id long, event_type string, ts timestamp, value double"
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    # scrambled: ts order is 3,1,2 in arrival order within the trigger
+    rows = [
+        (3, "click", t(20), 30.0),
+        (1, "click", t(0), 10.0),
+        (2, "click", t(10), 20.0),
+    ]
+    _write(spark.createDataFrame(rows, schema), dirs["src"])
+    op = O.EwmaMonitorOp("ew_scr", alpha_num=2, alpha_den=10)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("ew_scr_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select max(n_events) as n, max_by(ewma_micro, n_events) as e"
+            " from ew_scr_stream"
+        ).collect()[0]
+    finally:
+        q.stop()
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()[0]
+    # time-ordered fold: e=10e6 -> (2*20e6+8*10e6)div10=12e6
+    #                    -> (2*30e6+8*12e6)div10=15.6e6
+    assert (got["n"], got["e"]) == (
+        batch["n_events"],
+        batch["ewma_micro"],
+    ) == (3, 15_600_000)
+
+    # same scrambled trigger through the gap tracker
+    schema2 = "event_id long, user_id long, event_type string, ts timestamp"
+    rows2 = [(3, 1, "c", t(20)), (1, 1, "c", t(0)), (2, 1, "c", t(10))]
+    src2 = dirs["src"] + "_gaps"
+    _write(spark.createDataFrame(rows2, schema2), src2)
+    op2 = O.InterarrivalStatsOp("ia_scr")
+    stream2 = spark.readStream.schema(schema2).parquet(src2)
+    q2 = (
+        op2.stream_apply(stream2)
+        .writeStream.format("memory")
+        .queryName("ia_scr_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"] + "_gaps")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        g = spark.sql(
+            "select max(n_gaps) as n, max_by(gap_sum_s, n_gaps) as s"
+            " from ia_scr_stream"
+        ).collect()[0]
+    finally:
+        q2.stop()
+    b = op2(spark.read.schema(schema2).parquet(src2)).collect()[0]
+    assert (g["n"], g["s"]) == (b["n_gaps"], b["gap_sum_s"]) == (2, 20)
