@@ -283,6 +283,13 @@ AUDITED = [
     "docs_heaps_exponent_by_source",
     # round-9 addition
     "embedding_neardup_wide",
+    # staged for the r10 front (plans/llm_ops23.py)
+    "events_distinct_kmv",
+    "order_percentiles_loghist",
+    "docs_sample_bottomk",
+    "source_jaccard_minhash",
+    "docs_distinct_shingles_kmv",
+    "events_props_schema_census",
 ]
 
 JOIN_KINDS = (
@@ -363,8 +370,15 @@ def strip_initial_plans(plan: str) -> str:
 
 
 def main() -> None:
-    from distributed_file_system_with_stream_processing_spark.plans.registry import QUERIES
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+    from distributed_file_system_with_stream_processing_spark.plans.registry import (
+        QUERIES as _REGISTERED,
+    )
     from distributed_file_system_with_stream_processing_spark.session import get_spark
+
+    # staged-for-r10 queries (llm_ops23) get plan audits before they
+    # get front slots — same discipline as their pytest oracle runs
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES}
 
     spark = get_spark(app_name="plans-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

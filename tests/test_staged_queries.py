@@ -99,3 +99,27 @@ def test_loghist_percentiles_within_octave(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert exact[k] / 2 < est < exact[k] * 2, (k, est, exact[k])
+
+
+def test_staged_plans_no_cartesian_or_bad_loop_join(spark):
+    """The registry-wide plan invariant, applied to the staged set
+    before they take front slots: nothing cartesians; the only
+    loop join is source_jaccard_minhash's METADATA-scale broadcast
+    self-join of the |sources|-row sketch table on a strict
+    inequality (the embedding_label_drift shape) — BuildRight, the
+    corpus touched once upstream in the (source, shingle) agg.
+
+    When these queries are fronted in r10, add source_jaccard_minhash
+    to test_plans.test_no_cartesian_or_loop_join_anywhere's
+    allowed_loop set with the comment above.
+    """
+    from tests.test_plans import executed_plan
+
+    allowed_loop = {"source_jaccard_minhash"}
+    for name, fn, _sql in _pairs():
+        plan = executed_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_loop:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        elif "BroadcastNestedLoopJoin" in plan:
+            assert "BroadcastNestedLoopJoin BuildRight" in plan, name
