@@ -309,7 +309,13 @@ def docs_distinct_shingles_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from distributed_file_system_with_stream_processing_spark.functions import text as T
 
-    d = load_table(spark, sf_dir, "documents")
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        spread,
+    )
+
+    # spread BEFORE the shingle explode: one-file parquet = one scan
+    # partition, which would pin the md5-per-shingle stage to one core
+    d = spread(load_table(spark, sf_dir, "documents"))
     ex = d.select(
         "source", F.explode_outer(T.shingles(F.col("text"), _DSK_N)).alias("s")
     ).filter(F.col("s").isNotNull())

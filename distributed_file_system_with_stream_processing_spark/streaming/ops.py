@@ -2428,12 +2428,19 @@ class MinHashSketchOp:
     Reuses the EXACT portable family of the batch queries
     (functions/text.py: hash32 + mh_params affine transforms mod the
     shared prime), so sketches made here are comparable with every
-    committed batch signature. State is k longs per source.
+    committed batch signature, AND the exploded one-md5-per-shingle
+    layout of operators/dedup.minhash_banded — a per-doc
+    ``minhash_signature`` array would re-evaluate the md5 inside each
+    of the k interpreted higher-order minima (measured 5× slower at
+    sf0.1, 97 s vs ~10 s at sf1 for the staged source-Jaccard query).
+    State is k longs per source.
 
-    Batch twin (``__call__``): k per-element ``min`` aggregates over
-    the same per-doc signatures — one |sources|-cardinality shuffle.
-    Docs with fewer than ``n`` words (empty shingle set) contribute
-    nothing in either path.
+    Batch twin (``__call__``): k min-aggregates over the exploded
+    (source, hash) rows — map-side partial mins, one
+    |sources|-cardinality shuffle. Docs with fewer than ``n`` words
+    (empty shingle set) contribute nothing in either path; min over
+    per-doc minima ≡ min over the shingle UNION, so the maintained
+    signature is the source-level set signature.
     """
 
     name: str
@@ -2441,34 +2448,55 @@ class MinHashSketchOp:
     n: int = 3
     source_col: str = "source"
     text_col: str = "text"
+    id_col: str = "doc_id"
 
     _OUT = "source string, n_docs long, sig array<long>"
 
-    def _sigs(self, df: DataFrame) -> DataFrame:
+    def _hashed(self, df: DataFrame) -> DataFrame:
+        # (source, doc_id, h) rows: ONE md5 per (doc, shingle);
+        # explode_outer + null filter per the scan-predicate trap
+        # (operators/dedup._exploded_shingles). Batch input is SPREAD
+        # first: a one-file parquet scans as one partition and would
+        # pin the whole shingle+md5 stage to one core (streaming
+        # micro-batches are already parallel post-source).
         from distributed_file_system_with_stream_processing_spark.functions import (
             text as T,
         )
+        from distributed_file_system_with_stream_processing_spark.operators._util import (
+            spread,
+        )
 
+        if not df.isStreaming:
+            df = spread(df)
         sh = T.shingles(F.col(self.text_col), self.n)
         return (
             df.select(
                 F.col(self.source_col).alias("source"),
-                sh.alias("sh"),
+                F.col(self.id_col).alias("doc_id"),
+                F.explode_outer(sh).alias("s"),
             )
-            .filter(F.size("sh") >= 1)
-            .select("source", T.minhash_signature(F.col("sh"), self.k).alias("sig"))
+            .filter(F.col("s").isNotNull())
+            .select("source", "doc_id", T.hash32(F.col("s")).alias("h"))
         )
+
+    def _affine(self, i: int):
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        a, b = T.mh_params(i)
+        return (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(T.MINHASH_PRIME)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
             return self.stream_apply(df)
         return (
-            self._sigs(df)
+            self._hashed(df)
             .groupBy("source")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
                 F.array(
-                    *[F.min(F.col("sig")[i]) for i in range(self.k)]
+                    *[F.min(self._affine(i)) for i in range(self.k)]
                 ).alias("sig"),
             )
         )
@@ -2477,7 +2505,13 @@ class MinHashSketchOp:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
         k = self.k
+        params = [T.mh_params(i) for i in range(k)]
+        prime = T.MINHASH_PRIME
         cols = ["source", "n_docs", "sig"]
 
         def update(key, pdfs: Iterator, state) -> Iterator:
@@ -2486,19 +2520,24 @@ class MinHashSketchOp:
                 yield pd.DataFrame([], columns=cols)
                 return
             pdf = pd.concat(parts)
-            sig, n = (
-                ([int(x) for x in state.get[0]], state.get[1])
-                if state.exists
-                else (None, 0)
-            )
-            for row in pdf["sig"]:
-                row = [int(x) for x in row]
-                sig = row if sig is None else [min(a, b) for a, b in zip(sig, row)]
-            n += len(pdf)
+            if state.exists:
+                sig = [int(x) for x in state.get[0]]
+                n = state.get[1]
+            else:
+                sig, n = [prime] * k, 0
+            h = pdf["h"].to_numpy()
+            for i, (a, b) in enumerate(params):
+                m = int(((a * h + b) % prime).min())
+                if m < sig[i]:
+                    sig[i] = m
+            # a doc's shingle rows all derive from the micro-batch that
+            # carried the doc, so per-batch distinct doc ids sum to the
+            # exact doc census (append-only corpus)
+            n += int(pdf["doc_id"].nunique())
             state.update((sig, n))
             yield pd.DataFrame([(key[0], n, sig)], columns=cols)
 
-        return self._sigs(df).groupBy("source").applyInPandasWithState(
+        return self._hashed(df).groupBy("source").applyInPandasWithState(
             update,
             self._OUT,
             "sig array<long>, n long",
