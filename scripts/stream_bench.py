@@ -17,6 +17,9 @@ includes per-trigger planning/state overhead, not one fused batch):
   - windowed_count         : watermarked 1h tumbling counts
   - dedup_gate             : DedupGateOp keep-first verdicts over the
     documents corpus (fingerprint state)
+  - minhash_sketch         : MinHashSketchOp per-source signature
+    maintenance (shingle explode + md5 + 16 affine mins per trigger —
+    the most compute-dense op in the set)
 
 Usage: python scripts/stream_bench.py [--record]
 Writes STREAM_BENCH.json only under --record; prints the JSON line
@@ -54,7 +57,7 @@ def _chunked_source(df, tmp: Path, name: str) -> tuple[str, int]:
     return str(src), n
 
 
-def _drain(spark, stream_df, tmp: Path, tag: str) -> float:
+def _drain_once(spark, stream_df, tmp: Path, tag: str) -> float:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(f"sb_{tag}")
@@ -68,6 +71,15 @@ def _drain(spark, stream_df, tmp: Path, tag: str) -> float:
     finally:
         q.stop()
     return time.time() - t0
+
+
+def _drain(spark, make_stream_df, tmp: Path, tag: str) -> float:
+    """min-of-2 with a fresh checkpoint per attempt — single-run local
+    walls swing 2-5x (the bench.py discipline)."""
+    return min(
+        _drain_once(spark, make_stream_df(), tmp, f"{tag}_a{i}")
+        for i in range(2)
+    )
 
 
 def main() -> None:
@@ -102,28 +114,33 @@ def main() -> None:
             O.filter_equals("event_type", "click"),
             O.StatefulCountOp("op2", ["event_type"]),
         )
-        q = job.start_stream(
-            spark,
-            ev_src,
-            ev_schema,
-            str(tmp / "ckpt_rs"),
-            query_name="sb_rs",
-            max_files_per_trigger=1,
-        )
-        t0 = time.time()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        walls = []
+        for i in range(2):
+            q = job.start_stream(
+                spark,
+                ev_src,
+                ev_schema,
+                str(tmp / f"ckpt_rs_a{i}"),
+                query_name=f"sb_rs_a{i}",
+                max_files_per_trigger=1,
+            )
+            t0 = time.time()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            walls.append(time.time() - t0)
         results["rainstorm_filter_count"] = {
             "rows": ev_n,
-            "wall_s": round(time.time() - t0, 2),
+            "wall_s": round(min(walls), 2),
         }
 
         # 2. stateful running count, all rows
         wall = _drain(
             spark,
-            O.StatefulCountOp("rc", ["event_type"])(reader(ev_src, ev_schema)),
+            lambda: O.StatefulCountOp("rc", ["event_type"])(
+                reader(ev_src, ev_schema)
+            ),
             tmp,
             "rc",
         )
@@ -131,17 +148,28 @@ def main() -> None:
 
         # 3. watermarked tumbling window counts
         wc = O.WindowedCountOp("wc", "ts", window="1 hour", watermark="2 hours")
-        wall = _drain(spark, wc(reader(ev_src, ev_schema)), tmp, "wc")
+        wall = _drain(spark, lambda: wc(reader(ev_src, ev_schema)), tmp, "wc")
         results["windowed_count"] = {"rows": ev_n, "wall_s": round(wall, 2)}
 
         # 4. exact-dedup gate over the documents corpus
         wall = _drain(
             spark,
-            O.DedupGateOp("dg").stream_apply(reader(doc_src, doc_schema)),
+            lambda: O.DedupGateOp("dg").stream_apply(reader(doc_src, doc_schema)),
             tmp,
             "dg",
         )
         results["dedup_gate"] = {"rows": doc_n, "wall_s": round(wall, 2)}
+
+        # 4b. per-source minhash signature maintenance (compute-dense)
+        wall = _drain(
+            spark,
+            lambda: O.MinHashSketchOp("mh").stream_apply(
+                reader(doc_src, doc_schema)
+            ),
+            tmp,
+            "mh",
+        )
+        results["minhash_sketch"] = {"rows": doc_n, "wall_s": round(wall, 2)}
 
         # 5. amortization check: the SAME 100k rows in 2 triggers of
         # 50k — per-trigger overhead is constant, so rows/sec must
@@ -156,7 +184,7 @@ def main() -> None:
         )
         wall = _drain(
             spark,
-            O.StatefulCountOp("rc2", ["event_type"])(big_reader),
+            lambda: O.StatefulCountOp("rc2", ["event_type"])(big_reader),
             tmp,
             "rc2",
         )
