@@ -87,7 +87,12 @@ def main() -> None:
                 break
             if s.startswith('"') and s.rstrip(",").endswith('"'):
                 headline.append(s.rstrip(",").strip('"'))
-    headline = [q for q in headline if q in QUERIES]
+    # staged-for-r10 queries (plans/llm_ops23) join the census ahead
+    # of their registration — same early-evidence stance as gen_plans
+    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+
+    QUERIES = {**QUERIES, **llm_ops23.QUERIES}
+    headline = [q for q in headline if q in QUERIES] + sorted(llm_ops23.QUERIES)
 
     spark = get_spark(app_name="shuffles", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
