@@ -3145,3 +3145,137 @@ class AsofEnrichOp:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+
+
+@dataclass
+class PrioritySampleOp:
+    """Streaming DETERMINISTIC weighted sample — priority sampling
+    (Duffield, Lund & Thorup 2007) with the random uniform replaced
+    by the portable hash: priority = w·2³² div (hash32(id)+1), keep
+    the k LARGEST priorities per key. "Largest k of a fixed integer
+    priority" is a pure set fold (order-free, duplicate-stable), so
+    the maintained sample is identical across trigger splits,
+    partitionings, and the batch twin — the weighted counterpart of
+    ``BottomKSampleOp``'s uniform panel. Long documents are sampled
+    proportionally more (inclusion probability ≈ w/τ for the
+    threshold priority τ), which is exactly the eyeball panel a
+    curation owner wants when bytes, not documents, are the budget.
+
+    Per-key state is the k (priority, hash, id, weight) tuples plus a
+    row count; each trigger emits the CURRENT sample as parallel
+    arrays next to the running n_seen. At 100 TB state is
+    4k·|sources| longs.
+
+    Batch twin (``__call__``): row_number over (priority DESC, h, id)
+    per key, keep ≤ k, reassembled in the same order.
+    """
+
+    name: str
+    k: int = 8
+    id_col: str = "doc_id"
+    key_col: str = "source"
+    weight_col: str = "n_chars"
+
+    _SPACE = 1 << 32
+    _OUT = (
+        "source string, n_seen long, sample_ids array<long>, "
+        "sample_weights array<long>, sample_priorities array<long>"
+    )
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        from distributed_file_system_with_stream_processing_spark.functions import (
+            text as T,
+        )
+
+        h = T.hash32(F.col(self.id_col).cast("string"))
+        return df.select(
+            F.col(self.key_col).alias("source"),
+            F.col(self.id_col).alias("id"),
+            F.col(self.weight_col).cast("long").alias("w"),
+            h.alias("h"),
+        ).withColumn("pri", F.expr(f"(w * {self._SPACE}) div (h + 1)"))
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        from pyspark.sql import Window
+
+        base = self._base(df)
+        counts = base.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen")
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("pri").desc(), "h", "id"
+        )
+        samp = (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .groupBy("source")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("pri")).alias("np"), "h", "id", "w", "pri"))
+                ).alias("tuples")
+            )
+            .select(
+                "source",
+                F.transform("tuples", lambda t: t["id"]).alias("sample_ids"),
+                F.transform("tuples", lambda t: t["w"]).alias("sample_weights"),
+                F.transform("tuples", lambda t: t["pri"]).alias("sample_priorities"),
+            )
+        )
+        return counts.join(samp, "source").select(
+            "source", "n_seen", "sample_ids", "sample_weights", "sample_priorities"
+        )
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        k = self.k
+        cols = [
+            "source", "n_seen", "sample_ids", "sample_weights", "sample_priorities"
+        ]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                nps, hs, ids, ws, n = state.get
+                tuples = list(zip(nps, hs, ids, ws))
+            else:
+                tuples, n = [], 0
+            tuples.extend(
+                (-int(p), int(h), int(i), int(w))
+                for p, h, i, w in zip(pdf["pri"], pdf["h"], pdf["id"], pdf["w"])
+            )
+            tuples.sort()
+            tuples = tuples[:k]
+            n += len(pdf)
+            state.update((
+                [t[0] for t in tuples],
+                [t[1] for t in tuples],
+                [t[2] for t in tuples],
+                [t[3] for t in tuples],
+                n,
+            ))
+            yield pd.DataFrame(
+                [(
+                    key[0],
+                    n,
+                    [t[2] for t in tuples],
+                    [t[3] for t in tuples],
+                    [-t[0] for t in tuples],
+                )],
+                columns=cols,
+            )
+
+        return self._base(df).groupBy("source").applyInPandasWithState(
+            update,
+            self._OUT,
+            "nps array<long>, hs array<long>, ids array<long>, ws array<long>, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

@@ -1,5 +1,6 @@
-"""Staged round-10 queries (plans/llm_ops23.py) — driver-grade oracle
-checks run in pytest until they take front slots in round 10.
+"""Staged round-10 queries (plans/llm_ops23.py + plans/llm_ops24.py)
+— driver-grade oracle checks run in pytest until they take front
+slots in round 10.
 
 Runs the EXACT driver compare (tests/oracle_compare.compare) at
 sf0.001 AND sf0.01 — the same two scale factors the front discipline
@@ -17,12 +18,17 @@ SF_T2 = "/root/testdata/sf0.01"
 
 
 def _pairs():
-    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+    from distributed_file_system_with_stream_processing_spark.plans import (
+        llm_ops23,
+        llm_ops24,
+    )
 
-    return [
-        (name, fn, llm_ops23.ORACLES[name])
-        for name, fn in llm_ops23.QUERIES.items()
-    ]
+    out = []
+    for mod in (llm_ops23, llm_ops24):
+        out.extend(
+            (name, fn, mod.ORACLES[name]) for name, fn in mod.QUERIES.items()
+        )
+    return out
 
 
 @pytest.mark.parametrize(
@@ -112,10 +118,21 @@ def test_staged_plans_no_cartesian_or_bad_loop_join(spark):
     When these queries are fronted in r10, add source_jaccard_minhash
     to test_plans.test_no_cartesian_or_loop_join_anywhere's
     allowed_loop set with the comment above.
+
+    The llm_ops24 KMV pair queries share the same shape: the corpus
+    is touched once in the (key, hash)-distinct agg; the only loop
+    join is the broadcast self-cross of the |keys|-row sketch table
+    (|types| ≤ 5, |sources| = 20, |splits| = 3) on a strict
+    inequality or a 1×2 cross — all metadata-scale, all BuildRight.
     """
     from tests.test_plans import executed_plan
 
-    allowed_loop = {"source_jaccard_minhash"}
+    allowed_loop = {
+        "source_jaccard_minhash",
+        "events_audience_overlap_kmv",
+        "source_containment_kmv",
+        "split_leakage_kmv",
+    }
     for name, fn, _sql in _pairs():
         plan = executed_plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
@@ -123,3 +140,110 @@ def test_staged_plans_no_cartesian_or_bad_loop_join(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
         elif "BroadcastNestedLoopJoin" in plan:
             assert "BroadcastNestedLoopJoin BuildRight" in plan, name
+
+
+def test_audience_overlap_kmv_tracks_exact(spark):
+    """The KMV Jaccard estimate is a real overlap estimate: within
+    the ±3/sqrt(k) band of the exact audience Jaccard at sf0.01."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops24 import (
+        _AO_K,
+        events_audience_overlap_kmv,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    est = {
+        (r["type_a"], r["type_b"]): r["jaccard_micro"] / 1e6
+        for r in events_audience_overlap_kmv(spark, SF_T2).collect()
+    }
+    aud = {
+        r["event_type"]: set(r["users"])
+        for r in load_table(spark, SF_T2, "events")
+        .groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    types = sorted(aud)
+    exact = {
+        (a, b): len(aud[a] & aud[b]) / len(aud[a] | aud[b])
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+    }
+    assert set(est) == set(exact)
+    band = 3.0 / (_AO_K ** 0.5)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= band, (k, e, exact[k])
+
+
+def test_priority_sample_prefers_heavy_docs(spark):
+    """Priority sampling must actually bias toward weight: the mean
+    n_chars of sampled docs exceeds the corpus mean (deterministic
+    data, deterministic sample — a fixed fact, not a flaky bound),
+    and every reported priority equals the integer formula."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops24 import (
+        docs_priority_sample,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = docs_priority_sample(spark, SF_T2).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_T2, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert all(docs[r["doc_id"]] == r["weight"] for r in rows)
+    samp_mean = sum(r["weight"] for r in rows) / len(rows)
+    corpus_mean = sum(docs.values()) / len(docs)
+    assert samp_mean > corpus_mean
+
+    import hashlib
+
+    for r in rows[:40]:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["priority"] == (r["weight"] << 32) // (h + 1)
+
+
+def test_split_leakage_kmv_rows(spark):
+    """One row per eval split; leakage shares are valid micro shares
+    and the train sketch estimate is within the KMV band of the
+    exact distinct-shingle count at sf0.01."""
+    from distributed_file_system_with_stream_processing_spark.functions import (
+        text as T,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops24 import (
+        _SL_K,
+        split_leakage_kmv,
+    )
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops4 import (
+        docs_train_val_split,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["eval_split"]: r for r in split_leakage_kmv(spark, SF_T2).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r["jaccard_micro"] <= 1_000_000
+        assert r["eval_in_train_micro"] is None or (
+            0 <= r["eval_in_train_micro"] <= 1_000_000
+        )
+
+    split = docs_train_val_split(spark, SF_T2).select("doc_id", "split")
+    docs = load_table(spark, SF_T2, "documents").join(split, "doc_id")
+    n_train = (
+        docs.filter(F.col("split") == "train")
+        .select(F.explode(T.shingles(F.col("text"), 3)).alias("s"))
+        .agg(F.countDistinct("s").alias("d"))
+        .collect()[0]["d"]
+    )
+    est = rows["val"]["est_train_shingles"]
+    band = 3.0 / (_SL_K ** 0.5)
+    assert abs(est - n_train) <= band * n_train, (est, n_train)

@@ -2497,3 +2497,58 @@ def test_order_sensitive_ops_sort_within_trigger(spark, dirs):
         q2.stop()
     b = op2(spark.read.schema(schema2).parquet(src2)).collect()[0]
     assert (g["n"], g["s"]) == (b["n_gaps"], b["gap_sum_s"]) == (2, 20)
+
+
+def test_priority_sample_stream_equals_batch(spark, dirs):
+    """PrioritySampleOp: the k largest-priority docs per source are
+    trigger-split invariant — a later heavy doc must EVICT a
+    trigger-1 member — and the final sample, weights, and priorities
+    equal the batch twin's rank-by-priority sample."""
+    schema = "doc_id long, source string, n_chars long"
+    rows1 = [(1, "web", 10), (2, "web", 2000), (3, "web", 5), (4, "web", 40)]
+    rows2 = [(5, "web", 9000), (6, "web", 1), (7, "web", 7000), (8, "web", 3)]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.PrioritySampleOp("wpanel", k=3)
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("wpanel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "select sample_ids from wpanel_stream where n_seen = 4"
+        ).collect()[0]["sample_ids"]
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = spark.sql(
+            "select sample_ids, sample_weights, sample_priorities"
+            " from wpanel_stream where n_seen = 8"
+        ).collect()[0]
+    finally:
+        q.stop()
+
+    def pri(i, w):
+        return (w << 32) // (_h32(str(i)) + 1)
+
+    def expect(rows):
+        ts = sorted((-pri(i, w), _h32(str(i)), i, w) for i, _, w in rows)[:3]
+        return [t[2] for t in ts], [t[3] for t in ts], [-t[0] for t in ts]
+
+    exp_ids, exp_ws, exp_ps = expect(rows1 + rows2)
+    exp_t1 = expect(rows1)[0]
+    assert list(first) == exp_t1
+    assert list(fin["sample_ids"]) == exp_ids
+    assert list(fin["sample_weights"]) == exp_ws
+    assert list(fin["sample_priorities"]) == exp_ps
+    # the fixture must actually exercise eviction across the boundary
+    assert exp_ids != exp_t1
+
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    assert len(batch) == 1 and batch[0]["n_seen"] == 8
+    assert list(batch[0]["sample_ids"]) == exp_ids
+    assert list(batch[0]["sample_priorities"]) == exp_ps
