@@ -188,8 +188,9 @@ def source_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source shingle Jaccard AND both directed containments
     from per-source KMV sketches — "is crawl B inside crawl A" at
     sketch cost: containment(A⊆B) ≈ |K(A∪B)∩A∩B| / |K(A∪B)∩A|
-    (Beyer et al. 2007), all integer micro-quotients, NULL-guarded
-    when the union sketch misses one side entirely (a tiny source
+    (Beyer et al. 2007), all integer micro-quotients, -1-sentinel-guarded
+    when the union sketch misses one side entirely (no NULLs in
+    outputs — the driver-compare tuple-sort contract) (a tiny source
     under a huge one). The exact-join face of this matrix is
     ``source_neardup_matrix``/``cross_source_leakage``; this is the
     table you can afford on every crawl pair at 100 TB.
@@ -236,10 +237,10 @@ def source_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter",
             F.expr("(n_inter * 1000000) div m").alias("jaccard_micro"),
             F.expr(
-                "case when in_a > 0 then (n_inter * 1000000) div in_a end"
+                "case when in_a > 0 then (n_inter * 1000000) div in_a else -1 end"
             ).alias("a_in_b_micro"),
             F.expr(
-                "case when in_b > 0 then (n_inter * 1000000) div in_b end"
+                "case when in_b > 0 then (n_inter * 1000000) div in_b else -1 end"
             ).alias("b_in_a_micro"),
         )
     )
@@ -267,8 +268,8 @@ st AS (SELECT source_a, source_b,
        FROM pr)
 SELECT source_a, source_b, m, n_inter,
        (n_inter * 1000000) // m AS jaccard_micro,
-       CASE WHEN in_a > 0 THEN (n_inter * 1000000) // in_a END AS a_in_b_micro,
-       CASE WHEN in_b > 0 THEN (n_inter * 1000000) // in_b END AS b_in_a_micro
+       CASE WHEN in_a > 0 THEN (n_inter * 1000000) // in_a ELSE -1 END AS a_in_b_micro,
+       CASE WHEN in_b > 0 THEN (n_inter * 1000000) // in_b ELSE -1 END AS b_in_a_micro
 FROM st
 """
 
@@ -343,7 +344,7 @@ def split_leakage_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter",
             F.expr("(n_inter * 1000000) div m").alias("jaccard_micro"),
             F.expr(
-                "case when in_eval > 0 then (n_inter * 1000000) div in_eval end"
+                "case when in_eval > 0 then (n_inter * 1000000) div in_eval else -1 end"
             ).alias("eval_in_train_micro"),
         )
     )
@@ -397,7 +398,7 @@ st AS (SELECT eval_split,
        FROM pr)
 SELECT eval_split, est_train_shingles, est_eval_shingles, m, n_inter,
        (n_inter * 1000000) // m AS jaccard_micro,
-       CASE WHEN in_eval > 0 THEN (n_inter * 1000000) // in_eval END
+       CASE WHEN in_eval > 0 THEN (n_inter * 1000000) // in_eval ELSE -1 END
            AS eval_in_train_micro
 FROM st
 """

@@ -290,6 +290,13 @@ AUDITED = [
     "source_jaccard_minhash",
     "docs_distinct_shingles_kmv",
     "events_props_schema_census",
+    # staged for the r10 front, session 3 (plans/llm_ops24.py)
+    "events_audience_overlap_kmv",
+    "source_containment_kmv",
+    "split_leakage_kmv",
+    "docs_priority_sample",
+    "events_interarrival_loghist",
+    "user_lifetime_loghist",
 ]
 
 JOIN_KINDS = (
@@ -370,15 +377,18 @@ def strip_initial_plans(plan: str) -> str:
 
 
 def main() -> None:
-    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+    from distributed_file_system_with_stream_processing_spark.plans import (
+        llm_ops23,
+        llm_ops24,
+    )
     from distributed_file_system_with_stream_processing_spark.plans.registry import (
         QUERIES as _REGISTERED,
     )
     from distributed_file_system_with_stream_processing_spark.session import get_spark
 
-    # staged-for-r10 queries (llm_ops23) get plan audits before they
-    # get front slots — same discipline as their pytest oracle runs
-    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES}
+    # staged-for-r10 queries (llm_ops23/24) get plan audits before
+    # they get front slots — same discipline as their pytest oracle runs
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
 
     spark = get_spark(app_name="plans-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

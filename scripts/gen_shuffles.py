@@ -89,10 +89,17 @@ def main() -> None:
                 headline.append(s.rstrip(",").strip('"'))
     # staged-for-r10 queries (plans/llm_ops23) join the census ahead
     # of their registration — same early-evidence stance as gen_plans
-    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+    from distributed_file_system_with_stream_processing_spark.plans import (
+        llm_ops23,
+        llm_ops24,
+    )
 
-    QUERIES = {**QUERIES, **llm_ops23.QUERIES}
-    headline = [q for q in headline if q in QUERIES] + sorted(llm_ops23.QUERIES)
+    QUERIES = {**QUERIES, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
+    headline = (
+        [q for q in headline if q in QUERIES]
+        + sorted(llm_ops23.QUERIES)
+        + sorted(llm_ops24.QUERIES)
+    )
 
     spark = get_spark(app_name="shuffles", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

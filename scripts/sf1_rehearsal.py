@@ -185,13 +185,16 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from distributed_file_system_with_stream_processing_spark.plans import llm_ops23
+    from distributed_file_system_with_stream_processing_spark.plans import (
+        llm_ops23,
+        llm_ops24,
+    )
     from distributed_file_system_with_stream_processing_spark.plans.registry import (
         QUERIES as _REGISTERED,
     )
 
     # staged-for-r10 queries rehearse like registered ones
-    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES}
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
 
     out = []
     for q in (ONLY or QUERIES_UNDER_TEST):

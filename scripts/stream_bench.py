@@ -20,6 +20,8 @@ includes per-trigger planning/state overhead, not one fused batch):
   - minhash_sketch         : MinHashSketchOp per-source signature
     maintenance (shingle explode + md5 + 16 affine mins per trigger —
     the most compute-dense op in the set)
+  - priority_sample        : PrioritySampleOp weighted panel
+    maintenance (hash + integer priority + k-largest fold per trigger)
 
 Usage: python scripts/stream_bench.py [--record]
 Writes STREAM_BENCH.json only under --record; prints the JSON line
@@ -170,6 +172,17 @@ def main() -> None:
             "mh",
         )
         results["minhash_sketch"] = {"rows": doc_n, "wall_s": round(wall, 2)}
+
+        # 4c. weighted priority-sample panel maintenance (r9 s3 op)
+        wall = _drain(
+            spark,
+            lambda: O.PrioritySampleOp("ps").stream_apply(
+                reader(doc_src, doc_schema)
+            ),
+            tmp,
+            "ps",
+        )
+        results["priority_sample"] = {"rows": doc_n, "wall_s": round(wall, 2)}
 
         # 5. amortization check: the SAME 100k rows in 2 triggers of
         # 50k — per-trigger overhead is constant, so rows/sec must

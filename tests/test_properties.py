@@ -984,3 +984,88 @@ def test_loghist_readout_picks_the_rank_bucket(cents, q):
     assert est == op._mid(bucket(rank_val))
     if rank_val > 0:
         assert rank_val / 2 < est < rank_val * 2 or est == 1
+
+
+# ---------------------------------------------------------------------------
+# KMV pair estimator (plans/llm_ops24): the pure-set identities the
+# sketch queries rest on, checked against brute-force on arbitrary sets
+
+
+def _kmv(hashes, k):
+    return sorted(set(hashes))[:k]
+
+
+def _pair_stats(sa, sb, k):
+    """Mirror of the llm_ops24 pair epilogue in pure python."""
+    comb = sorted(set(sa) | set(sb))[:k]
+    m = len(comb)
+    n_inter = sum(1 for x in comb if x in set(sa) and x in set(sb))
+    return comb, m, n_inter
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=(1 << 32) - 1), max_size=200),
+    b=st.sets(st.integers(min_value=0, max_value=(1 << 32) - 1), max_size=200),
+    k=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_union_sketch_merge_lemma(a, b, k):
+    """K(A∪B) computed from the two k-sketches equals the k-sketch of
+    the true union (min-merge is lossless) — the identity that lets
+    the pair queries work from |keys| sketches instead of the corpus."""
+    sa, sb = _kmv(a, k), _kmv(b, k)
+    comb, _, _ = _pair_stats(sa, sb, k)
+    assert comb == _kmv(a | b, k)
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=(1 << 32) - 1), max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=(1 << 32) - 1), max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_pair_exact_below_k(a, b):
+    """With |A∪B| < k every estimate is EXACT: jaccard_micro is the
+    true Jaccard micro-quotient and n_inter the true intersection —
+    the 'exact below k' face the oracles rely on."""
+    k = 128  # > max possible union size (60 + 60)
+    sa, sb = _kmv(a, k), _kmv(b, k)
+    comb, m, n_inter = _pair_stats(sa, sb, k)
+    assert m == len(a | b)
+    assert n_inter == len(a & b)
+    if m:
+        assert (n_inter * 1_000_000) // m == (len(a & b) * 1_000_000) // len(a | b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**6),  # id
+            st.integers(min_value=0, max_value=10**4),  # weight
+        ),
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=8),
+    cut=st.integers(min_value=0, max_value=120),
+)
+@settings(max_examples=150, deadline=None)
+def test_priority_sample_fold_is_split_invariant(rows, k, cut):
+    """The k-largest-priority fold over any trigger split equals the
+    fold over the whole stream — PrioritySampleOp's state invariant,
+    checked without Spark (the streaming test pins the Spark path)."""
+    import hashlib
+
+    def pri(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return (w << 32) // (h + 1), h
+
+    def fold(tuples, batch):
+        for i, w in batch:
+            p, h = pri(i, w)
+            tuples.append((-p, h, i, w))
+        tuples.sort()
+        return tuples[:k]
+
+    whole = fold([], rows)
+    split = fold(fold([], rows[:cut]), rows[cut:])
+    assert whole == split

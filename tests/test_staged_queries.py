@@ -232,7 +232,7 @@ def test_split_leakage_kmv_rows(spark):
     assert set(rows) == {"val", "test"}
     for r in rows.values():
         assert 0 <= r["jaccard_micro"] <= 1_000_000
-        assert r["eval_in_train_micro"] is None or (
+        assert r["eval_in_train_micro"] == -1 or (
             0 <= r["eval_in_train_micro"] <= 1_000_000
         )
 
