@@ -2785,11 +2785,19 @@ class LogHistQuantileOp:
     Batch twin (``__call__``): the same buckets via the JVM-exact
     ``length(bin(cents))`` bit-length, one groupBy, and the same
     integer walk folded in SQL.
+
+    ``weight_col`` (r9 s3): an optional integer weight — the histogram
+    accumulates Σw instead of row counts and the rank walk runs on
+    total MASS, so q=50 answers "below which value does half the
+    weight live" (the byte-budget percentile). The default (weight 1)
+    is bit-identical to the unweighted fold: n, the histogram, and
+    every estimate are unchanged.
     """
 
     name: str
     qs: tuple[int, ...] = (50, 95)  # percentiles, integer points
     value_col: str = "value"
+    weight_col: str | None = None
 
     _OUT = "event_type string, n long, q int, est_cents long"
 
@@ -2798,11 +2806,17 @@ class LogHistQuantileOp:
         b = F.when(cents <= 0, F.lit(0)).otherwise(
             F.length(F.bin(cents)).cast("int")
         )
+        w = (
+            F.lit(1).cast("long")
+            if self.weight_col is None
+            else F.col(self.weight_col).cast("long")
+        )
         # NULL values drop here in BOTH paths (a NULL bucket would
         # arrive in the Arrow fold as NaN and poison the query)
-        return df.filter(F.col(self.value_col).isNotNull()).select(
-            "event_type", b.alias("b")
-        )
+        out = df.filter(F.col(self.value_col).isNotNull())
+        if self.weight_col is not None:
+            out = out.filter(F.col(self.weight_col).isNotNull())
+        return out.select("event_type", b.alias("b"), w.alias("w"))
 
     @staticmethod
     def _mid(b: int) -> int:
@@ -2835,7 +2849,7 @@ class LogHistQuantileOp:
         # shrink to the ≤64-bucket histogram JVM-side FIRST (map-side
         # combine); only histogram rows cross Arrow — corpus-scale safe
         hist_df = self._base(df).groupBy("event_type", "b").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+            F.sum("w").cast("long").alias("c")
         )
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2867,9 +2881,9 @@ class LogHistQuantileOp:
                 hist = dict(zip((int(b) for b in bs), (int(c) for c in cs)))
             else:
                 hist, n = {}, 0
-            for b in pdf["b"]:
-                hist[int(b)] = hist.get(int(b), 0) + 1
-            n += len(pdf)
+            for b, w in zip(pdf["b"], pdf["w"]):
+                hist[int(b)] = hist.get(int(b), 0) + int(w)
+            n += int(pdf["w"].sum())
             state.update((sorted(hist), [hist[b] for b in sorted(hist)], n))
             rows = [(key[0], n, q, est) for q, est in readout(hist, n)]
             yield pd.DataFrame(rows, columns=cols)

@@ -297,6 +297,11 @@ AUDITED = [
     "docs_priority_sample",
     "events_interarrival_loghist",
     "user_lifetime_loghist",
+    # staged wave 2 (plans/llm_ops25.py)
+    "fk_integrity_audit",
+    "field_completeness_census",
+    "events_ingest_dup_rate",
+    "docs_byte_budget_percentiles",
 ]
 
 JOIN_KINDS = (
@@ -380,6 +385,7 @@ def main() -> None:
     from distributed_file_system_with_stream_processing_spark.plans import (
         llm_ops23,
         llm_ops24,
+        llm_ops25,
     )
     from distributed_file_system_with_stream_processing_spark.plans.registry import (
         QUERIES as _REGISTERED,
@@ -388,7 +394,7 @@ def main() -> None:
 
     # staged-for-r10 queries (llm_ops23/24) get plan audits before
     # they get front slots — same discipline as their pytest oracle runs
-    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES}
 
     spark = get_spark(app_name="plans-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

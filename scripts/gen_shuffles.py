@@ -92,13 +92,15 @@ def main() -> None:
     from distributed_file_system_with_stream_processing_spark.plans import (
         llm_ops23,
         llm_ops24,
+        llm_ops25,
     )
 
-    QUERIES = {**QUERIES, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
+    QUERIES = {**QUERIES, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES}
     headline = (
         [q for q in headline if q in QUERIES]
         + sorted(llm_ops23.QUERIES)
         + sorted(llm_ops24.QUERIES)
+        + sorted(llm_ops25.QUERIES)
     )
 
     spark = get_spark(app_name="shuffles", master="local[8]", shuffle_partitions=8)

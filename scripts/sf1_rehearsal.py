@@ -188,13 +188,14 @@ def main() -> None:
     from distributed_file_system_with_stream_processing_spark.plans import (
         llm_ops23,
         llm_ops24,
+        llm_ops25,
     )
     from distributed_file_system_with_stream_processing_spark.plans.registry import (
         QUERIES as _REGISTERED,
     )
 
     # staged-for-r10 queries rehearse like registered ones
-    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES}
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES}
 
     out = []
     for q in (ONLY or QUERIES_UNDER_TEST):

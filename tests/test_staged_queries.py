@@ -1,5 +1,5 @@
-"""Staged round-10 queries (plans/llm_ops23.py + plans/llm_ops24.py)
-— driver-grade oracle checks run in pytest until they take front
+"""Staged round-10 queries (plans/llm_ops23/24/25.py) —
+driver-grade oracle checks run in pytest until they take front
 slots in round 10.
 
 Runs the EXACT driver compare (tests/oracle_compare.compare) at
@@ -21,10 +21,11 @@ def _pairs():
     from distributed_file_system_with_stream_processing_spark.plans import (
         llm_ops23,
         llm_ops24,
+        llm_ops25,
     )
 
     out = []
-    for mod in (llm_ops23, llm_ops24):
+    for mod in (llm_ops23, llm_ops24, llm_ops25):
         out.extend(
             (name, fn, mod.ORACLES[name]) for name, fn in mod.QUERIES.items()
         )
@@ -247,3 +248,116 @@ def test_split_leakage_kmv_rows(spark):
     est = rows["val"]["est_train_shingles"]
     band = 3.0 / (_SL_K ** 0.5)
     assert abs(est - n_train) <= band * n_train, (est, n_train)
+
+
+def test_fk_audit_detects_planted_orphans(spark):
+    """The edge audit must actually detect dirt: plant two orphaned
+    child rows and a NULL key against a parent and get exactly 3
+    dangling (NULL can never reference anything)."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops25 import (
+        _edge_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (98,), (None,)], "ck long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = _edge_audit("t", child, "ck", parent, "pk").collect()[0]
+    assert (row["n_child"], row["n_dangling"]) == (5, 3)
+
+
+def test_completeness_census_detects_planted_missing(spark):
+    """Planted NULLs and blank-after-trim strings are counted; clean
+    columns report zero."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops25 import (
+        _table_census,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "   "), (None, ""), (4, None)],
+        "id long, s string",
+    )
+    got = {
+        r["column_name"]: (r["n_rows"], r["n_missing"])
+        for r in _table_census(df, "t", [("id", False), ("s", True)]).collect()
+    }
+    assert got == {"id": (4, 1), "s": (4, 3)}
+
+
+def test_ingest_dup_rate_zero_on_clean_corpus(spark):
+    """The synthetic corpus is duplicate-free by construction — the
+    audit must say so (and the planted-replay detection below must
+    fire), so a nonzero rate in production is signal, not noise."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops25 import (
+        events_ingest_dup_rate,
+    )
+
+    rows = events_ingest_dup_rate(spark, SF_T2).collect()
+    assert rows and all(r["n_dup_rows"] == 0 for r in rows)
+
+    # planted replay: same payload under two event_ids
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_T2, "events").limit(50)
+    replayed = ev.union(ev.withColumn("event_id", F.col("event_id") + 10**9))
+    rows_n = replayed.groupBy("event_type").count().collect()
+    dis = (
+        replayed.select("event_type", "user_id", "ts", "value", "props")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n = {r["event_type"]: r["count"] for r in rows_n}
+    d = {r["event_type"]: r["count"] for r in dis}
+    assert sum(n.values()) == 2 * sum(d.values())  # every payload doubled
+
+
+def test_byte_budget_median_dominates_unweighted(spark):
+    """Weighting the rank walk by size can only move the reported
+    percentile UP: for every (source, q) the byte-budget estimate is
+    >= the unweighted loghist estimate, and within one octave of the
+    exact weighted percentile computed in python."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops25 import (
+        docs_byte_budget_percentiles,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from distributed_file_system_with_stream_processing_spark.streaming.ops import (
+        LogHistQuantileOp,
+    )
+    from pyspark.sql import functions as F
+
+    weighted = {
+        (r["source"], r["q"]): r["est_centichars"]
+        for r in docs_byte_budget_percentiles(spark, SF_T2).collect()
+    }
+    d = load_table(spark, SF_T2, "documents").select(
+        F.col("source").alias("event_type"), F.col("n_chars").alias("value")
+    )
+    unweighted = {
+        (r["event_type"], r["q"]): r["est_cents"]
+        for r in LogHistQuantileOp("lh_u", qs=(50, 95))(d).collect()
+    }
+    assert set(weighted) == set(unweighted)
+    for k in weighted:
+        assert weighted[k] >= unweighted[k], k
+
+    chars = {}
+    for r in load_table(spark, SF_T2, "documents").select("source", "n_chars").collect():
+        chars.setdefault(r["source"], []).append(r["n_chars"])
+    for (src, q), est in weighted.items():
+        vals = sorted(chars[src])
+        total = sum(vals)
+        rank = (q * total + 99) // 100
+        acc = 0
+        for v in vals:
+            acc += v
+            if acc >= rank:
+                exact = v * 100  # centichars
+                break
+        assert exact / 2 < est < exact * 2, ((src, q), est, exact)

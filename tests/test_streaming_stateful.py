@@ -2552,3 +2552,62 @@ def test_priority_sample_stream_equals_batch(spark, dirs):
     assert len(batch) == 1 and batch[0]["n_seen"] == 8
     assert list(batch[0]["sample_ids"]) == exp_ids
     assert list(batch[0]["sample_priorities"]) == exp_ps
+
+
+def test_loghist_weighted_stream_equals_batch(spark, dirs):
+    """LogHistQuantileOp with weight_col (r9 s3): the WEIGHTED
+    histogram fold is trigger-split invariant, equals the batch twin
+    bit-for-bit, and the rank walk runs on mass — one heavy row must
+    drag the median to its own bucket even though most ROWS are
+    small, and n must report total weight, not row count."""
+    from datetime import datetime
+
+    schema = (
+        "event_id long, event_type string, ts timestamp,"
+        " value double, w long"
+    )
+    t0 = datetime(2024, 1, 1)
+    # 4 small rows (weight 1 each) + one heavy row (weight 96):
+    # unweighted median would sit in the small cluster; weighted
+    # median must land in the heavy row's bucket
+    rows1 = [(1, "doc", t0, 1.0, 1), (2, "doc", t0, 2.0, 1)]
+    rows2 = [
+        (3, "doc", t0, 3.0, 1),
+        (4, "doc", t0, 2.0, 1),
+        (5, "doc", t0, 80.0, 96),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.LogHistQuantileOp("lhw", qs=(50,), weight_col="w")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("lhw_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            (r["event_type"], r["q"]): (r["nn"], r["est"])
+            for r in spark.sql(
+                "select event_type, q, max(n) as nn,"
+                " max_by(est_cents, n) as est"
+                " from lhw_stream group by event_type, q"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["event_type"], r["q"]): (r["n"], r["est_cents"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert fin == batch
+    n, p50 = batch[("doc", 50)]
+    assert n == 100  # total MASS: 4 + 96
+    # rank ceil(.5*100)=50 lands in the heavy row's bucket:
+    # 8000 cents -> bucket 13 [4096,8192), midpoint 6144
+    assert p50 == 6144
