@@ -3293,3 +3293,95 @@ class PrioritySampleOp:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+
+
+@dataclass
+class CompletenessMonitorOp:
+    """Streaming FIELD-COMPLETENESS monitor — the live face of the
+    batch ``field_completeness_census`` (plans/llm_ops25.py), keyed:
+    per key (source / event_type), per configured column, the running
+    (n_rows, n_missing) where missing = NULL, or blank-after-trim for
+    string columns. The fold is a vector of order-free integer sums
+    (state: one count + one long per column per key), so per-trigger
+    emissions are trigger-split invariant and the final emission
+    equals the batch twin exactly — the ingest-health dashboard that
+    flags a producer nulling a field WHILE the drop is landing.
+
+    Batch twin (``__call__``): one fused agg per key (every counter
+    rides the same scan) + a stack() unpivot.
+    """
+
+    name: str
+    key_col: str = "source"
+    fields: tuple[tuple[str, bool], ...] = (("text", True), ("lang", True))
+
+    _OUT = "key string, column_name string, n_rows long, n_missing long"
+
+    def _miss(self, col: str, is_str: bool):
+        c = F.col(col)
+        if is_str:
+            return c.isNull() | (F.trim(c) == "")
+        return c.isNull()
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        flags = F.array(
+            *[
+                F.when(self._miss(c, s), 1).otherwise(0).cast("long")
+                for c, s in self.fields
+            ]
+        )
+        return df.select(F.col(self.key_col).alias("key"), flags.alias("fl"))
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return self.stream_apply(df)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+            F.sum(F.col("fl").getItem(i)).cast("long").alias(f"m_{i}")
+            for i in range(len(self.fields))
+        ]
+        row = self._base(df).groupBy("key").agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', m_{i}" for i, (c, _) in enumerate(self.fields)
+        )
+        return row.selectExpr(
+            "key",
+            "n_rows",
+            f"stack({len(self.fields)}, {stack_args}) as (column_name, n_missing)",
+        ).select("key", "column_name", "n_rows", "n_missing")
+
+    def stream_apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        names = [c for c, _ in self.fields]
+        nf = len(names)
+        cols = ["key", "column_name", "n_rows", "n_missing"]
+
+        def update(key, pdfs: Iterator, state) -> Iterator:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                yield pd.DataFrame([], columns=cols)
+                return
+            pdf = pd.concat(parts)
+            if state.exists:
+                n, ms = state.get
+                ms = list(ms)
+            else:
+                n, ms = 0, [0] * nf
+            n += len(pdf)
+            for fl in pdf["fl"]:
+                for i in range(nf):
+                    ms[i] += int(fl[i])
+            state.update((n, ms))
+            yield pd.DataFrame(
+                [(key[0], names[i], n, ms[i]) for i in range(nf)],
+                columns=cols,
+            )
+
+        return self._base(df).groupBy("key").applyInPandasWithState(
+            update,
+            self._OUT,
+            "n long, ms array<long>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )

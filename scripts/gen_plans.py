@@ -302,6 +302,9 @@ AUDITED = [
     "field_completeness_census",
     "events_ingest_dup_rate",
     "docs_byte_budget_percentiles",
+    # staged wave 3 (plans/llm_ops26.py)
+    "events_weekly_distinct_kmv",
+    "events_distinct_rollup_kmv",
 ]
 
 JOIN_KINDS = (
@@ -386,6 +389,7 @@ def main() -> None:
         llm_ops23,
         llm_ops24,
         llm_ops25,
+        llm_ops26,
     )
     from distributed_file_system_with_stream_processing_spark.plans.registry import (
         QUERIES as _REGISTERED,
@@ -394,7 +398,7 @@ def main() -> None:
 
     # staged-for-r10 queries (llm_ops23/24) get plan audits before
     # they get front slots — same discipline as their pytest oracle runs
-    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES}
+    QUERIES = {**_REGISTERED, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES, **llm_ops26.QUERIES}
 
     spark = get_spark(app_name="plans-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

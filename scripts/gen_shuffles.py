@@ -93,14 +93,22 @@ def main() -> None:
         llm_ops23,
         llm_ops24,
         llm_ops25,
+        llm_ops26,
     )
 
-    QUERIES = {**QUERIES, **llm_ops23.QUERIES, **llm_ops24.QUERIES, **llm_ops25.QUERIES}
+    QUERIES = {
+        **QUERIES,
+        **llm_ops23.QUERIES,
+        **llm_ops24.QUERIES,
+        **llm_ops25.QUERIES,
+        **llm_ops26.QUERIES,
+    }
     headline = (
         [q for q in headline if q in QUERIES]
         + sorted(llm_ops23.QUERIES)
         + sorted(llm_ops24.QUERIES)
         + sorted(llm_ops25.QUERIES)
+        + sorted(llm_ops26.QUERIES)
     )
 
     spark = get_spark(app_name="shuffles", master="local[8]", shuffle_partitions=8)

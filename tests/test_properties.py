@@ -1069,3 +1069,25 @@ def test_priority_sample_fold_is_split_invariant(rows, k, cut):
     whole = fold([], rows)
     split = fold(fold([], rows[:cut]), rows[cut:])
     assert whole == split
+
+
+@given(
+    parts=st.lists(
+        st.sets(st.integers(min_value=0, max_value=(1 << 32) - 1), max_size=80),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=150, deadline=None)
+def test_kmv_nway_rollup_merge_lemma(parts, k):
+    """The N-way generalization the time-bucketed rollup
+    (plans/llm_ops26.events_distinct_rollup_kmv) rests on: merging
+    ANY number of per-cell k-sketches and keeping the k smallest
+    equals the k-sketch of the union of all cells — so the rollup
+    plan (merge path) and its oracle (direct path) agree for every
+    window, not just pairs."""
+    sketches = [_kmv(p, k) for p in parts]
+    merged = sorted(set().union(*[set(s) for s in sketches]))[:k]
+    union = set().union(*parts) if parts else set()
+    assert merged == _kmv(union, k)

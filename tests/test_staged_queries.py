@@ -1,4 +1,4 @@
-"""Staged round-10 queries (plans/llm_ops23/24/25.py) —
+"""Staged round-10 queries (plans/llm_ops23/24/25/26.py) —
 driver-grade oracle checks run in pytest until they take front
 slots in round 10.
 
@@ -22,10 +22,11 @@ def _pairs():
         llm_ops23,
         llm_ops24,
         llm_ops25,
+        llm_ops26,
     )
 
     out = []
-    for mod in (llm_ops23, llm_ops24, llm_ops25):
+    for mod in (llm_ops23, llm_ops24, llm_ops25, llm_ops26):
         out.extend(
             (name, fn, mod.ORACLES[name]) for name, fn in mod.QUERIES.items()
         )

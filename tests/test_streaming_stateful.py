@@ -2611,3 +2611,57 @@ def test_loghist_weighted_stream_equals_batch(spark, dirs):
     # rank ceil(.5*100)=50 lands in the heavy row's bucket:
     # 8000 cents -> bucket 13 [4096,8192), midpoint 6144
     assert p50 == 6144
+
+
+def test_completeness_monitor_stream_equals_batch(spark, dirs):
+    """CompletenessMonitorOp: per-(key, column) missing counters are
+    trigger-split invariant and the final emission equals the batch
+    twin — planted NULLs and blank strings in different triggers all
+    land, clean columns stay zero."""
+    schema = "doc_id long, source string, text string, lang string"
+    rows1 = [
+        (1, "web", "hello", "en"),
+        (2, "web", "   ", "en"),
+        (3, "pdf", None, "de"),
+    ]
+    rows2 = [
+        (4, "web", "more", None),
+        (5, "web", "", "en"),
+        (6, "pdf", "ok", "de"),
+    ]
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    op = O.CompletenessMonitorOp("cm")
+    stream = spark.readStream.schema(schema).parquet(dirs["src"])
+    q = (
+        op.stream_apply(stream)
+        .writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark.createDataFrame(rows2, schema), dirs["src"])
+        q.processAllAvailable()
+        fin = {
+            (r["key"], r["column_name"]): (r["nn"], r["m"])
+            for r in spark.sql(
+                "select key, column_name, max(n_rows) as nn,"
+                " max_by(n_missing, n_rows) as m"
+                " from cm_stream group by key, column_name"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["key"], r["column_name"]): (r["n_rows"], r["n_missing"])
+        for r in op(spark.read.schema(schema).parquet(dirs["src"])).collect()
+    }
+    assert fin == batch
+    assert batch == {
+        ("web", "text"): (4, 2),   # "   " and ""
+        ("web", "lang"): (4, 1),   # one NULL lang
+        ("pdf", "text"): (2, 1),   # one NULL text
+        ("pdf", "lang"): (2, 0),
+    }
