@@ -2665,3 +2665,47 @@ def test_completeness_monitor_stream_equals_batch(spark, dirs):
         ("pdf", "text"): (2, 1),   # one NULL text
         ("pdf", "lang"): (2, 0),
     }
+
+
+def test_priority_sample_state_survives_restart(spark, dirs):
+    """PrioritySampleOp's four-array state (neg-priorities, hashes,
+    ids, weights) must round-trip the checkpoint: kill the query, add
+    a heavier doc, restart — the recovered panel evicts correctly and
+    the final sample equals the batch twin over everything."""
+    schema = "doc_id long, source string, n_chars long"
+    op = O.PrioritySampleOp("wpanel", k=2)
+
+    def start():
+        src = spark.readStream.schema(schema).parquet(dirs["src"])
+        out = op.stream_apply(src)
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(dirs["sink"])
+
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .start()
+        )
+
+    rows1 = [(1, "web", 10), (2, "web", 50), (3, "web", 20)]
+    rows2 = [(4, "web", 100000)]  # must evict a pre-restart member
+    _write(spark.createDataFrame(rows1, schema), dirs["src"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write(spark.createDataFrame(rows2, schema), dirs["src"])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(dirs["sink"]).collect()
+    final = max(rows, key=lambda r: r["n_seen"])
+    assert final["n_seen"] == 4  # recovered count, no loss/duplication
+    batch = op(spark.read.schema(schema).parquet(dirs["src"])).collect()[0]
+    assert list(final["sample_ids"]) == list(batch["sample_ids"])
+    assert list(final["sample_priorities"]) == list(batch["sample_priorities"])
+    assert 4 in list(final["sample_ids"])  # the post-restart heavy doc landed
