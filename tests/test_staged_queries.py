@@ -362,3 +362,29 @@ def test_byte_budget_median_dominates_unweighted(spark):
                 exact = v * 100  # centichars
                 break
         assert exact / 2 < est < exact * 2, ((src, q), est, exact)
+
+
+def test_staged_no_heavy_expressions_in_scan_predicates(spark):
+    """The registry-wide InferFiltersFromGenerate guard, applied to
+    the compute-dense STAGED queries before they take front slots: no
+    scan-side Filter/FileScan may carry a higher-order-function
+    lambda (the single-partition shingle re-evaluation pathology —
+    the exact trap the session-2 source_jaccard fix priced at 3×)."""
+    from tests.test_plans import executed_plan
+
+    heavy = [
+        "source_jaccard_minhash",
+        "docs_distinct_shingles_kmv",
+        "source_containment_kmv",
+        "split_leakage_kmv",
+    ]
+    by_name = {name: fn for name, fn, _ in _pairs()}
+    for name in heavy:
+        plan = executed_plan(by_name[name](spark, SF_SMOKE))
+        for ln in plan.splitlines():
+            if "FileScan" in ln:
+                assert "lambdafunction" not in ln, (name, ln[:200])
+        scan_stage = plan.rsplit("Exchange", 1)[-1]
+        for ln in scan_stage.splitlines():
+            if "Filter" in ln:
+                assert "lambdafunction" not in ln, (name, ln[:200])
