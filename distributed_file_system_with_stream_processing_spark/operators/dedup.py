@@ -405,6 +405,24 @@ def connected_components(
         .distinct()
     )
     e = _ckpt(e, reliable_checkpoint)
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        """(row count, order-free xxhash64 sum) of an edge set — one
+        shuffle-free job over just-checkpointed partitions. Equal
+        fingerprints are NECESSARY for set equality (the exact
+        exceptAll probe below still confirms); different fingerprints
+        prove inequality, skipping the probe on every non-final
+        round."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a BIGINT sum of xxhash64
+            # values overflows (an error under ANSI mode), decimal
+            # headroom holds ~10^19 rows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    fp_e = _fingerprint(e)
     for _ in range(max_iter):
         # large-star
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -413,12 +431,15 @@ def connected_components(
             .agg(F.min("v").alias("_mn"))
             .select("u", F.least("_mn", "u").alias("m"))
         )
+        # NO .distinct() on the large-star output: it feeds ONLY the
+        # small-star orientation below, whose own .distinct() subsumes
+        # the dedup (map-side partial aggregation absorbs the
+        # duplicates) — one Exchange per round saved, same edge set.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star (edges oriented large→small, so m = min(N(a)))
         oriented = ls.select(
@@ -433,12 +454,18 @@ def connected_components(
             .distinct()
         )
         new_e = _ckpt(new_e, reliable_checkpoint)
-        # fixed point: edge sets equal (one-row short-circuit probe each way)
-        grew = new_e.exceptAll(e).limit(1).count()
-        shrank = e.exceptAll(new_e).limit(1).count() if grew == 0 else 1
-        e = new_e
-        if grew == 0 and shrank == 0:
+        # Fixed point: edge sets equal. Both sides are DISTINCT sets,
+        # so |new_e| = |e| AND new_e \ e = ∅ ⟺ new_e = e. The cheap
+        # (count, hash-sum) fingerprint gates the exact probe: a
+        # mismatch PROVES the sets differ (skip the probe — every
+        # non-final round), a match is confirmed by ONE one-sided
+        # exceptAll. Replaces the two shuffling exceptAll probe jobs
+        # the loop ran per round through r8 with one shuffle-free agg.
+        fp_new = _fingerprint(new_e)
+        if fp_new == fp_e and new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
             break
+        e, fp_e = new_e, fp_new
     # fixed point = stars (leaf → center); centers label themselves
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("label"))

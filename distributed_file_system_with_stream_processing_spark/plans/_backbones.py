@@ -304,6 +304,40 @@ def opq_model(
     )
 
 
+def logreg_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    positive_below: int,
+    iters: int,
+    lr: float,
+    dim: int,
+) -> tuple[list[float], float]:
+    """Full-batch GD logistic-regression weights trained ONCE per
+    (session, sf_dir, params) — the r9 extension of the
+    kmeans_centroids stance to the last remaining inline trainer
+    (``embedding_logreg_score`` re-ran both driver-synchronized GD
+    jobs on every invocation). The trainer is deterministic
+    (micro-quantized order-free integer gradient sums, driver-side
+    exact update arithmetic — the unrolled CTE the oracle mirrors),
+    so the memoized (w, b) literals are bit-identical to an inline
+    retrain."""
+    from distributed_file_system_with_stream_processing_spark.operators import logreg as L
+
+    def build() -> tuple[list[float], float]:
+        return L.logreg_fit(
+            load_table(spark, sf_dir, "embeddings"),
+            positive_below=positive_below,
+            iters=iters,
+            lr=lr,
+            dim=dim,
+        )
+
+    return _model(
+        spark, sf_dir, f"logreg:{positive_below}:{iters}:{lr!r}:{dim}", build
+    )
+
+
 def exact_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_ids in exact-duplicate groups (normalized-text md5, group
     size >1) — the member expansion of the ``dedup_exact`` census."""

@@ -233,9 +233,16 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         _knn_cells,
     )
 
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = _knn_cells(emb.count())
-    cents = C.kmeans_fit(emb, k=cells, iters=_KM_ITERS)
+    # r9 optimization: the ⌈√n⌉-cell Lloyd training here is the SAME
+    # call _knn_graph_plan makes (full table, default cols, same k and
+    # iters), so read the session-persisted centroid backbone instead
+    # of retraining inline — the r8 kmeans_centroids stance
+    # (plans/_backbones.py); trained literals are bit-identical.
+    cells = _knn_cells(B.embeddings_n(spark, sf_dir))
+    cents = B.kmeans_centroids(spark, sf_dir, k=cells, iters=_KM_ITERS)
     assigned = C.ivf_index_prepare(emb, cents)
     a = assigned.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cell")
     b = assigned.select(F.col("id").alias("nid"), F.col("v").alias("bv"), "cell")

