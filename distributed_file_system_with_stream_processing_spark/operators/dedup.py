@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators._util import spread as _spread
@@ -398,13 +399,51 @@ def connected_components(
     ``_ckpt``. Returns (node, cluster_id) with cluster_id = min node
     id in the component; nodes with no edge are not emitted (same
     contract as before).
+
+    r9 size gate: below ``_util.GATE_MAX_ROWS`` edges (the SAME bound
+    under which the engine already ships candidate-pair tables to the
+    driver as broadcast builds — operators/_util.gate_broadcast), the
+    distinct edge set collects once and a driver union-find labels it
+    — the exact min-id-per-component contract in two jobs instead of
+    O(log² n) rounds × ~8 stages. Above the gate (a pathological dup
+    rate at 100 TB) the distributed star-contraction loop runs
+    unchanged; both paths compute the identical labeling (equality
+    pinned in tests/test_dedup.py with the gate forced both ways).
     """
+    from distributed_file_system_with_stream_processing_spark.operators import _util
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     e = _ckpt(e, reliable_checkpoint)
+    if e.limit(_util.GATE_MAX_ROWS + 1).count() <= _util.GATE_MAX_ROWS:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # union by min keeps every root the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        labels = sorted({(x, find(x)) for row in rows for x in (row[0], row[1])})
+        return e.sparkSession.createDataFrame(
+            labels, schema=StructType([
+                StructField("node", e.schema[0].dataType, False),
+                StructField("cluster_id", e.schema[1].dataType, False),
+            ])
+        )
 
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
         """(row count, order-free xxhash64 sum) of an edge set — one

@@ -595,7 +595,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     at full width — only (doc_id, bucket, tf) triples after shuffle 1.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    tfb = _dsir_tfb(d)
+    # r9 optimization: the hashed-unigram backbone feeds the LM
+    # training fold AND the per-doc scoring join; branch pruning
+    # defeats AQE stage reuse, so the tokenize+hash corpus pass ran
+    # twice. tfb is the POST-aggregation (doc, lang, bucket, tf) table
+    # (≤256 rows per doc — far narrower than the token explode that
+    # builds it), so localCheckpoint once per invocation is strictly
+    # cheaper than the second pass it replaces.
+    tfb = _dsir_tfb(d).localCheckpoint(eager=True)
     lr = _dsir_lr_tbl(tfb)
     out = (
         tfb.join(broadcast(lr), "bucket")

@@ -132,12 +132,18 @@ def bigram_model(docs: DataFrame) -> DataFrame:
     bg = _bigram_tf(docs)
     cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
     toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
+    # r9 optimization: the vocab-scale unigram table feeds both the
+    # vocabulary-size fold and the context join; localCheckpoint
+    # materializes it once per invocation instead of re-running the
+    # unigram corpus pass per branch (branch pruning defeats AQE
+    # stage reuse).
     uni = (
         toks.select(F.explode_outer("ws").alias("w"))
         .filter(F.col("w").isNotNull())
         .select(F.lower(F.col("w")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
     # ok-round: irrational (ln) quantization
@@ -280,12 +286,16 @@ def interp_model(docs: DataFrame) -> DataFrame:
     bg = _bigram_tf(docs)
     cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
     toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
+    # r9 optimization: uni feeds the stats fold AND two enrichment
+    # joins (context count c(u), target count c(v)) — localCheckpoint
+    # the vocab-scale table once per invocation (see bigram_model).
     uni = (
         toks.select(F.explode_outer("ws").alias("w"))
         .filter(F.col("w").isNotNull())
         .select(F.lower(F.col("w")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     stats = uni.agg(
         F.count(F.lit(1)).alias("vsz"), F.sum("cnt").alias("n_corpus")
@@ -558,20 +568,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _duck_shingles  # noqa: F401
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    surv = (
-        d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
-        .withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
-        )
-        .filter(F.col("_rn") == 1)
-        .withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
-    )
-    gated = surv.filter(
-        (F.col("doc_id") % 97 != 0)
-        & (F.col("n_chars") >= 200)
-        & (T.punct_ratio(F.col("text")) < 0.2)
-        & (F.col("_n_tok") >= 30)
-    )
+    # r9 optimization: ONE flagged corpus pass + ONE aggregation
+    # instead of four stage subtrees (each re-running the md5 +
+    # keep-first window + tokenize chain — the docstring's own "at
+    # 100 TB you persist() the survivors" note, done one better:
+    # nothing is re-read at all). Stage predicates are verbatim; the
+    # four output rows unpivot from the single aggregate, so counts,
+    # token sums and the pct division are bit-identical (oracle
+    # unchanged, driver-compare-proven).
     ev_sh = (
         D._exploded_shingles(d.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3)
         .select("s")
@@ -579,28 +583,66 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr_sh = D._exploded_shingles(d.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3)
     contaminated = tr_sh.join(broadcast(ev_sh), "s").select("doc_id").distinct()
-    clean = gated.join(contaminated, "doc_id", "left_anti")
 
-    tot = d.withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
-
-    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).cast("long").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("_n_tok"), F.lit(0).cast("long")).alias("n_tokens"),
+    base = (
+        d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
         )
-
-    rows = (
-        stage(tot, 1, "total")
-        .unionByName(stage(surv, 2, "dedup_keep_first"))
-        .unionByName(stage(gated, 3, "quality_gated"))
-        .unionByName(stage(clean, 4, "decontaminated"))
+        .withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
+        .join(
+            broadcast(contaminated.withColumn("_cont", F.lit(1))), "doc_id", "left"
+        )
     )
-    w = Window.partitionBy(F.lit(1))  # all 4 funnel rows, one frame
-    total = F.max(F.when(F.col("stage_ord") == 1, F.col("n_docs"))).over(w)
+    is_surv = F.col("_rn") == 1
+    is_gated = (
+        is_surv
+        & (F.col("doc_id") % 97 != 0)
+        & (F.col("n_chars") >= 200)
+        & (T.punct_ratio(F.col("text")) < 0.2)
+        & (F.col("_n_tok") >= 30)
+    )
+    is_clean = is_gated & F.col("_cont").isNull()
+
+    def n_t(flag, suffix: str) -> list:
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"n{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("_n_tok"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{suffix}"),
+        ]
+
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.coalesce(F.sum("_n_tok"), F.lit(0)).cast("long").alias("t1"),
+        *n_t(is_surv, "2"),
+        *n_t(is_gated, "3"),
+        *n_t(is_clean, "4"),
+    )
+    stages = [
+        (1, "total"),
+        (2, "dedup_keep_first"),
+        (3, "quality_gated"),
+        (4, "decontaminated"),
+    ]
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(o).cast("long").alias("stage_ord"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"n{o}").alias("n_docs"),
+                        F.col(f"t{o}").alias("n_tokens"),
+                        F.col("n1").alias("_t"),
+                    )
+                    for o, name in stages
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     # r9 conversion (wave 3): truncating integer division at 4 dp
-    return rows.withColumn("_t", total).select(
+    return rows.select(
         "stage_ord",
         "stage",
         "n_docs",

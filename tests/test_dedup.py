@@ -92,9 +92,15 @@ def test_connected_components_chain_converges(spark):
     assert set(got.values()) == {1} and len(got) == 9
 
 
-def test_connected_components_high_diameter_chain(spark):
+def test_connected_components_high_diameter_chain(spark, monkeypatch):
     """Star contraction converges in O(log²) rounds: a diameter-79
-    path would defeat 15 rounds of plain min-label propagation."""
+    path would defeat 15 rounds of plain min-label propagation.
+    Forces the distributed loop (gate off) so the contraction
+    property itself stays covered now that small edge sets take the
+    driver union-find fast path."""
+    from distributed_file_system_with_stream_processing_spark.operators import _util
+
+    monkeypatch.setattr(_util, "GATE_MAX_ROWS", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 80)], "doc_id_a long, doc_id_b long"
     )
@@ -102,9 +108,13 @@ def test_connected_components_high_diameter_chain(spark):
     assert set(got.values()) == {1} and len(got) == 80
 
 
-def test_connected_components_reliable_checkpoint(spark, tmp_path):
+def test_connected_components_reliable_checkpoint(spark, tmp_path, monkeypatch):
     """Fault-tolerant checkpoint mode (the 100 TB path) must produce
-    the identical clustering."""
+    the identical clustering. Gate forced off: at 100 TB the edge set
+    exceeds the driver gate, so this is the loop's configuration."""
+    from distributed_file_system_with_stream_processing_spark.operators import _util
+
+    monkeypatch.setattr(_util, "GATE_MAX_ROWS", 0)
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7)],
@@ -119,6 +129,32 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in D.connected_components(edges, reliable_checkpoint=True).collect()
     }
     assert reliable == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
+
+
+def test_connected_components_gate_paths_identical(spark, monkeypatch):
+    """The r9 size gate routes small edge sets through a driver
+    union-find and large ones through the distributed star-contraction
+    loop — both must produce the identical min-id labeling (including
+    duplicate / reversed / self-loop inputs, which the distinct +
+    u≠v preamble normalizes on both paths)."""
+    from distributed_file_system_with_stream_processing_spark.operators import _util
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (10, 11), (7, 7), (4, 5), (6, 5), (3, 1)],
+        "doc_id_a long, doc_id_b long",
+    )
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(_util, "GATE_MAX_ROWS", 0)  # force the loop
+    distributed = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(edges).collect()
+    }
+    assert fast == distributed == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4,
+    }
 
 
 def _py_lpa(edges, n_rounds=3):
