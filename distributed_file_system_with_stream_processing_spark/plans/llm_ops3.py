@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _DOT, _WS
@@ -273,23 +276,27 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("ws")).alias("total_len"),
     )
-    postings = (
+    ex = (
         base.select(
             "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w")
         )
         .filter(F.col("w").isNotNull())
         .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # r9 optimization: matched feeds BOTH the df fold and the scorer;
-    # branch-specific pruning defeats AQE stage reuse, so the corpus
-    # postings pass ran twice. matched is a strict SUBSET of the
-    # postings table (only query-term postings survive the broadcast
-    # semi-shape), so materializing it once (localCheckpoint) is
-    # always cheaper than re-running the full postings pass it
-    # replaces — at any SF.
-    matched = postings.join(broadcast(qterms), "term").localCheckpoint(eager=True)
+    # r9: matched feeds BOTH the df fold and the scorer, so it is
+    # materialized once (strict subset of the postings table — always
+    # cheaper than re-running the corpus pass). r10: the broadcast
+    # query-term join moves BELOW the tf aggregation — only matched
+    # tokens reach the shuffle, so the corpus-scale (doc, dl, term)
+    # Exchange the full postings table paid is gone at any scale. tf
+    # per (query, doc, term) is the same exact count (qterms is
+    # distinct per (query, term)).
+    matched = (
+        ex.join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_plan_ckpt)
+    )
     df_t = (
         matched.select("term", "doc_id")
         .distinct()
@@ -602,7 +609,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤256 rows per doc — far narrower than the token explode that
     # builds it), so localCheckpoint once per invocation is strictly
     # cheaper than the second pass it replaces.
-    tfb = _dsir_tfb(d).localCheckpoint(eager=True)
+    tfb = _dsir_tfb(d).transform(_plan_ckpt)
     lr = _dsir_lr_tbl(tfb)
     out = (
         tfb.join(broadcast(lr), "bucket")

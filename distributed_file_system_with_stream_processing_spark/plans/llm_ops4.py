@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 from distributed_file_system_with_stream_processing_spark.operators._util import gate_broadcast, spread
@@ -115,7 +118,7 @@ FROM cbg ORDER BY cnt DESC, gram LIMIT {_NG_TOPK}
 """
 
 
-def bigram_model(docs: DataFrame) -> DataFrame:
+def bigram_model(docs: DataFrame, cbg: DataFrame | None = None) -> DataFrame:
     """(gram, l_mu): micro-quantized smoothed log p(v|u) for every
     corpus bigram — the TRAINABLE half of the bigram LM, shared by the
     batch query and the stream scorer (streaming.rainstorm.
@@ -128,9 +131,16 @@ def bigram_model(docs: DataFrame) -> DataFrame:
     l_mu = the rounded ln((c(uv)+k)/(c(u)+k·V))·1e6 quantization as BIGINT — both
     ratio inputs exact-representable, quantized once, so any scorer's
     per-doc reduction is an exact integer sum.
+
+    ``cbg`` (r10): a caller that already holds the (gram, cbg) corpus
+    bigram-count table — e.g. corpus_cross_entropy, which folds over
+    the same table the model trains on — can pass it in, so the
+    (doc, gram) corpus pass is not re-derived a second time inside the
+    trainer. Same values either way (the default recomputes it).
     """
-    bg = _bigram_tf(docs)
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
+    if cbg is None:
+        bg = _bigram_tf(docs)
+        cbg = bg.groupBy("gram").agg(F.sum("tf").alias("cbg"))
     toks = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
     # r9 optimization: the vocab-scale unigram table feeds both the
     # vocabulary-size fold and the context join; localCheckpoint
@@ -143,7 +153,7 @@ def bigram_model(docs: DataFrame) -> DataFrame:
         .select(F.lower(F.col("w")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("cu"))
-        .localCheckpoint(eager=True)
+        .transform(_plan_ckpt)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
     # ok-round: irrational (ln) quantization
@@ -295,7 +305,7 @@ def interp_model(docs: DataFrame) -> DataFrame:
         .select(F.lower(F.col("w")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(_plan_ckpt)
     )
     stats = uni.agg(
         F.count(F.lit(1)).alias("vsz"), F.sum("cnt").alias("n_corpus")
@@ -582,17 +592,28 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tr_sh = D._exploded_shingles(d.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3)
-    contaminated = tr_sh.join(broadcast(ev_sh), "s").select("doc_id").distinct()
+    # r10 (advice item): `contaminated` is corpus-FRACTION-scale under
+    # heavy contamination, so the r9 unconditional broadcast hint was
+    # the one anti-pattern the repo's own size gate exists for. Route
+    # it through gate_broadcast: hinted under the row bound, plain
+    # shuffle left join above it.
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
 
+    contaminated, _ = gate_broadcast(
+        tr_sh.join(broadcast(ev_sh), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
     base = (
         d.withColumn("_h", F.md5(T.norm_text(F.col("text"))))
         .withColumn(
             "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
         )
         .withColumn("_n_tok", F.size(T.words(F.col("text"))).cast("long"))
-        .join(
-            broadcast(contaminated.withColumn("_cont", F.lit(1))), "doc_id", "left"
-        )
+        .join(contaminated, "doc_id", "left")
     )
     is_surv = F.col("_rn") == 1
     is_gated = (

@@ -56,6 +56,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import _WS
@@ -178,7 +181,7 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # write of the index-scale table the bucketed twins persist
         # anyway — strictly less than re-running the chain that
         # produces it.
-        .localCheckpoint(eager=True)
+        .transform(_plan_ckpt)
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w_mu").cast("decimal(38,0)") * F.col("w_mu")).alias("norm2")
@@ -816,7 +819,7 @@ def kn_model(bg) -> DataFrame:
     # pass re-ran per branch. localCheckpoint materializes the
     # gram-count-table-scale (NOT corpus-scale) model input once per
     # invocation; the scorer's own bg pass is unchanged.
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c")).localCheckpoint(eager=True)
+    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c")).transform(_plan_ckpt)
     u_tbl = (
         cbg.select(F.substring_index("gram", " ", 1).alias("u"), "c")
         .groupBy("u")
@@ -1129,22 +1132,26 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 
+    # r9 optimization: the symmetrized edge list is loop-invariant and
+    # referenced by deg, p0 and every power-iteration round; branch-
+    # specific pruning kept the LSH banding's post-shuffle stages
+    # re-executing per consumer — truncate lineage at the pair-scale
+    # table (reliable checkpoint at 100 TB via the plan_ckpt conf).
+    # r10: checkpoint the PAIR table, before the symmetrizing union —
+    # the union references pairs twice, so checkpointing after it
+    # still ran the corpus-scale LSH backbone twice inside the
+    # materializing job.
     pairs = (
         D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
         .select("doc_id_a", "doc_id_b")
         .distinct()
+        .transform(_plan_ckpt)
     )
-    # r9 optimization: the symmetrized edge list is loop-invariant and
-    # referenced by deg, p0 and every power-iteration round; branch-
-    # specific pruning kept the LSH banding's post-shuffle stages
-    # re-executing per consumer. localCheckpoint materializes the
-    # pair-scale edges once per invocation (the CC loop's _ckpt
-    # stance; reliable checkpoint() at 100 TB per operators/dedup).
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(_plan_ckpt)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
@@ -1746,7 +1753,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage at the metadata-scale table runs the corpus pass once.
     P = pairs.select(
         "u", "v", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")
-    ).localCheckpoint(eager=True)
+    ).transform(_plan_ckpt)
     states = P.select(F.col("u").alias("s")).union(P.select("v")).distinct()
     nn = states.agg(F.count(F.lit(1)).alias("t"))
     pi = states.crossJoin(broadcast(nn)).select(
@@ -2023,7 +2030,18 @@ def session_expected_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("u"),
         F.coalesce(F.lead("event_type").over(ws), F.lit("(end)")).alias("v"),
     )
-    cnt = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    # r10 optimization (the events_markov_stationary stance): the
+    # (|types|+1)²-row transition-count table feeds P and states, and
+    # the unrolled horizon references P per round — branch pruning made
+    # each copy canonically different, so the corpus-scale sessionize
+    # window chain (lag + running-sum + lead) re-executed per branch
+    # (43 stages / 6 Window nodes measured). Truncating lineage at the
+    # matrix-scale table runs the corpus pass once per invocation.
+    cnt = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(_plan_ckpt)
+    )
     wtot = Window.partitionBy("u")
     P = cnt.select(
         "u", "v", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")

@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     _MINHASH_PAIRS_BODY,
@@ -151,10 +154,16 @@ def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
     )
+    # r10 optimization: the symmetrization references `e` twice and
+    # per-branch pruning defeats AQE stage reuse, so the corpus-scale
+    # LSH banding self-join ran twice per invocation (19 stages / 177
+    # tasks measured). Checkpointing the pair-scale edge list — the
+    # r9 pagerank-edges stance — runs it once.
     e = (
         pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .transform(_plan_ckpt)
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
@@ -203,7 +212,15 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     bg = _bigram_tf(d)
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c_ab"))
+    # r10 optimization (the r9 model-table stance): cbg feeds the n_bg
+    # total AND the enriched join; uni feeds the n_uni total AND two
+    # term joins. Per-branch pruning defeats AQE stage reuse, so each
+    # corpus explode re-ran per consumer (40 stages / 10 Exchanges
+    # measured). Checkpointing the two vocab-scale count tables runs
+    # each corpus pass exactly once per invocation.
+    cbg = (
+        bg.groupBy("gram").agg(F.sum("tf").alias("c_ab")).transform(_plan_ckpt)
+    )
     toks = d.select("doc_id", T.words(F.col("text")).alias("ws"))
     uni = (
         toks.select(F.explode_outer("ws").alias("w"))
@@ -211,6 +228,7 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("w")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(_plan_ckpt)
     )
     totals = cbg.agg(F.sum("c_ab").alias("n_bg")).crossJoin(
         uni.agg(F.sum("cnt").alias("n_uni"))
@@ -381,21 +399,31 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = lambda x: F.round(x * _EM_MICRO).cast("long")
     v = V.as_double(F.col("embedding"))
     mu = F.transform(v, q)
-    sq = F.aggregate(
-        mu, F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: acc + x.cast("decimal(19,0)") * x.cast("decimal(19,0)"),
-    )
-    base = e.select(F.col("label").cast("long").alias("label"), mu.alias("m"), sq.alias("qs"))
-    per_label_q = base.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.sum("qs").alias("q_tot")
-    )
+    base = e.select(F.col("label").cast("long").alias("label"), mu.alias("m"))
+    # r10 optimization: `base` used to carry a per-vector Σm² lambda
+    # and feed THREE consumers (per-label fold, dims posexplode, n_all
+    # fold) — per-branch pruning defeats AQE stage reuse, so the
+    # corpus-scale quantize pass ran three times. Now ONE posexplode
+    # aggregation folds Σc, Σc² and the row count per (label, pos) —
+    # identical exact integers, since Σ_vec(Σ_d c²) ≡ Σ_(vec,d) c² and
+    # n_vecs ≡ the per-pos row count of a fixed-dim table — and every
+    # later table derives from the METADATA-scale (labels×dim)
+    # checkpoint. One corpus pass instead of three at any scale.
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
     dims = (
         base.select("label", F.posexplode("m").alias("pos", "c"))
         .groupBy("label", "pos")
-        .agg(F.sum("c").alias("s_d"))
+        .agg(
+            F.sum("c").alias("s_d"),
+            F.sum(dec("c") * dec("c")).alias("ss_d"),
+            F.count(F.lit(1)).alias("nv"),
+        )
+        .transform(_plan_ckpt)
+    )
+    per_label_q = dims.groupBy("label").agg(
+        F.max("nv").alias("n_vecs"), F.sum("ss_d").alias("q_tot")
     )
     tot = dims.groupBy("pos").agg(F.sum("s_d").alias("t_d"))
-    dec = lambda c: F.col(c).cast("decimal(19,0)")
     lbl = (
         dims.join(broadcast(tot), "pos")
         .groupBy("label")
@@ -405,7 +433,7 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(per_label_q, "label")
     )
-    n_total = base.agg(F.count(F.lit(1)).alias("n_all"))
+    n_total = per_label_q.agg(F.sum("n_vecs").alias("n_all"))
     out = lbl.crossJoin(broadcast(n_total)).filter(
         (F.col("n_vecs") > 1) & (F.col("n_vecs") < F.col("n_all"))
     )
@@ -654,11 +682,13 @@ def triangle_census(e: DataFrame) -> DataFrame:
     Suri-Vassilvitskii scale argument; the hub-adversarial invariant
     (per-apex out-degree O(√m) ⇒ no last-reducer wedge blowup) is
     measured there."""
-    from distributed_file_system_with_stream_processing_spark.operators._util import (
-        cache_bounded,
-    )
-
-    e = cache_bounded(e)
+    # r10: eager checkpoint instead of the r9 lazy persist — the
+    # symmetrization union scans `e` twice inside deg's materializing
+    # job, and a lazy cache populated mid-job does not stop the second
+    # branch from recomputing the corpus-scale pair generation. The
+    # eager truncation runs it exactly once (and honors the reliable-
+    # checkpoint switch like every other site).
+    e = _plan_ckpt(e)
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # r9 optimization: deg fans out to da/db/the wedge rollup and
     # dir_e to w1/w2/closing — six re-derivations of node- and
@@ -669,7 +699,7 @@ def triangle_census(e: DataFrame) -> DataFrame:
     deg = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(_plan_ckpt)
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
@@ -683,7 +713,7 @@ def triangle_census(e: DataFrame) -> DataFrame:
         F.when(fwd, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
         .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
         .alias("dst"),
-    ).localCheckpoint(eager=True)
+    ).transform(_plan_ckpt)
     w1 = dir_e.select("src", F.col("dst").alias("v"))
     w2 = dir_e.select("src", F.col("dst").alias("w"))
     wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
@@ -768,10 +798,15 @@ def neardup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=6
     )
+    # r10 optimization: khop_reach symmetrizes `e` (two references)
+    # BEFORE its gate persist, so the corpus-scale LSH backbone ran
+    # twice inside the persist's materialization. Checkpoint the
+    # pair-scale edge list first (the neardup_degree_stats stance).
     e = (
         pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .transform(_plan_ckpt)
     )
     return khop_reach(e, _KHOP_SEEDS_BELOW, _KHOP_MAX)
 
@@ -807,7 +842,7 @@ def khop_reach(e: DataFrame, seeds_below: int, max_hops: int) -> DataFrame:
         # checkpoint materializes only the frontier (blast-radius
         # scale); at 100 TB swap localCheckpoint for a reliable
         # checkpoint dir exactly as operators/dedup._ckpt documents.
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(_plan_ckpt)
         known = known.unionByName(nxt)
         frontier = nxt
     return known.select(F.col("node").alias("doc_id"), "dist")
@@ -1089,8 +1124,15 @@ def corpus_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     bg = _bigram_tf(d)
-    cbg = bg.groupBy("gram").agg(F.sum("tf").alias("c"))
-    model = bigram_model(d)
+    # r10 optimization: the corpus bigram-count table is BOTH the fold
+    # input and the model's training table, but the two derivations
+    # were separate subtrees, so the (doc, gram) corpus pass ran twice
+    # (35 stages measured). Checkpoint the vocab-scale count table once
+    # and hand it to the trainer (bigram_model(cbg=...)).
+    cbg = (
+        bg.groupBy("gram").agg(F.sum("tf").alias("c")).transform(_plan_ckpt)
+    )
+    model = bigram_model(d, cbg=cbg.select("gram", F.col("c").alias("cbg")))
     agg = (
         cbg.join(model, "gram")
         .agg(

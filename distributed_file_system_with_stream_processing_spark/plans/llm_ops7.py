@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
 from distributed_file_system_with_stream_processing_spark.plans.llm_ops import (
     DEDUP_SIMHASH_SQL,
@@ -124,7 +127,12 @@ def simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_pairs(
         load_table(spark, sf_dir, "documents"), n=3, max_hamming=_SWEEP_MAX_HAMMING
     )
-    pairs = pairs.persist()
+    # r10: eager checkpoint instead of the lazy persist — dropped and
+    # pair_curve materialize in ONE final job, and a cache populated
+    # mid-job does not stop the second branch from re-running the
+    # corpus-scale banded self-join. The truncation runs it once (and
+    # honors the reliable-checkpoint switch).
+    pairs = _plan_ckpt(pairs)
     thresholds = F.explode(
         F.sequence(F.col("mh"), F.lit(_SWEEP_MAX_HAMMING))
     ).alias("threshold")
@@ -240,6 +248,12 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("c"),
     )
+    # r10 optimization: the |labels|²-pair self-join references `cent`
+    # twice, and per-branch pruning defeats AQE stage reuse — the
+    # corpus-scale 64-sum aggregation ran once per join side.
+    # Checkpointing the METADATA-scale centroid table (|labels| rows)
+    # runs the corpus pass once per invocation.
+    cent = _plan_ckpt(cent)
     x, y = cent.alias("x"), cent.alias("y")
     dot = F.aggregate(
         F.zip_with(F.col("x.c"), F.col("y.c"), lambda a, b: a * b),

@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -867,12 +870,14 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_b",
         F.round(F.col("est_jaccard") * _MH_SWEEP_HASHES).cast("long").alias("agree"),
     )
-    # No persist: the builder returns a lazy plan, so a persist here
-    # would pin the pair table in executor memory for the rest of the
-    # session (bench runs many queries per session). The post-filter
-    # table is small; recomputing it for the second aggregation is
-    # cheaper than the leak.
-    pairs = pairs.filter(F.col("agree") >= _MH_SWEEP_MIN_AGREE)
+    # r10: eager checkpoint of the POST-FILTER pair table (pair-scale,
+    # tiny). r9 left this unpersisted to avoid pinning executor memory
+    # for the session, but the cost was the corpus-scale LSH banding
+    # self-join running twice (dropped + pair_curve branches); a
+    # localCheckpoint's blocks are freed when the plan is GC'd — the
+    # same lifetime every other plan_ckpt site relies on — so the
+    # leak concern does not apply.
+    pairs = _plan_ckpt(pairs.filter(F.col("agree") >= _MH_SWEEP_MIN_AGREE))
     lo = F.lit(_MH_SWEEP_MIN_AGREE)
     dropped = (
         pairs.groupBy(F.col("doc_id_b").alias("drop_id"))
@@ -984,19 +989,32 @@ def quality_ppl_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").isNotNull())
         .select("doc_id", F.lower(F.col("w")).alias("term"))
     )
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    # r10 optimization: the old shape aggregated a corpus-scale
+    # (doc, term) tf table whose two consumers (term rollup + scoring
+    # join) re-derived it per branch (42 stages / 10 Exchanges
+    # measured). The per-doc statistic only needs per-TOKEN log-probs:
+    # Σ_(doc,term) tf·l_mu ≡ Σ_token l_mu and Σ tf ≡ count(*), exact
+    # integers either way. So: ONE vocab-scale term-count table (the
+    # size-gated broadcast — hinted under the row gate, key-shuffle
+    # fallback above it), then one corpus pass scores tokens directly
+    # — the (doc, term) Exchange and the duplicated subtrees are gone.
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("ctot"))
+    ct, _ = gate_broadcast(ct)
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
     # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _QPC_MICRO
     ).cast("long")
     xs = (
-        tf.join(ct, "term")
+        ex.join(ct, "term")
         .crossJoin(broadcast(n_tot))
-        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .select("doc_id", l_mu.alias("_l"))
         .groupBy("doc_id")
-        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_l").alias("_s"))
         .select(
             "doc_id",
             # r9 conversion (wave 3): x = −Σtl/Σtf is an exact signed

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from distributed_file_system_with_stream_processing_spark.operators._util import (
+    plan_ckpt as _plan_ckpt,
+)
 from distributed_file_system_with_stream_processing_spark.functions import text as T
 from distributed_file_system_with_stream_processing_spark.operators import dedup as D
 from distributed_file_system_with_stream_processing_spark.operators._util import spread
@@ -82,30 +85,34 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
     base = toks.filter(F.col("doc_id") >= _QL_QUERIES_BELOW)
-    postings = (
+    ex = (
         base.select(
             "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("w")
         )
         .filter(F.col("w").isNotNull())
         .select("doc_id", "dl", F.lower(F.col("w")).alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # r9 optimization: cf is vocab-scale and feeds both the matched
-    # join and the corpus-length fold — localCheckpoint materializes
-    # it once; clen = Σ_t cf(t) folds off cf (the same exact integer
-    # sum by associativity), removing the third corpus-scale postings
-    # pass the branch-diverged plan re-ran.
+    # r9: cf is vocab-scale and feeds both the matched join and the
+    # corpus-length fold — checkpoint it once; clen = Σ_t cf(t) folds
+    # off cf (the same exact integer by associativity). r10: cf counts
+    # TOKENS directly (count(*) ≡ Σ tf), and the matched side joins
+    # the broadcast query-term table BEFORE aggregating — only matched
+    # postings reach the tf shuffle, so the corpus-scale (doc, dl,
+    # term) Exchange the old postings table paid is gone at any scale
+    # (tf per (query, doc, term) is the same exact count: qterms is
+    # distinct per (query, term)).
     cf = (
-        postings.groupBy("term")
-        .agg(F.sum("tf").alias("cf"))
-        .localCheckpoint(eager=True)
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .transform(_plan_ckpt)
     )
     total = cf.agg(F.sum("cf").alias("clen"))
     # matched-term gain: log(1 + tf·clen / (μ·cf)) — tf/(μ·P(t|C))
     # with P(t|C) = cf/clen, evaluated in this exact sequence
     matched = (
-        postings.join(broadcast(qterms), "term")
+        ex.join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
         .join(broadcast(cf), "term")
         .crossJoin(broadcast(total))
     )
@@ -931,19 +938,30 @@ def docs_ppl_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("w").isNotNull())
         .select("doc_id", F.lower(F.col("w")).alias("term"))
     )
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    ct = tf.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    # r10 optimization (the docs_unigram_perplexity rewrite): score
+    # per TOKEN against the size-gated-broadcast term-count table —
+    # Σ tf·l_mu ≡ Σ_token l_mu and Σ tf ≡ count(*), exact integers
+    # either way — removing the corpus-scale (doc, term) Exchange and
+    # the per-branch recompute of the tf aggregate.
+    from pyspark.sql.functions import broadcast
+
+    from distributed_file_system_with_stream_processing_spark.operators._util import (
+        gate_broadcast,
+    )
+
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("ctot"))
+    ct, _ = gate_broadcast(ct)
     n_tot = ct.agg(F.sum("ctot").alias("n_corpus"))
     # ok-round: irrational (ln) quantization
     l_mu = F.round(
         F.log(F.col("ctot").cast("double") / F.col("n_corpus")) * _PPS_MICRO
     ).cast("long")
     scored = (
-        tf.join(ct, "term")
+        ex.join(ct, "term")
         .crossJoin(broadcast(n_tot))
-        .select("doc_id", "tf", (F.col("tf") * l_mu).alias("_tl"))
+        .select("doc_id", l_mu.alias("_l"))
         .groupBy("doc_id")
-        .agg(F.sum("tf").alias("n_tokens"), F.sum("_tl").alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_l").alias("_s"))
         .select(
             "doc_id",
             # r8 conversion: exact truncating integer division (the

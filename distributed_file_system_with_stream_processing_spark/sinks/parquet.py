@@ -44,9 +44,21 @@ def write_bucketed(
     ``n_buckets`` files by ``bucket_col``, bucket metadata in the
     catalog. Joins/aggregations on ``bucket_col`` between tables with
     identical bucketing need no Exchange. Size ``n_buckets`` so one
-    bucket ≈ one task's worth of data at the target scale."""
+    bucket ≈ one task's worth of data at the target scale.
+
+    r10: repartition to the bucket layout BEFORE the write. A bucketed
+    writer splits every input task's rows by bucket id, so N upstream
+    partitions emit up to N×n_buckets files — 256 near-empty parquet
+    files (each with its own open/footer/commit) for an 8-bucket table
+    written from 32 partitions. ``repartition(n_buckets, bucket_col)``
+    uses the same Murmur3 hash as the bucket spec, so each task holds
+    exactly one bucket and the table lands as n_buckets files — the
+    one-file-per-bucket layout the reader wants (guide-style output
+    sizing; at scale n_buckets is chosen so this is also the right
+    file size)."""
     (
-        df.write.bucketBy(n_buckets, bucket_col)
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .option("path", path)
         .mode("overwrite")

@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--times-only", action="store_true")
+    ap.add_argument("--outdir", default="r10")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,7 +53,7 @@ def main() -> None:
 
     spark = get_spark(app_name="opt_profile", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    plans_dir = os.path.join(REPO, "plans", "r09")
+    plans_dir = os.path.join(REPO, "plans", args.outdir)
     os.makedirs(plans_dir, exist_ok=True)
 
     # Warm JVM/footers the way bench.py does.

@@ -157,6 +157,27 @@ def test_connected_components_gate_paths_identical(spark, monkeypatch):
     }
 
 
+def test_plan_ckpt_reliable_conf(spark, tmp_path):
+    """The session conf ``spark.dfsp.reliableCheckpoint=true`` must
+    route plan-level lineage truncations (operators/_util.plan_ckpt —
+    used by label_propagation's edge checkpoint and the r9/r10
+    model-table sites) through the fault-tolerant ``checkpoint()``
+    with identical results — the r9 verdict's ask that the 100 TB
+    durability story be one deployment switch, not per-site code."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "rck"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    base = {r["node"]: r["community"] for r in D.label_propagation(edges).collect()}
+    spark.conf.set("spark.dfsp.reliableCheckpoint", "true")
+    try:
+        got = {r["node"]: r["community"] for r in D.label_propagation(edges).collect()}
+    finally:
+        spark.conf.set("spark.dfsp.reliableCheckpoint", "false")
+    assert got == base
+    assert any((tmp_path / "rck").rglob("*")), "reliable checkpoint dir written"
+
+
 def _py_lpa(edges, n_rounds=3):
     """Independent pure-Python synchronous LPA with self-loop vote and
     (count desc, label asc) tie-break — the reference the Spark
