@@ -118,6 +118,7 @@ def ngram_jaccard_all_pairs(
     text_col: str = "text",
     n: int = 3,
     max_doc_freq: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """EVERY co-shingled doc pair with its n-gram Jaccard — the
     un-truncated pair table behind ``ngram_jaccard_pairs`` (which adds
@@ -128,8 +129,15 @@ def ngram_jaccard_all_pairs(
     ground-truth set against the MinHash candidate set); the
     ``max_doc_freq`` blowup guard and its lower-bound semantics are
     documented on ``ngram_jaccard_pairs``.
+
+    ``sh`` (r10): a caller holding the (doc_id, sh) shingle table
+    already — e.g. lsh_recall_curve, which needs it for BOTH the
+    ground truth and the banding — passes it in so the tokenize+
+    shingle corpus pass is not re-derived. Same values (the default
+    builds it the usual way).
     """
-    sh = _with_shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # explode_outer + null filter: see _exploded_shingles
     ex = (
@@ -187,6 +195,7 @@ def minhash_banded(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig, band, key) — each doc's MinHash signature exploded
     into its ``bands`` LSH band keys. The SHARED banding kernel:
@@ -206,9 +215,15 @@ def minhash_banded(
     # (hash32), then k affine universal hashes — at 100 TB the md5 is
     # the dominant cost and this does 1/k of it. Same values as
     # functions.text.minhash_signature (min is set-order invariant).
-    ex = _exploded_shingles(df, id_col, text_col, n).select(
-        "doc_id", T.hash32(F.col("s")).alias("h")
-    )
+    if sh is None:
+        ex0 = _exploded_shingles(df, id_col, text_col, n)
+    else:
+        # caller-provided (doc_id, sh) table (see ngram_jaccard_all_pairs)
+        ex0 = (
+            sh.select("doc_id", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
+    ex = ex0.select("doc_id", T.hash32(F.col("s")).alias("h"))
     params = [T.mh_params(k) for k in range(num_hashes)]
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -246,11 +261,13 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding + signature-overlap
     estimate. rows_per_band = num_hashes/bands; a pair is a candidate
-    iff some band's sub-signature matches exactly."""
-    ex = minhash_banded(df, id_col, text_col, n, num_hashes, bands)
+    iff some band's sub-signature matches exactly. ``sh``: optional
+    precomputed (doc_id, sh) shingle table (see ngram_jaccard_all_pairs)."""
+    ex = minhash_banded(df, id_col, text_col, n, num_hashes, bands, sh=sh)
     a = ex.alias("a")
     b = ex.alias("b")
     cand = (

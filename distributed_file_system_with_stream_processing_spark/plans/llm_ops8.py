@@ -62,8 +62,17 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is 10 rows. No new corpus-scale shape anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_all_pairs(docs, n=3, max_doc_freq=50)
-    cand = D.minhash_lsh_pairs(docs, n=3, num_hashes=12, bands=6).select(
+    # r10 (r9 verdict item 4, priced by LSH_RECALL_PROBE.json): truth
+    # and banding legitimately both need the shingle table; r9 left
+    # them as two tokenize+shingle corpus passes because sharing it
+    # means a corpus-scale materialization. The probe measured both
+    # variants at sf0.1 (4.71 -> 3.23 s) AND sf1 (7.62 -> 4.65 s,
+    # mirror-heavy rehearsal corpus) with identical outputs — the
+    # checkpoint wins where it matters, so the shared table ships
+    # (reliable checkpoint at 100 TB via the plan_ckpt conf).
+    sh = _plan_ckpt(D._with_shingles(docs, "doc_id", "text", 3))
+    truth = D.ngram_jaccard_all_pairs(docs, n=3, max_doc_freq=50, sh=sh)
+    cand = D.minhash_lsh_pairs(docs, n=3, num_hashes=12, bands=6, sh=sh).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("caught")
     )
     binned = truth.join(cand, ["doc_id_a", "doc_id_b"], "left").select(
